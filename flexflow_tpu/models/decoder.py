@@ -1,0 +1,342 @@
+"""Generic spec-driven decoder-only transformer (TPU-native, functional).
+
+This single module replaces the reference's per-architecture C++ graph builders
+(/root/reference/inference/models/{llama,opt,falcon,mpt,starcoder,mixtral}.cc):
+every architecture difference is a static field of :class:`ModelSpec`, so one
+``jax.lax.scan`` over stacked per-layer parameters covers the whole model zoo.
+Scanning over stacked layers keeps the HLO small and compile times flat in
+depth — the idiomatic XLA replacement for the reference's per-op Legion task
+launches.
+
+Two execution modes:
+
+- **self-attention mode** (``forward``): training forward / full-prompt
+  prefill. Causal attention within the [B, T] window; optionally returns the
+  per-layer K/V so the serving engine can insert them into the KV cache
+  (reference prompt phase: inc_multihead_self_attention.cu:99).
+- **cached mode** (``forward_cached``): incremental decode (T=1) and
+  speculative tree verification (T=tree size, tree-topology mask). New tokens'
+  K/V are scattered into the cache at ``cache_lens[b] + t`` and attention runs
+  against the full cache (reference decode kernel:
+  inc_multihead_self_attention.cu:378; tree verify:
+  tree_inc_multihead_self_attention.cu).
+
+Parameters are a nested dict of arrays; every per-layer leaf is stacked on a
+leading ``[num_layers, ...]`` axis (see ``models/params.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flexflow_tpu.ops import activations as act_lib
+from flexflow_tpu.ops import attention as attn_lib
+from flexflow_tpu.ops import norms
+from flexflow_tpu.ops import rotary
+from flexflow_tpu.specs import ModelSpec
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Per-request-slot KV cache, stacked over layers.
+
+    Layout [L, B, S, KH, D]: request slots on axis 1 (the reference allocates
+    per-request contiguous KV regions inside the attention op's Meta struct,
+    inc_multihead_self_attention.cu:1621+); sharded over KH (TP axis) on a mesh.
+    """
+
+    k: jnp.ndarray  # [L, B, S, KH, D]
+    v: jnp.ndarray  # [L, B, S, KH, D]
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(
+    spec: ModelSpec, num_slots: int, max_seq_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (spec.num_layers, num_slots, max_seq_len, spec.num_kv_heads, spec.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _norm(spec: ModelSpec, h, scale, bias):
+    if spec.norm == "rmsnorm":
+        return norms.rms_norm(h, scale, spec.norm_eps)
+    return norms.layer_norm(h, scale, bias, spec.norm_eps)
+
+
+def _linear(x, w, b=None):
+    """x [..., D] @ w [D, ...out] (+ b). Contracts the last axis of x."""
+    out = jnp.tensordot(x, w, axes=1)
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def _qkv(spec: ModelSpec, p: Params, h):
+    """Project h [B,T,D] -> q [B,T,H,Dh], k/v [B,T,KH,Dh]."""
+    q = _linear(h, p["wq"], p.get("bq"))
+    k = _linear(h, p["wk"], p.get("bk"))
+    v = _linear(h, p["wv"], p.get("bv"))
+    return q, k, v
+
+
+def _mlp(spec: ModelSpec, p: Params, h):
+    if spec.moe is not None:
+        return _moe_mlp(spec, p, h)
+    if spec.act == "silu_gate":
+        gate = _linear(h, p["wg"])
+        up = _linear(h, p["wu"])
+        inner = act_lib.sigmoid_silu_multi(gate, up)
+    else:
+        inner = act_lib.get_activation(spec.act)(_linear(h, p["wu"], p.get("bu")))
+    return _linear(inner, p["wd"], p.get("bd"))
+
+
+def _moe_mlp(spec: ModelSpec, p: Params, h):
+    """Mixtral-style sparse MoE FFN.
+
+    Mirrors reference inference/models/mixtral.cc:232-300 (gate -> softmax ->
+    top-k -> renormalize -> per-expert SwiGLU -> weighted combine) and the
+    GroupBy/Experts/Aggregate op trio (src/ops/{group_by,experts,aggregate}.cu).
+
+    v1 computes all experts densely and combines with routing weights (exact,
+    E/top_k x FLOP overhead); the ragged-dot token-dispatch fast path replaces
+    this on the serving path.
+    """
+    moe = spec.moe
+    router_logits = jnp.tensordot(
+        h.astype(jnp.float32), p["router"].astype(jnp.float32), axes=1
+    )  # [B, T, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, moe.top_k)  # [B, T, K]
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    # dense per-expert weights: [B, T, E]
+    combine = jnp.sum(
+        jax.nn.one_hot(topi, moe.num_experts, dtype=jnp.float32)
+        * topw[..., None],
+        axis=-2,
+    )
+    gate = jnp.einsum("btd,edf->btef", h, p["wg"])
+    up = jnp.einsum("btd,edf->btef", h, p["wu"])
+    inner = act_lib.sigmoid_silu_multi(gate, up)
+    out = jnp.einsum("btef,efd->bted", inner, p["wd"])
+    return jnp.sum(out * combine[..., None].astype(out.dtype), axis=-2)
+
+
+def _attn_out(spec: ModelSpec, p: Params, a):
+    """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D]."""
+    out = jnp.einsum("bthd,hdo->bto", a, p["wo"])
+    if p.get("bo") is not None:
+        out = out + p["bo"]
+    return out.astype(a.dtype)
+
+
+def _layer(spec: ModelSpec, p: Params, h, attend):
+    """One decoder layer; ``attend(q, k, v) -> (attn_out, aux)`` is injected."""
+    if spec.parallel_attn:
+        ln_attn = _norm(spec, h, p["ln1_scale"], p.get("ln1_bias"))
+        if spec.num_ln_in_parallel_attn == 2:
+            ln_mlp = _norm(spec, h, p["ln2_scale"], p.get("ln2_bias"))
+        else:
+            ln_mlp = ln_attn
+        a, aux = attend(*_qkv(spec, p, ln_attn))
+        out = h + _attn_out(spec, p, a) + _mlp(spec, p, ln_mlp)
+        return out, aux
+    if spec.pre_norm:
+        ln1 = _norm(spec, h, p["ln1_scale"], p.get("ln1_bias"))
+        a, aux = attend(*_qkv(spec, p, ln1))
+        h = h + _attn_out(spec, p, a)
+        ln2 = _norm(spec, h, p["ln2_scale"], p.get("ln2_bias"))
+        return h + _mlp(spec, p, ln2), aux
+    # post-LN (OPT with do_layer_norm_before=False)
+    a, aux = attend(*_qkv(spec, p, h))
+    h = _norm(spec, h + _attn_out(spec, p, a), p["ln1_scale"], p.get("ln1_bias"))
+    return _norm(spec, h + _mlp(spec, p, h), p["ln2_scale"], p.get("ln2_bias")), aux
+
+
+def _embed(spec: ModelSpec, params: Params, tokens, positions):
+    h = jnp.take(params["embed_tokens"], tokens, axis=0)
+    if spec.embed_scale != 1.0:
+        h = h * spec.embed_scale
+    if spec.pos == "learned":
+        h = h + jnp.take(
+            params["embed_pos"], positions + spec.learned_pos_offset, axis=0
+        )
+    return h
+
+
+def _unembed(spec: ModelSpec, params: Params, h):
+    if spec.final_norm:
+        h = _norm(spec, h, params["final_norm_scale"], params.get("final_norm_bias"))
+    w = params.get("lm_head")
+    if w is None:  # tied embeddings
+        w = params["embed_tokens"].T
+    logits = jnp.tensordot(h.astype(jnp.float32), w.astype(jnp.float32), axes=1)
+    if params.get("lm_head_bias") is not None:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    return logits
+
+
+def _alibi_slopes(spec: ModelSpec):
+    if spec.pos != "alibi":
+        return None
+    return attn_lib.alibi_slopes(spec.num_heads, spec.alibi_max_bias)
+
+
+def _maybe_rope(spec: ModelSpec, q, k, positions):
+    if spec.pos != "rope":
+        return q, k
+    cos, sin = rotary.rope_cos_sin(
+        positions, spec.head_dim, spec.rope_theta, spec.rope_scaling
+    )
+    return rotary.apply_rope(q, cos, sin), rotary.apply_rope(k, cos, sin)
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    spec: ModelSpec,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32
+    positions: jnp.ndarray,  # [B, T] int32 absolute positions
+    *,
+    lengths: Optional[jnp.ndarray] = None,  # [B] valid lengths (mask padding)
+    return_kv: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Self-attention forward (training / prefill).
+
+    Returns ``(logits [B, T, V] fp32, kv)`` where ``kv`` is
+    ``(k [L, B, T, KH, D], v [L, B, T, KH, D])`` when ``return_kv`` else None.
+    """
+    b, t = tokens.shape
+    slopes = _alibi_slopes(spec)
+    h = _embed(spec, params, tokens, positions)
+
+    qi = positions[:, :, None]  # [B, T, 1]
+    ki = positions[:, None, :]  # [B, 1, T]
+    mask = ki <= qi
+    if lengths is not None:
+        mask = mask & (jnp.arange(t)[None, None, :] < lengths[:, None, None])
+
+    def attend(q, k, v):
+        q, k = _maybe_rope(spec, q, k, positions)
+        out = attn_lib.cached_attention(
+            q,
+            k,
+            v,
+            cache_lens=jnp.zeros((b,), jnp.int32),
+            tree_mask=mask,
+            q_positions=positions,
+            slopes=slopes,
+            logit_softcap=spec.attn_logit_softcap,
+        )
+        return out, ((k, v) if return_kv else 0)
+
+    def body(h, xs):
+        layer_params = xs
+        h, aux = _layer(spec, layer_params, h, attend)
+        return h, aux
+
+    h, kv = jax.lax.scan(body, h, params["layers"])
+    logits = _unembed(spec, params, h)
+    return logits, (kv if return_kv else None)
+
+
+def forward_cached(
+    spec: ModelSpec,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32 (T=1 for decode, T=tree for verify)
+    cache: KVCache,
+    cache_lens: jnp.ndarray,  # [B] committed tokens per slot
+    *,
+    positions: Optional[jnp.ndarray] = None,  # [B, T]; default lens + arange(T)
+    tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool
+    active: Optional[jnp.ndarray] = None,  # [B] bool — inactive slots not written
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache)."""
+    b, t = tokens.shape
+    slopes = _alibi_slopes(spec)
+    if positions is None:
+        positions = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    h = _embed(spec, params, tokens, positions)
+
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
+    # Inactive slots write their KV to a scratch position (max_seq_len - 1 is
+    # safe: masked out since cache_lens < S for active requests; inactive slots
+    # produce garbage logits that the scheduler ignores).
+    write_pos = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B,T]
+    write_pos = jnp.minimum(write_pos, cache.max_seq_len - 1)
+
+    def body(carry, xs):
+        h, ck, cv = carry
+        layer_params, l = xs
+
+        def attend(q, k, v):
+            q, k = _maybe_rope(spec, q, k, positions)
+            nk = ck.at[l, batch_idx, write_pos].set(k.astype(ck.dtype))
+            nv = cv.at[l, batch_idx, write_pos].set(v.astype(cv.dtype))
+            out = attn_lib.cached_attention(
+                q,
+                nk[l],
+                nv[l],
+                cache_lens=cache_lens,
+                tree_mask=tree_mask,
+                q_positions=positions,
+                slopes=slopes,
+                logit_softcap=spec.attn_logit_softcap,
+            )
+            return out, (nk, nv)
+
+        h, (ck, cv) = _layer(spec, layer_params, h, attend)
+        return (h, ck, cv), None
+
+    (h, ck, cv), _ = jax.lax.scan(
+        body,
+        (h, cache.k, cache.v),
+        (params["layers"], jnp.arange(spec.num_layers, dtype=jnp.int32)),
+    )
+    logits = _unembed(spec, params, h)
+    return logits, KVCache(k=ck, v=cv)
+
+
+def insert_kv(
+    cache: KVCache,
+    k_new: jnp.ndarray,  # [L, T, KH, D] (single request prefill output)
+    v_new: jnp.ndarray,
+    slot: jnp.ndarray,  # scalar int32 request slot
+    length: jnp.ndarray,  # scalar int32 valid token count (<= T)
+) -> KVCache:
+    """Insert a prefill's per-layer KV into a request slot at positions [0, T).
+
+    Padding beyond ``length`` is written too (harmless — masked by cache_lens).
+    Mirrors the reference's prompt-phase ``update_kv_cache_kernel``
+    (inc_multihead_self_attention.cu:860).
+    """
+    del length
+    zero = jnp.int32(0)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new[:, None].astype(cache.k.dtype), (zero, slot, zero, zero, zero)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new[:, None].astype(cache.v.dtype), (zero, slot, zero, zero, zero)
+    )
+    return KVCache(k=k, v=v)

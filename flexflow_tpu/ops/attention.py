@@ -1,0 +1,162 @@
+"""Attention ops: prefill (causal self-attention) and cached decode/tree attention.
+
+TPU-native equivalents of the reference's attention kernels:
+- prompt-phase GEMM attention: /root/reference/src/ops/inc_multihead_self_attention.cu:99
+  (``compute_attention_kernel_prompt``)
+- decode-phase cached attention: inc_multihead_self_attention.cu:378
+  (``compute_attention_kernel_generation_kernel`` — one CTA per head x request,
+  KV streamed from cache)
+- tree-verification attention: /root/reference/src/ops/tree_inc_multihead_self_attention.cu
+  (whole speculation tree in one pass, tree-topology causal mask from
+  ``BatchConfig::BitMask``)
+
+These are the jnp/XLA reference implementations; the Pallas fast paths live in
+``flexflow_tpu/ops/pallas/``. GQA/MQA is expressed by reshaping queries to
+[kv_heads, q_per_kv] groups so the contraction batches over KV heads — the same
+head-group decomposition the reference uses (``num_q_heads / num_kv_heads``).
+
+All softmax math is float32 (matching the reference kernels' fp32 accumulation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def alibi_slopes(num_heads: int, alibi_bias_max: float = 8.0) -> jnp.ndarray:
+    """Per-head ALiBi slopes (MPT convention, matches HF build_mpt_alibi_tensor)."""
+    n_pow2 = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, n_pow2 + 1, dtype=jnp.float32) * (alibi_bias_max / n_pow2)
+    slopes = 1.0 / jnp.power(2.0, base)
+    if n_pow2 != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[0::2]])[:num_heads]
+    return slopes  # [num_heads]
+
+
+def _group_query(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
+    """[..., H, D] -> [..., KH, G, D] with H = KH * G."""
+    *lead, h, d = q.shape
+    return q.reshape(*lead, num_kv_heads, h // num_kv_heads, d)
+
+
+def _softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked fp32 softmax over the last axis; fully-masked rows yield zeros."""
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(m))
+    e = jnp.where(mask, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.maximum(denom, 1e-30)
+
+
+def prefill_attention(
+    q: jnp.ndarray,  # [S, H, D]
+    k: jnp.ndarray,  # [S, KH, D]
+    v: jnp.ndarray,  # [S, KH, D]
+    *,
+    length: Optional[jnp.ndarray] = None,  # valid prompt length (masks padding)
+    q_positions: Optional[jnp.ndarray] = None,  # [S] absolute positions (alibi)
+    slopes: Optional[jnp.ndarray] = None,  # [H] alibi slopes
+    logit_softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Causal self-attention over one (padded) prompt. Returns [S, H, D]."""
+    s, h, d = q.shape
+    kh = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    qg = _group_query(q, kh).astype(jnp.float32)  # [S, KH, G, D]
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # [KH, G, S_q, S_k]
+    scores = jnp.einsum("qkgd,skd->kgqs", qg, kf) * scale
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    if slopes is not None:
+        pos = (
+            q_positions
+            if q_positions is not None
+            else jnp.arange(s, dtype=jnp.int32)
+        )
+        # bias[h, i, j] = -slope_h * (pos_i - pos_j)  (<= 0 in the causal region)
+        rel = pos[:, None].astype(jnp.float32) - pos[None, :].astype(jnp.float32)
+        scores = scores - slopes.reshape(kh, h // kh)[:, :, None, None] * rel[None, None]
+    qi = jnp.arange(s)[:, None]
+    ki = jnp.arange(s)[None, :]
+    mask = ki <= qi  # causal
+    if length is not None:
+        mask = mask & (ki < length)
+    probs = _softmax(scores, mask[None, None])
+    out = jnp.einsum("kgqs,skd->qkgd", probs, vf)
+    return out.reshape(s, h, d).astype(q.dtype)
+
+
+def cached_attention(
+    q: jnp.ndarray,  # [B, T, H, D]
+    k_cache: jnp.ndarray,  # [B, S, KH, D] (already containing the new tokens)
+    v_cache: jnp.ndarray,  # [B, S, KH, D]
+    cache_lens: jnp.ndarray,  # [B] number of committed tokens BEFORE this step
+    *,
+    tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool; None => causal in T
+    q_positions: Optional[jnp.ndarray] = None,  # [B, T] absolute positions (alibi)
+    slopes: Optional[jnp.ndarray] = None,  # [H]
+    logit_softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Attention of T in-flight tokens per request against the KV cache.
+
+    The T new tokens' K/V must already be written into the cache at positions
+    ``cache_lens[b] + t``. Each query attends to (a) all committed cache
+    positions ``< cache_lens[b]`` and (b) in-flight token t' where
+    ``tree_mask[b, t, t']`` (tree-topology causal mask; defaults to the
+    lower-triangular causal mask — the incremental-decoding case).
+
+    Decode is T == 1; speculative tree verification is T == tree size with the
+    BitMask-derived mask (reference batch_config.h:122-136).
+    """
+    b, t, h, d = q.shape
+    s = k_cache.shape[1]
+    kh = k_cache.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    qg = _group_query(q, kh).astype(jnp.float32)  # [B, T, KH, G, D]
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, kf) * scale  # [B, KH, G, T, S]
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    if slopes is not None:
+        if q_positions is None:
+            q_positions = cache_lens[:, None] + jnp.arange(t)[None, :]
+        kv_pos = jnp.arange(s, dtype=jnp.int32)
+        rel = q_positions[:, :, None].astype(jnp.float32) - kv_pos[None, None, :].astype(
+            jnp.float32
+        )  # [B, T, S]
+        bias = -slopes.reshape(kh, h // kh)[None, :, :, None, None] * rel[:, None, None]
+        scores = scores + bias
+
+    kv_pos = jnp.arange(s)[None, None, :]  # [1, 1, S]
+    committed = kv_pos < cache_lens[:, None, None]  # [B, 1, S] -> broadcast over T
+    committed = jnp.broadcast_to(committed, (b, t, s))
+
+    if tree_mask is None:
+        tree_mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None]
+        tree_mask = jnp.broadcast_to(tree_mask, (b, t, t))
+    # in-flight token t' occupies cache slot cache_lens[b] + t';
+    # mask[b, t_q, s] |= exists t' with slot(t') == s and tree_mask[b, t_q, t']
+    inflight_slot = cache_lens[:, None] + jnp.arange(t)[None, :]  # [B, T']
+    eq = jnp.arange(s)[None, None, :, None] == inflight_slot[:, None, None, :]  # [B,1,S,T']
+    inflight = jnp.any(eq & tree_mask[:, :, None, :], axis=-1)  # [B, T, S]
+    mask = committed | inflight  # [B, T, S]
+
+    probs = _softmax(scores, mask[:, None, None])  # [B, KH, G, T, S]
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)
+    return out.reshape(b, t, h, d).astype(q.dtype)
