@@ -1,0 +1,283 @@
+"""RequestManager — continuous-batching scheduler (host side).
+
+TPU-native counterpart of the reference's RequestManager
+(/root/reference/src/runtime/request_manager.cc, include/flexflow/request_manager.h:119):
+request registration with per-request GenerationConfig, a slot-based continuous
+batching loop (``prepare_next_batch`` semantics, request_manager.cc:612-1130 —
+append sampled tokens, detect EOS / max-length completion, refill free slots
+from the pending queue), per-request profiling (registration/start/first-token/
+finish timestamps + decoding step counts, request_manager.cc:780-830), and a
+background serving thread (``background_serving_task``,
+request_manager.cc:2936) with blocking ``generate()`` futures.
+
+Device work is delegated to :class:`InferenceEngine`; the scheduler only moves
+[B]-sized int32 arrays across the host boundary per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from flexflow_tpu.ops.sampling import SamplingConfig
+from flexflow_tpu.serving.engine import InferenceEngine
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Per-request sampling settings (reference: FFModel GenerationConfig)."""
+
+    max_new_tokens: int = 128
+    temperature: float = 0.0  # <= 0 -> greedy
+    top_p: float = 1.0
+    top_k: int = 0
+    stop_token_ids: Sequence[int] = ()
+
+
+@dataclasses.dataclass
+class ProfileInfo:
+    """Per-request timing (reference request_manager.cc:780-830)."""
+
+    registration_time: float = 0.0
+    start_time: float = 0.0
+    first_token_time: float = 0.0
+    finish_time: float = 0.0
+    llm_decoding_steps: int = 0
+
+    @property
+    def ttft(self) -> float:
+        return self.first_token_time - self.registration_time
+
+    @property
+    def latency(self) -> float:
+        return self.finish_time - self.registration_time
+
+
+PENDING, RUNNING, COMPLETED = "PENDING", "RUNNING", "COMPLETED"
+
+
+@dataclasses.dataclass
+class Request:
+    guid: int
+    prompt_tokens: List[int]
+    config: GenerationConfig
+    state: str = PENDING
+    slot: int = -1
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+    profile: ProfileInfo = dataclasses.field(default_factory=ProfileInfo)
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+
+    @property
+    def tokens(self) -> List[int]:
+        return self.prompt_tokens + self.output_tokens
+
+
+class RequestManager:
+    """Continuous-batching scheduler over an InferenceEngine."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        *,
+        eos_token_ids: Sequence[int] = (),
+        seed: int = 0,
+        log_fn=None,
+    ):
+        self.engine = engine
+        self.eos_token_ids = tuple(eos_token_ids) or engine.spec.eos_ids()
+        self._guid = itertools.count(1000000)
+        self._pending: "queue.Queue[Request]" = queue.Queue()
+        self._requests: Dict[int, Request] = {}
+        self._lock = threading.Lock()
+
+        b = engine.max_requests
+        self._slots: List[Optional[Request]] = [None] * b
+        self._cache_lens = np.zeros(b, np.int32)
+        self._tokens = np.zeros(b, np.int32)
+        self._temperature = np.zeros(b, np.float32)
+        self._top_p = np.ones(b, np.float32)
+        self._top_k = np.zeros(b, np.int32)
+        self._key = jax.random.PRNGKey(seed)
+        self._steps = 0
+        self._num_processed = 0
+        self._server_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._log = log_fn or (lambda *a: None)
+
+    # ------------------------------------------------------------------
+    # registration (reference request_manager.cc:335 register_new_request)
+    # ------------------------------------------------------------------
+
+    def register_request(
+        self,
+        prompt_tokens: Sequence[int],
+        config: Optional[GenerationConfig] = None,
+    ) -> int:
+        config = config or GenerationConfig()
+        req = Request(
+            guid=next(self._guid),
+            prompt_tokens=list(prompt_tokens),
+            config=config,
+        )
+        req.profile.registration_time = time.monotonic()
+        with self._lock:
+            self._requests[req.guid] = req
+        self._pending.put(req)
+        return req.guid
+
+    def get_request(self, guid: int) -> Request:
+        return self._requests[guid]
+
+    # ------------------------------------------------------------------
+    # scheduling step (reference prepare_next_batch, request_manager.cc:612)
+    # ------------------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _admit(self) -> None:
+        """Fill free slots from the pending queue (prefill + insert)."""
+        for slot in range(self.engine.max_requests):
+            if self._slots[slot] is not None:
+                continue
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            req.state = RUNNING
+            req.slot = slot
+            req.profile.start_time = time.monotonic()
+            scfg1 = SamplingConfig(
+                temperature=np.array([req.config.temperature], np.float32),
+                top_p=np.array([req.config.top_p], np.float32),
+                top_k=np.array([req.config.top_k], np.int32),
+            )
+            first_tok, kv, _ = self.engine.prefill(
+                np.asarray(req.prompt_tokens, np.int32), self._next_key(), scfg1
+            )
+            self.engine.insert(kv, slot)
+            req.profile.first_token_time = time.monotonic()
+            req.profile.llm_decoding_steps = 1
+            req.output_tokens.append(first_tok)
+            self._slots[slot] = req
+            self._cache_lens[slot] = len(req.prompt_tokens)
+            self._tokens[slot] = first_tok
+            self._temperature[slot] = req.config.temperature
+            self._top_p[slot] = req.config.top_p
+            self._top_k[slot] = req.config.top_k
+            self._log(f"[RM] admit guid={req.guid} slot={slot} "
+                      f"prompt_len={len(req.prompt_tokens)}")
+            if self._finished(req, first_tok):
+                self._retire(slot)
+
+    def _finished(self, req: Request, last_token: int) -> bool:
+        if last_token in self.eos_token_ids or last_token in tuple(
+            req.config.stop_token_ids
+        ):
+            return True
+        if len(req.output_tokens) >= req.config.max_new_tokens:
+            return True
+        total = len(req.prompt_tokens) + len(req.output_tokens)
+        return total >= self.engine.max_seq_len
+
+    def _retire(self, slot: int) -> None:
+        req = self._slots[slot]
+        req.state = COMPLETED
+        req.profile.finish_time = time.monotonic()
+        self._slots[slot] = None
+        self._cache_lens[slot] = 0
+        self._num_processed += 1
+        self._log(
+            f"[Profile] guid({req.guid}) llm_decoding_steps("
+            f"{req.profile.llm_decoding_steps}) latency({req.profile.latency * 1e3:.3f}) "
+            f"ttft({req.profile.ttft * 1e3:.3f})"
+        )
+        req.done.set()
+
+    def step(self) -> bool:
+        """One scheduling iteration; returns True if any request is in flight."""
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+        if not active:
+            return False
+        scfg = SamplingConfig(
+            temperature=self._temperature, top_p=self._top_p, top_k=self._top_k
+        )
+        next_tokens = self.engine.decode(
+            self._cache_lens, self._tokens, self._next_key(), scfg
+        )
+        self._steps += 1
+        for slot in active:
+            req = self._slots[slot]
+            tok = int(next_tokens[slot])
+            req.output_tokens.append(tok)
+            req.profile.llm_decoding_steps += 1
+            self._cache_lens[slot] += 1
+            self._tokens[slot] = tok
+            if self._finished(req, tok):
+                self._retire(slot)
+        return True
+
+    # ------------------------------------------------------------------
+    # serving loops (reference serve_incr_decoding, request_manager.cc:3012)
+    # ------------------------------------------------------------------
+
+    def run_until_idle(self) -> None:
+        while self.step() or not self._pending.empty():
+            pass
+
+    def generate(
+        self,
+        prompts: Union[Sequence[int], Sequence[Sequence[int]]],
+        config: Optional[GenerationConfig] = None,
+    ) -> List[Request]:
+        """Synchronous batch generate (token-id interface)."""
+        if prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        guids = [self.register_request(p, config) for p in prompts]
+        if self._server_thread is None:
+            self.run_until_idle()
+        else:
+            for g in guids:
+                self._requests[g].done.wait()
+        return [self._requests[g] for g in guids]
+
+    # background server (reference start_background_server,
+    # request_manager.cc:2913)
+    def start_background_server(self) -> None:
+        if self._server_thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                if not self.step():
+                    time.sleep(0.001)
+
+        self._server_thread = threading.Thread(target=loop, daemon=True)
+        self._server_thread.start()
+
+    def stop_server(self) -> None:
+        if self._server_thread is None:
+            return
+        self._stop.set()
+        self._server_thread.join()
+        self._server_thread = None
+
+    # ------------------------------------------------------------------
+
+    @property
+    def num_processed_requests(self) -> int:
+        return self._num_processed
+
+    @property
+    def total_decoding_steps(self) -> int:
+        return self._steps

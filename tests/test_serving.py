@@ -1,0 +1,126 @@
+"""Serving-path tests: incremental decoding with KV cache must exactly match
+full self-attention recomputation (greedy), and continuous batching must give
+identical outputs regardless of batching/arrival order — the reference's
+internal-consistency gates (cpp_inference_tests.sh:185-215, SURVEY.md §4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import decoder, params as params_lib
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+
+TINY = specs.ModelSpec(
+    arch="LlamaForCausalLM",
+    vocab_size=128,
+    hidden_size=64,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=128,
+    norm_eps=1e-6,
+    eos_token_id=None,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return params_lib.init_params(TINY, jax.random.PRNGKey(0))
+
+
+def greedy_reference(spec, params, prompt, n_new):
+    """Greedy decoding by full recomputation each step (no cache)."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        t = jnp.asarray([toks], jnp.int32)
+        pos = jnp.arange(len(toks), dtype=jnp.int32)[None]
+        logits, _ = decoder.forward(spec, params, t, pos)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def make_engine(params, **kw):
+    kw.setdefault("max_requests_per_batch", 4)
+    kw.setdefault("max_seq_len", 64)
+    return InferenceEngine(TINY, params, cache_dtype=jnp.float32, **kw)
+
+
+def test_incremental_matches_recompute(tiny_params):
+    prompt = [3, 17, 91, 5, 8]
+    want = greedy_reference(TINY, tiny_params, prompt, 10)
+
+    rm = RequestManager(make_engine(tiny_params))
+    [req] = rm.generate([prompt], GenerationConfig(max_new_tokens=10))
+    assert req.output_tokens == want
+
+
+def test_batched_matches_single(tiny_params):
+    prompts = [[3, 17, 91], [5, 8, 13, 21, 34], [2], [40, 41, 42, 43]]
+    singles = []
+    for p in prompts:
+        rm = RequestManager(make_engine(tiny_params))
+        [req] = rm.generate([p], GenerationConfig(max_new_tokens=8))
+        singles.append(req.output_tokens)
+
+    rm = RequestManager(make_engine(tiny_params))
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=8))
+    for req, want in zip(reqs, singles):
+        assert req.output_tokens == want
+
+
+def test_continuous_batching_overflow(tiny_params):
+    # More requests than slots: the queue must drain with identical outputs.
+    prompts = [[i + 1, i + 2, i + 3] for i in range(7)]
+    rm = RequestManager(make_engine(tiny_params))
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=6))
+    assert all(len(r.output_tokens) == 6 for r in reqs)
+
+    rm2 = RequestManager(make_engine(tiny_params))
+    for p, r in zip(prompts, reqs):
+        [req] = rm2.generate([p], GenerationConfig(max_new_tokens=6))
+        assert req.output_tokens == r.output_tokens
+
+
+def test_eos_stops(tiny_params):
+    prompt = [3, 17, 91, 5, 8]
+    toks = greedy_reference(TINY, tiny_params, prompt, 10)
+    eos = toks[3]  # pretend the 4th generated token is EOS
+    rm = RequestManager(make_engine(tiny_params), eos_token_ids=[eos])
+    [req] = rm.generate([prompt], GenerationConfig(max_new_tokens=10))
+    assert req.output_tokens == toks[:4]
+    assert req.profile.llm_decoding_steps == 4
+
+
+def test_sampling_reproducible(tiny_params):
+    prompt = [3, 17, 91]
+    cfg = GenerationConfig(max_new_tokens=12, temperature=0.8, top_p=0.9, top_k=20)
+    rm1 = RequestManager(make_engine(tiny_params), seed=7)
+    rm2 = RequestManager(make_engine(tiny_params), seed=7)
+    [a] = rm1.generate([prompt], cfg)
+    [b] = rm2.generate([prompt], cfg)
+    assert a.output_tokens == b.output_tokens
+    assert len(a.output_tokens) == 12
+
+
+def test_profile_info(tiny_params):
+    rm = RequestManager(make_engine(tiny_params))
+    [req] = rm.generate([[1, 2, 3]], GenerationConfig(max_new_tokens=5))
+    p = req.profile
+    assert p.llm_decoding_steps == 5
+    assert p.finish_time >= p.first_token_time >= p.start_time > 0
+    assert p.ttft >= 0 and p.latency >= p.ttft
+
+
+def test_background_server(tiny_params):
+    rm = RequestManager(make_engine(tiny_params))
+    rm.start_background_server()
+    try:
+        reqs = rm.generate([[3, 17, 91], [5, 8]], GenerationConfig(max_new_tokens=4))
+        assert all(len(r.output_tokens) == 4 for r in reqs)
+    finally:
+        rm.stop_server()
