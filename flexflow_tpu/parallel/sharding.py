@@ -1,0 +1,130 @@
+"""Sharding rules: parameter / KV-cache / activation PartitionSpecs.
+
+TPU-native replacement for the reference's parallel-op insertion
+(/root/reference/src/runtime/model.cc:3472-3614 ``create_operators_from_layers``,
+which deterministically inserts Repartition/Replicate/AllReduce/Combine graph
+nodes for tensor parallelism). Here the same Megatron-style layout is expressed
+as GSPMD shardings and XLA inserts the collectives:
+
+- column-parallel QKV / gate / up projections: output-feature (head) axis on
+  ``model`` — the reference's partitioned-weight ``ParallelDim.degree``;
+- row-parallel o-proj / down-proj: input-feature axis on ``model``; XLA emits
+  the psum that the reference materializes as an AllReduce op
+  (model.cc:3526-3551, parallel_ops/kernels/allreduce_kernels.cu:37);
+- attention head sharding across TP ranks (``num_q_heads / tp_degree`` per
+  shard, reference inc_multihead_self_attention.cc) — here the [H] axes of
+  q/k/v/o and of the KV cache carry the ``model`` axis;
+- vocab-parallel embedding + lm_head;
+- batch (request slots) on ``data``.
+
+Axes whose size doesn't divide the mesh axis (e.g. MQA's single KV head under
+TP>1) fall back to replication — the reference handles MQA the same way by
+replicating KV heads across shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flexflow_tpu.models.decoder import KVCache
+from flexflow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from flexflow_tpu.specs import ModelSpec
+
+# Logical sharding of every parameter leaf: map leaf name -> PartitionSpec
+# (leading [L] layer-stack axis is never sharded; "pipe" stage slicing of the
+# layer axis is handled by the pipeline executor, not by GSPMD).
+_LAYER_RULES: Dict[str, P] = {
+    "ln1_scale": P(None, None),
+    "ln1_bias": P(None, None),
+    "ln2_scale": P(None, None),
+    "ln2_bias": P(None, None),
+    # attention: column-parallel on heads
+    "wq": P(None, None, MODEL_AXIS, None),
+    "bq": P(None, MODEL_AXIS, None),
+    "wk": P(None, None, MODEL_AXIS, None),
+    "bk": P(None, MODEL_AXIS, None),
+    "wv": P(None, None, MODEL_AXIS, None),
+    "bv": P(None, MODEL_AXIS, None),
+    # o-proj: row-parallel on heads (psum inserted by XLA)
+    "wo": P(None, MODEL_AXIS, None, None),
+    "bo": P(None, None),
+    # mlp: column-parallel up/gate, row-parallel down
+    "wg": P(None, None, MODEL_AXIS),
+    "wu": P(None, None, MODEL_AXIS),
+    "bu": P(None, MODEL_AXIS),
+    "wd": P(None, MODEL_AXIS, None),
+    "bd": P(None, None),
+    # MoE (expert weights carry an extra [E] axis; TP within each expert)
+    "router": P(None, None, None),
+}
+
+_MOE_RULES: Dict[str, P] = {
+    "wg": P(None, None, None, MODEL_AXIS),
+    "wu": P(None, None, None, MODEL_AXIS),
+    "wd": P(None, None, MODEL_AXIS, None),
+}
+
+_TOP_RULES: Dict[str, P] = {
+    "embed_tokens": P(MODEL_AXIS, None),  # vocab-parallel
+    "embed_pos": P(None, None),
+    "final_norm_scale": P(None),
+    "final_norm_bias": P(None),
+    "lm_head": P(None, MODEL_AXIS),  # vocab-parallel logits
+    "lm_head_bias": P(MODEL_AXIS),
+}
+
+
+def _divisible(shape, spec: P, mesh: Mesh) -> P:
+    """Downgrade sharded dims to replicated when size % axis_size != 0."""
+    fixed = []
+    for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is None:
+            fixed.append(None)
+            continue
+        size = mesh.shape[axis]
+        fixed.append(axis if dim % size == 0 and dim >= size else None)
+    return P(*fixed)
+
+
+def param_shardings(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedShardings matching the params pytree."""
+    moe = spec.moe is not None
+
+    def leaf_spec(path, leaf) -> NamedSharding:
+        names = [p.key for p in path if hasattr(p, "key")]
+        name = names[-1]
+        if "layers" in names:
+            rules = dict(_LAYER_RULES)
+            if moe:
+                rules.update(_MOE_RULES)
+            ps = rules.get(name, P())
+        else:
+            ps = _TOP_RULES.get(name, P())
+        return NamedSharding(mesh, _divisible(leaf.shape, ps, mesh))
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def kv_cache_sharding(mesh: Mesh, cache: Optional[KVCache] = None):
+    """KV cache [L, B, S, KH, D]: slots on data axis, KV heads on model axis."""
+    ps = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    if cache is not None:
+        ps = _divisible(cache.k.shape, ps, mesh)
+    return NamedSharding(mesh, ps)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1):
+    """[B, ...] host batch arrays: request slots on the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *(None,) * (ndim - 1)))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
+    """Place a params pytree onto the mesh with TP shardings."""
+    return jax.device_put(params, param_shardings(spec, params, mesh))
