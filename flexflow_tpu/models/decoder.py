@@ -37,6 +37,7 @@ from flexflow_tpu.ops import activations as act_lib
 from flexflow_tpu.ops import attention as attn_lib
 from flexflow_tpu.ops import norms
 from flexflow_tpu.ops import rotary
+from flexflow_tpu.quant.weight_only import as_array
 from flexflow_tpu.specs import ModelSpec
 
 Params = Dict[str, Any]
@@ -81,7 +82,12 @@ def _norm(spec: ModelSpec, h, scale, bias):
 
 
 def _linear(x, w, b=None):
-    """x [..., D] @ w [D, ...out] (+ b). Contracts the last axis of x."""
+    """x [..., D] @ w [D, ...out] (+ b). Contracts the last axis of x.
+
+    ``w`` may be a QuantizedArray (INT8/INT4 weight-only); dequant fuses into
+    the matmul under XLA (Pallas fused kernel on the serving path).
+    """
+    w = as_array(w)
     out = jnp.tensordot(x, w, axes=1)
     if b is not None:
         out = out + b
@@ -132,16 +138,17 @@ def _moe_mlp(spec: ModelSpec, p: Params, h):
         * topw[..., None],
         axis=-2,
     )
-    gate = jnp.einsum("btd,edf->btef", h, p["wg"])
-    up = jnp.einsum("btd,edf->btef", h, p["wu"])
+    gate = jnp.einsum("btd,edf->btef", h, as_array(p["wg"]))
+    up = jnp.einsum("btd,edf->btef", h, as_array(p["wu"]))
     inner = act_lib.sigmoid_silu_multi(gate, up)
-    out = jnp.einsum("btef,efd->bted", inner, p["wd"])
+    out = jnp.einsum("btef,efd->bted", inner, as_array(p["wd"]))
     return jnp.sum(out * combine[..., None].astype(out.dtype), axis=-2)
 
 
 def _attn_out(spec: ModelSpec, p: Params, a):
     """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D]."""
-    out = jnp.einsum("bthd,hdo->bto", a, p["wo"])
+    out = jnp.einsum("bthd,hdo->bto", a, as_array(p["wo"]).reshape(
+        a.shape[-2], a.shape[-1], -1))
     if p.get("bo") is not None:
         out = out + p["bo"]
     return out.astype(a.dtype)
@@ -185,8 +192,7 @@ def _unembed(spec: ModelSpec, params: Params, h):
     if spec.final_norm:
         h = _norm(spec, h, params["final_norm_scale"], params.get("final_norm_bias"))
     w = params.get("lm_head")
-    if w is None:  # tied embeddings
-        w = params["embed_tokens"].T
+    w = params["embed_tokens"].T if w is None else as_array(w)  # tied if absent
     logits = jnp.tensordot(h.astype(jnp.float32), w.astype(jnp.float32), axes=1)
     if params.get("lm_head_bias") is not None:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)

@@ -89,14 +89,37 @@ def _divisible(shape, spec: P, mesh: Mesh) -> P:
     return P(*fixed)
 
 
+# QuantizedArray carriers are [L, contract(/2), rest] (q) and
+# [L, groups, rest] (scale/offset): the same column/row-parallel layout applies
+# to all three (groups follow the contraction axis).
+_QUANT_RULES: Dict[str, P] = {
+    "wq": P(None, None, MODEL_AXIS),
+    "wk": P(None, None, MODEL_AXIS),
+    "wv": P(None, None, MODEL_AXIS),
+    "wo": P(None, MODEL_AXIS, None),
+    "wg": P(None, None, MODEL_AXIS),
+    "wu": P(None, None, MODEL_AXIS),
+    "wd": P(None, MODEL_AXIS, None),
+    "lm_head": P(None, MODEL_AXIS),
+}
+
+
 def param_shardings(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
-    """Pytree of NamedShardings matching the params pytree."""
+    """Pytree of NamedShardings matching the params pytree (quantized or not)."""
     moe = spec.moe is not None
 
     def leaf_spec(path, leaf) -> NamedSharding:
         names = [p.key for p in path if hasattr(p, "key")]
-        name = names[-1]
-        if "layers" in names:
+        name = names[-1] if names else ""
+        inside_quant = path and not hasattr(path[-1], "key")
+        if inside_quant:
+            ps = _QUANT_RULES.get(name, P())
+            # MoE expert carriers have an extra [E] axis after [L]
+            if leaf.ndim == len(ps) + 1 and "layers" in names:
+                ps = P(ps[0], None, *tuple(ps)[1:])
+            elif name == "lm_head" and leaf.ndim == len(ps):
+                pass
+        elif "layers" in names:
             rules = dict(_LAYER_RULES)
             if moe:
                 rules.update(_MOE_RULES)
