@@ -276,7 +276,8 @@ def forward_cached(
     *,
     positions: Optional[jnp.ndarray] = None,  # [B, T]; default lens + arange(T)
     tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool
-    active: Optional[jnp.ndarray] = None,  # [B] bool — inactive slots not written
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] bool full mask override
+    write_pos: Optional[jnp.ndarray] = None,  # [B, T] absolute cache positions
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache)."""
     b, t = tokens.shape
@@ -286,10 +287,10 @@ def forward_cached(
     h = _embed(spec, params, tokens, positions)
 
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
-    # Inactive slots write their KV to a scratch position (max_seq_len - 1 is
-    # safe: masked out since cache_lens < S for active requests; inactive slots
-    # produce garbage logits that the scheduler ignores).
-    write_pos = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B,T]
+    if write_pos is None:
+        write_pos = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    # clamp: out-of-range writes land on the last slot position (never attended
+    # because the scheduler retires requests before the cache fills)
     write_pos = jnp.minimum(write_pos, cache.max_seq_len - 1)
 
     def body(carry, xs):
@@ -306,6 +307,7 @@ def forward_cached(
                 nv[l],
                 cache_lens=cache_lens,
                 tree_mask=tree_mask,
+                kv_mask=kv_mask,
                 q_positions=positions,
                 slopes=slopes,
                 logit_softcap=spec.attn_logit_softcap,

@@ -105,6 +105,7 @@ def cached_attention(
     cache_lens: jnp.ndarray,  # [B] number of committed tokens BEFORE this step
     *,
     tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool; None => causal in T
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] bool full mask override
     q_positions: Optional[jnp.ndarray] = None,  # [B, T] absolute positions (alibi)
     slopes: Optional[jnp.ndarray] = None,  # [H]
     logit_softcap: Optional[float] = None,
@@ -117,6 +118,8 @@ def cached_attention(
     positions ``< cache_lens[b]`` and (b) in-flight token t' where
     ``tree_mask[b, t, t']`` (tree-topology causal mask; defaults to the
     lower-triangular causal mask — the incremental-decoding case).
+    When ``kv_mask`` is given it overrides (a)+(b) entirely — used by the
+    speculative draft, whose tree tokens live at caller-chosen cache slots.
 
     Decode is T == 1; speculative tree verification is T == tree size with the
     BitMask-derived mask (reference batch_config.h:122-136).
@@ -143,19 +146,24 @@ def cached_attention(
         bias = -slopes.reshape(kh, h // kh)[None, :, :, None, None] * rel[:, None, None]
         scores = scores + bias
 
-    kv_pos = jnp.arange(s)[None, None, :]  # [1, 1, S]
-    committed = kv_pos < cache_lens[:, None, None]  # [B, 1, S] -> broadcast over T
-    committed = jnp.broadcast_to(committed, (b, t, s))
+    if kv_mask is not None:
+        mask = kv_mask
+    else:
+        kv_pos = jnp.arange(s)[None, None, :]  # [1, 1, S]
+        committed = kv_pos < cache_lens[:, None, None]  # [B, 1, S]
+        committed = jnp.broadcast_to(committed, (b, t, s))
 
-    if tree_mask is None:
-        tree_mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None]
-        tree_mask = jnp.broadcast_to(tree_mask, (b, t, t))
-    # in-flight token t' occupies cache slot cache_lens[b] + t';
-    # mask[b, t_q, s] |= exists t' with slot(t') == s and tree_mask[b, t_q, t']
-    inflight_slot = cache_lens[:, None] + jnp.arange(t)[None, :]  # [B, T']
-    eq = jnp.arange(s)[None, None, :, None] == inflight_slot[:, None, None, :]  # [B,1,S,T']
-    inflight = jnp.any(eq & tree_mask[:, :, None, :], axis=-1)  # [B, T, S]
-    mask = committed | inflight  # [B, T, S]
+        if tree_mask is None:
+            tree_mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None]
+            tree_mask = jnp.broadcast_to(tree_mask, (b, t, t))
+        # in-flight token t' occupies cache slot cache_lens[b] + t';
+        # mask[b, t_q, s] |= exists t' with slot(t') == s and tree_mask[b, t_q, t']
+        inflight_slot = cache_lens[:, None] + jnp.arange(t)[None, :]  # [B, T']
+        eq = (
+            jnp.arange(s)[None, None, :, None] == inflight_slot[:, None, None, :]
+        )  # [B,1,S,T']
+        inflight = jnp.any(eq & tree_mask[:, :, None, :], axis=-1)  # [B, T, S]
+        mask = committed | inflight  # [B, T, S]
 
     probs = _softmax(scores, mask[:, None, None])  # [B, KH, G, T, S]
     out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)

@@ -1,0 +1,209 @@
+"""SpecRequestManager — continuous batching for tree-speculative serving.
+
+Host state machine mirroring the reference's speculative serving loop
+(/root/reference/src/runtime/request_manager.cc:3083-3174):
+``prepare_next_batch_init`` (commit verified tokens, reinit beam state,
+request_manager.cc:1171) -> draft beam expansion over depths ->
+``prepare_next_batch_verify`` (flatten/merge trees, request_manager.cc:1923)
+-> LLM tree verification -> accept longest verified prefix.
+
+Greedy verification is lossless: outputs are bit-identical to incremental
+greedy decoding (the property the reference's tests gate on,
+cpp_inference_tests.sh:185-186).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from flexflow_tpu.serving.request_manager import (
+    COMPLETED,
+    GenerationConfig,
+    PENDING,
+    ProfileInfo,
+    Request,
+    RUNNING,
+)
+from flexflow_tpu.serving.speculative import SpecEngine
+
+
+class SpecRequestManager:
+    """Continuous-batching scheduler over a SpecEngine (greedy, lossless)."""
+
+    def __init__(
+        self,
+        engine: SpecEngine,
+        *,
+        eos_token_ids: Sequence[int] = (),
+        log_fn=None,
+    ):
+        self.engine = engine
+        self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
+        self._guid = itertools.count(2000000)
+        self._pending: "queue.Queue[Request]" = queue.Queue()
+        self._requests: Dict[int, Request] = {}
+
+        b = engine.max_requests
+        self._slots: List[Optional[Request]] = [None] * b
+        self._cache_lens = np.zeros(b, np.int32)
+        self._root_tokens = np.zeros(b, np.int32)
+        self._steps = 0
+        self._verified_tokens_total = 0  # accepted per step, for tokens/step
+        self._num_processed = 0
+        self._log = log_fn or (lambda *a: None)
+
+    # ------------------------------------------------------------------
+
+    def register_request(
+        self, prompt_tokens: Sequence[int], config: Optional[GenerationConfig] = None
+    ) -> int:
+        req = Request(
+            guid=next(self._guid),
+            prompt_tokens=list(prompt_tokens),
+            config=config or GenerationConfig(),
+        )
+        req.profile.registration_time = time.monotonic()
+        self._requests[req.guid] = req
+        self._pending.put(req)
+        return req.guid
+
+    def _finished(self, req: Request, last_token: int) -> bool:
+        if last_token in self.eos_token_ids or last_token in tuple(
+            req.config.stop_token_ids
+        ):
+            return True
+        if len(req.output_tokens) >= req.config.max_new_tokens:
+            return True
+        total = len(req.prompt_tokens) + len(req.output_tokens)
+        # leave room for one full speculation tree
+        return total + self.engine.tree + 1 >= self.engine.max_seq_len
+
+    def _retire(self, slot: int) -> None:
+        req = self._slots[slot]
+        req.state = COMPLETED
+        req.profile.finish_time = time.monotonic()
+        self._slots[slot] = None
+        self._cache_lens[slot] = 0
+        self._num_processed += 1
+        self._log(
+            f"[Profile] guid({req.guid}) llm_decoding_steps("
+            f"{req.profile.llm_decoding_steps}) latency("
+            f"{req.profile.latency * 1e3:.3f}) ttft({req.profile.ttft * 1e3:.3f})"
+        )
+        req.done.set()
+
+    def _admit(self) -> None:
+        for slot in range(self.engine.max_requests):
+            if self._slots[slot] is not None:
+                continue
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            req.state = RUNNING
+            req.slot = slot
+            req.profile.start_time = time.monotonic()
+            first = self.engine.prefill_both(
+                np.asarray(req.prompt_tokens, np.int32), slot
+            )
+            req.profile.first_token_time = time.monotonic()
+            req.profile.llm_decoding_steps = 1
+            req.output_tokens.append(first)
+            self._slots[slot] = req
+            self._cache_lens[slot] = len(req.prompt_tokens)
+            self._root_tokens[slot] = first
+            if self._finished(req, first):
+                self._retire(slot)
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> bool:
+        """One speculation iteration (draft tree -> verify -> accept/commit)."""
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+        if not active:
+            return False
+
+        t = self.engine.tree
+        lens_before = self._cache_lens.copy()
+        tree_tokens, tree_parents, tree_depths = self.engine.draft_tree(
+            lens_before, self._root_tokens
+        )
+        argmax = self.engine.verify(
+            lens_before, tree_tokens, tree_parents, tree_depths
+        )
+        self._steps += 1
+
+        from_slots = np.tile(np.arange(t, dtype=np.int32), (len(lens_before), 1))
+        for slot in active:
+            req = self._slots[slot]
+            # children by parent slot for this request's tree
+            children: Dict[int, List[int]] = {}
+            for c in range(1, t):
+                children.setdefault(int(tree_parents[slot, c]), []).append(c)
+            cur, path, produced = 0, [0], []
+            while True:
+                expected = int(argmax[slot, cur])
+                produced.append(expected)
+                nxt = None
+                for c in children.get(cur, ()):
+                    if int(tree_tokens[slot, c]) == expected:
+                        nxt = c
+                        break
+                if nxt is None:
+                    break
+                cur = nxt
+                path.append(cur)
+
+            # truncate to generation budget / stop conditions
+            budget = req.config.max_new_tokens - len(req.output_tokens)
+            kept = []
+            for tok in produced[: max(budget, 0)]:
+                kept.append(tok)
+                if tok in self.eos_token_ids or tok in tuple(
+                    req.config.stop_token_ids
+                ):
+                    break
+
+            req.output_tokens.extend(kept)
+            req.profile.llm_decoding_steps += 1
+            self._verified_tokens_total += len(path)
+
+            from_slots[slot, : len(path)] = path
+            self._cache_lens[slot] = lens_before[slot] + len(path)
+            self._root_tokens[slot] = produced[-1] if produced else 0
+            if self._finished(req, req.output_tokens[-1]):
+                self._retire(slot)
+
+        self.engine.commit(lens_before, from_slots)
+        return True
+
+    def run_until_idle(self) -> None:
+        while self.step() or not self._pending.empty():
+            pass
+
+    def generate(self, prompts, config: Optional[GenerationConfig] = None):
+        if prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        guids = [self.register_request(p, config) for p in prompts]
+        self.run_until_idle()
+        return [self._requests[g] for g in guids]
+
+    # ------------------------------------------------------------------
+
+    @property
+    def mean_verified_tokens_per_step(self) -> float:
+        return self._verified_tokens_total / max(self._steps, 1)
+
+    @property
+    def total_decoding_steps(self) -> int:
+        return self._steps
+
+    @property
+    def num_processed_requests(self) -> int:
+        return self._num_processed

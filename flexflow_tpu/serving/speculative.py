@@ -1,0 +1,328 @@
+"""Tree-based speculative decoding (SpecInfer): SSM draft + token-tree verify.
+
+TPU-native rebuild of the reference's speculative serving loop
+(/root/reference/src/runtime/request_manager.cc:3083 ``serve_spec_infer``):
+
+- draft phase = beam-tree expansion on the small SSM — the reference's
+  SpecIncMultiHeadSelfAttention + BeamTopK loop over depths
+  (request_manager.cc:3148-3160, src/ops/spec_inc_multihead_self_attention.cu,
+  src/ops/beam_topk.cu). Here each depth is one jitted cached-forward of the
+  [B, W] beam tips, writing draft KV into caller-chosen tree slots with an
+  explicit ancestor kv-mask, followed by on-device BeamTopK expansion.
+- tree flatten/merge = ``prepare_next_batch_verify``'s ``traverse_beam_tree`` +
+  ``merge_dfs_trees`` (request_manager.cc:1923, ~1990-2350). Our tree layout is
+  fixed: slot 0 = root (last committed token), slot 1+(d-1)*W+w = beam w at
+  depth d; ancestor sets double as the reference's ``BitMask``
+  (batch_config.h:122-136).
+- verify phase = TreeIncMultiHeadSelfAttention: ONE cached forward of the LLM
+  over all tree tokens with the tree-topology mask
+  (src/ops/tree_inc_multihead_self_attention.cu), greedy argmax per node.
+- accept/commit = the reference's ``committed_tokens`` (from, to) KV
+  compaction (batch_config.h:156-163): the host walks the tree along the LLM's
+  greedy choices (lossless — output is bit-identical to incremental greedy
+  decoding), then one jitted gather/scatter compacts accepted KV entries to
+  contiguous positions in BOTH the LLM and draft caches.
+
+Per-iteration host<->device traffic: [B, W] tokens/parents per draft depth and
+[B, T] verify argmaxes — the analog of the reference shipping BatchConfigs
+by-value through Legion futures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexflow_tpu.models import decoder
+from flexflow_tpu.models.decoder import KVCache
+from flexflow_tpu.specs import ModelSpec
+
+# Reference caps: beam width <= 3, depth <= 8, tree <= 64 tokens
+# (batch_config.h:75-77,196-197).
+MAX_SPEC_TREE_TOKEN_NUM = 64
+
+
+def tree_size(width: int, depth: int) -> int:
+    return 1 + width * depth
+
+
+class SpecEngine:
+    """Compiled device functions for draft expansion, verify, and KV commit."""
+
+    def __init__(
+        self,
+        llm_spec: ModelSpec,
+        llm_params,
+        ssm_spec: ModelSpec,
+        ssm_params,
+        *,
+        beam_width: int = 3,
+        beam_depth: int = 8,
+        max_requests_per_batch: int = 8,
+        max_seq_len: int = 256,
+        cache_dtype=jnp.bfloat16,
+    ):
+        assert llm_spec.vocab_size == ssm_spec.vocab_size, "vocab mismatch"
+        t = tree_size(beam_width, beam_depth)
+        assert t <= MAX_SPEC_TREE_TOKEN_NUM, (
+            f"tree {t} exceeds cap {MAX_SPEC_TREE_TOKEN_NUM}"
+        )
+        self.llm_spec, self.ssm_spec = llm_spec, ssm_spec
+        self.llm_params, self.ssm_params = llm_params, ssm_params
+        self.width, self.depth, self.tree = beam_width, beam_depth, t
+        self.max_requests = max_requests_per_batch
+        self.max_seq_len = max_seq_len
+
+        self.llm_cache = decoder.init_kv_cache(
+            llm_spec, max_requests_per_batch, max_seq_len, cache_dtype
+        )
+        self.ssm_cache = decoder.init_kv_cache(
+            ssm_spec, max_requests_per_batch, max_seq_len, cache_dtype
+        )
+
+        w, d_max, tree = self.width, self.depth, self.tree
+
+        # ---- prefill (shared with incremental path) ----
+        @functools.partial(jax.jit, static_argnames=("spec_name",))
+        def prefill_fn(params, tokens, length, spec_name):
+            spec = self.llm_spec if spec_name == "llm" else self.ssm_spec
+            positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+            logits, kv = decoder.forward(
+                spec, params, tokens, positions, lengths=length[None],
+                return_kv=True,
+            )
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[:, 0]
+            k, v = kv
+            return last[0], (k[:, 0], v[:, 0])
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def insert_fn(cache, k_new, v_new, slot):
+            return decoder.insert_kv(cache, k_new, v_new, slot, jnp.int32(0))
+
+        # ---- draft root: feed the root token, return top-W expansions ----
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def draft_root_fn(params, cache, cache_lens, root_tokens):
+            logits, cache = decoder.forward_cached(
+                self.ssm_spec, params, root_tokens[:, None], cache, cache_lens
+            )
+            logp = jax.nn.log_softmax(logits[:, 0], axis=-1)  # [B, V]
+            probs, toks = jax.lax.top_k(logp, w)  # [B, W]
+            return toks.astype(jnp.int32), probs, cache
+
+        # ---- draft expand one depth ----
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("d",))
+        def draft_expand_fn(
+            params, cache, cache_lens, beam_tokens, beam_logp, anc, d
+        ):
+            """Feed depth-d beam tips [B, W]; return next beams.
+
+            anc [B, W, tree]: ancestor tree-slot sets for each tip (excluding
+            the tip itself). Tips occupy slots 1+(d-1)*W + w.
+            """
+            b = beam_tokens.shape[0]
+            s = cache.max_seq_len
+            slot_base = 1 + (d - 1) * w
+            self_slots = slot_base + jnp.arange(w, dtype=jnp.int32)  # [W]
+            anc_self = anc | (
+                jnp.arange(tree)[None, None, :] == self_slots[None, :, None]
+            )  # [B, W, tree] including self
+
+            # kv mask over absolute cache positions
+            kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1,1,S]
+            committed = kv_pos < cache_lens[:, None, None]  # [B,1,S]
+            rel = kv_pos - cache_lens[:, None, None]  # [B,1,S]
+            in_tree = (rel >= 0) & (rel < tree)
+            rel_c = jnp.clip(rel, 0, tree - 1)
+            tree_allowed = jnp.take_along_axis(
+                anc_self, jnp.broadcast_to(rel_c, (b, w, s)), axis=-1
+            ) & in_tree
+            kv_mask = committed | tree_allowed  # [B, W, S]
+
+            write_pos = cache_lens[:, None] + slot_base + jnp.arange(
+                w, dtype=jnp.int32
+            )[None, :]
+            positions = cache_lens[:, None] + d  # [B, 1] -> broadcast
+            positions = jnp.broadcast_to(positions, (b, w)).astype(jnp.int32)
+
+            logits, cache = decoder.forward_cached(
+                self.ssm_spec, params, beam_tokens, cache, cache_lens,
+                positions=positions, kv_mask=kv_mask, write_pos=write_pos,
+            )  # [B, W, V]
+
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            cand_logp, cand_tok = jax.lax.top_k(logp, w)  # [B, W, W]
+            total = beam_logp[:, :, None] + cand_logp  # [B, W, W]
+            flat = total.reshape(b, w * w)
+            new_logp, flat_idx = jax.lax.top_k(flat, w)  # [B, W]
+            parents = (flat_idx // w).astype(jnp.int32)  # index into old beams
+            new_tokens = jnp.take_along_axis(
+                cand_tok.reshape(b, w * w), flat_idx, axis=-1
+            ).astype(jnp.int32)
+            new_anc = jnp.take_along_axis(
+                anc_self, parents[:, :, None], axis=1
+            )  # [B, W, tree]
+            return new_tokens, parents, new_logp, new_anc, cache
+
+        # ---- LLM tree verification ----
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def verify_fn(params, cache, cache_lens, tree_tokens, tree_depths, anc_self):
+            """tree_tokens [B, T] in slot order; anc_self [B, T, T] incl. self."""
+            b = tree_tokens.shape[0]
+            positions = cache_lens[:, None] + tree_depths  # [B, T]
+            write_pos = cache_lens[:, None] + jnp.arange(tree, dtype=jnp.int32)[None]
+            s = cache.max_seq_len
+            kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+            committed = jnp.broadcast_to(
+                kv_pos < cache_lens[:, None, None], (b, tree, s)
+            )
+            rel = kv_pos - cache_lens[:, None, None]
+            in_tree = (rel >= 0) & (rel < tree)
+            rel_c = jnp.clip(rel, 0, tree - 1)
+            tree_allowed = jnp.take_along_axis(
+                anc_self, jnp.broadcast_to(rel_c, (b, tree, s)), axis=-1
+            ) & in_tree
+            kv_mask = committed | tree_allowed
+            logits, cache = decoder.forward_cached(
+                self.llm_spec, params, tree_tokens, cache, cache_lens,
+                positions=positions.astype(jnp.int32), kv_mask=kv_mask,
+                write_pos=write_pos,
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        # ---- KV commit: compact accepted tree slots to contiguous positions ----
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def commit_fn(cache, cache_lens, from_slots):
+            """cache[l,b,len+i] <- cache[l,b,len+from_slots[b,i]] for i < tree.
+
+            from_slots is identity-padded beyond the accepted count; stale
+            writes land in the scratch region which is never attended.
+            """
+            ll, b, s, kh, dh = cache.k.shape
+            src = jnp.minimum(cache_lens[:, None] + from_slots, s - 1)  # [B,T]
+            dst = jnp.minimum(
+                cache_lens[:, None] + jnp.arange(tree, dtype=jnp.int32)[None], s - 1
+            )
+            bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+            gk = cache.k[:, bidx, src]  # [L, B, T, KH, D]
+            gv = cache.v[:, bidx, src]
+            k = cache.k.at[:, bidx, dst].set(gk)
+            v = cache.v.at[:, bidx, dst].set(gv)
+            return KVCache(k=k, v=v)
+
+        self._prefill = prefill_fn
+        self._insert = insert_fn
+        self._draft_root = draft_root_fn
+        self._draft_expand = draft_expand_fn
+        self._verify = verify_fn
+        self._commit = commit_fn
+
+    # ------------------------------------------------------------------
+    # host-facing helpers
+    # ------------------------------------------------------------------
+
+    def prefill_both(self, prompt_tokens: np.ndarray, slot: int) -> int:
+        """Prefill LLM + SSM caches for a new request; returns first token."""
+        n = len(prompt_tokens)
+        bucket = 16
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.max_seq_len)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt_tokens
+        tokens = jnp.asarray(padded)
+        length = jnp.int32(n)
+
+        last_logits, kv = self._prefill(self.llm_params, tokens, length, "llm")
+        self.llm_cache = self._insert(self.llm_cache, *kv, jnp.int32(slot))
+        first = int(jnp.argmax(last_logits))
+
+        _, kv_s = self._prefill(self.ssm_params, tokens, length, "ssm")
+        self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
+        return first
+
+    def draft_tree(
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Expand the draft tree for all slots.
+
+        Returns (tree_tokens [B, T], tree_parents [B, T], tree_depths [T]).
+        Slot layout: 0 = root; 1+(d-1)*W+w = depth-d beam w. Parent of slot 0
+        is -1.
+        """
+        b, w, dmax, t = len(cache_lens), self.width, self.depth, self.tree
+        lens = jnp.asarray(cache_lens, jnp.int32)
+
+        tree_tokens = np.zeros((b, t), np.int32)
+        tree_parents = np.full((b, t), -1, np.int32)
+        tree_tokens[:, 0] = root_tokens
+
+        beam_tokens, beam_logp, self.ssm_cache = self._draft_root(
+            self.ssm_params, self.ssm_cache, lens, jnp.asarray(root_tokens, jnp.int32)
+        )
+        anc = jnp.zeros((b, w, t), dtype=bool).at[:, :, 0].set(True)
+
+        for d in range(1, dmax + 1):
+            base = 1 + (d - 1) * w
+            tree_tokens[:, base : base + w] = np.asarray(beam_tokens)
+            if d == 1:
+                tree_parents[:, base : base + w] = 0
+            else:
+                prev_base = 1 + (d - 2) * w
+                tree_parents[:, base : base + w] = prev_base + np.asarray(parents)
+            if d == dmax:
+                break
+            beam_tokens, parents, beam_logp, anc, self.ssm_cache = (
+                self._draft_expand(
+                    self.ssm_params, self.ssm_cache, lens,
+                    beam_tokens, beam_logp, anc, d,
+                )
+            )
+
+        # last depth's KV still needs writing for commit consistency: expand
+        # once more (cheap) so depth==dmax tokens' draft KV exists.
+        _, _, _, _, self.ssm_cache = self._draft_expand(
+            self.ssm_params, self.ssm_cache, lens, beam_tokens, beam_logp, anc, dmax
+        )
+
+        depths = np.zeros(t, np.int32)
+        for d in range(1, dmax + 1):
+            depths[1 + (d - 1) * w : 1 + d * w] = d
+        return tree_tokens, tree_parents, depths
+
+    def verify(
+        self,
+        cache_lens: np.ndarray,
+        tree_tokens: np.ndarray,
+        tree_parents: np.ndarray,
+        tree_depths: np.ndarray,
+    ) -> np.ndarray:
+        """LLM tree verification; returns greedy argmax per tree slot [B, T]."""
+        b, t = tree_tokens.shape
+        anc = np.zeros((b, t, t), bool)
+        anc[:, np.arange(t), np.arange(t)] = True
+        for s in range(1, t):
+            p = tree_parents[:, s]  # [B]
+            valid = p >= 0
+            anc[valid, s] |= anc[valid, p[valid]]
+        out, self.llm_cache = self._verify(
+            self.llm_params,
+            self.llm_cache,
+            jnp.asarray(cache_lens, jnp.int32),
+            jnp.asarray(tree_tokens),
+            jnp.asarray(tree_depths)[None, :].repeat(b, 0),
+            jnp.asarray(anc),
+        )
+        return np.asarray(out)
+
+    def commit(self, cache_lens: np.ndarray, from_slots: np.ndarray) -> None:
+        lens = jnp.asarray(cache_lens, jnp.int32)
+        fs = jnp.asarray(from_slots, jnp.int32)
+        self.llm_cache = self._commit(self.llm_cache, lens, fs)
+        self.ssm_cache = self._commit(self.ssm_cache, lens, fs)

@@ -1,0 +1,129 @@
+"""Speculative decoding tests.
+
+Key gate (mirrors reference cpp_inference_tests.sh:185-186): tree-speculative
+output must EXACTLY equal incremental-decoding output (lossless greedy
+verification), and decoding steps must shrink when the draft is accurate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import params as params_lib
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+from flexflow_tpu.serving.spec_manager import SpecRequestManager
+from flexflow_tpu.serving.speculative import SpecEngine
+
+LLM = specs.ModelSpec(
+    arch="LlamaForCausalLM",
+    vocab_size=96,
+    hidden_size=64,
+    num_layers=3,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=256,
+    norm_eps=1e-6,
+)
+
+SSM = specs.ModelSpec(
+    arch="LlamaForCausalLM",
+    vocab_size=96,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=2,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=64,
+    max_position_embeddings=256,
+    norm_eps=1e-6,
+)
+
+
+@pytest.fixture(scope="module")
+def llm_params():
+    return params_lib.init_params(LLM, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def ssm_params():
+    return params_lib.init_params(SSM, jax.random.PRNGKey(1))
+
+
+def incr_outputs(llm_params, prompts, max_new):
+    engine = InferenceEngine(
+        LLM, llm_params, max_requests_per_batch=4, max_seq_len=128,
+        cache_dtype=jnp.float32,
+    )
+    rm = RequestManager(engine)
+    return [
+        r.output_tokens
+        for r in rm.generate(prompts, GenerationConfig(max_new_tokens=max_new))
+    ]
+
+
+def spec_outputs(llm_params, draft_spec, draft_params, prompts, max_new, **kw):
+    engine = SpecEngine(
+        LLM, llm_params, draft_spec, draft_params,
+        beam_width=kw.pop("beam_width", 2),
+        beam_depth=kw.pop("beam_depth", 3),
+        max_requests_per_batch=4,
+        max_seq_len=128,
+        cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine)
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=max_new))
+    return [r.output_tokens for r in reqs], rm
+
+
+def test_spec_equals_incremental(llm_params, ssm_params):
+    prompts = [[3, 17, 91, 5], [8, 13, 21], [2, 40, 41, 42, 43]]
+    want = incr_outputs(llm_params, prompts, 12)
+    got, rm = spec_outputs(llm_params, SSM, ssm_params, prompts, 12)
+    assert got == want
+    assert rm.mean_verified_tokens_per_step >= 1.0
+
+
+def test_perfect_draft_accepts_tree_depth(llm_params):
+    """Draft == LLM: every speculated token verifies, so steps collapse to
+    ~max_new / (depth + 1) (the reference's decoding-steps speed gate,
+    cpp_inference_tests.sh:155-183)."""
+    prompts = [[3, 17, 91, 5]]
+    want = incr_outputs(llm_params, prompts, 12)
+    got, rm = spec_outputs(
+        llm_params, LLM, llm_params, prompts, 12, beam_width=2, beam_depth=3
+    )
+    assert got == want
+    # 12 tokens: prefill produces 1, each spec step accepts depth+1 = 4
+    # -> ceil(11/4) = 3 steps
+    assert rm.total_decoding_steps <= 4
+    assert rm.mean_verified_tokens_per_step >= 3.0
+
+
+def test_spec_continuous_batching(llm_params, ssm_params):
+    prompts = [[i + 1, i + 2, i + 3] for i in range(7)]  # > 4 slots
+    want = incr_outputs(llm_params, prompts, 8)
+    got, rm = spec_outputs(llm_params, SSM, ssm_params, prompts, 8)
+    assert got == want
+    assert rm.num_processed_requests == 7
+
+
+def test_spec_eos(llm_params, ssm_params):
+    prompts = [[3, 17, 91, 5]]
+    [full] = incr_outputs(llm_params, prompts, 12)
+    # pick an EOS token at its FIRST occurrence so truncation point is defined
+    first_idx = {}
+    for i, t in enumerate(full):
+        first_idx.setdefault(t, i)
+    eos, cut = max(first_idx.items(), key=lambda kv: kv[1])
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2, max_seq_len=128,
+        cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, eos_token_ids=[eos])
+    [req] = rm.generate(prompts, GenerationConfig(max_new_tokens=12))
+    assert req.output_tokens == full[: cut + 1]
