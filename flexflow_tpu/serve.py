@@ -1,0 +1,205 @@
+"""User-facing serving API: ``LLM`` / ``SSM``.
+
+TPU-native mirror of the reference's Python serving API
+(/root/reference/python/flexflow/serve/serve.py:79 ``LLM``, :710 ``SSM``):
+``LLM(model_dir).compile(...)`` then ``generate(prompts)`` with optional SSM
+draft models registered for tree-speculative decoding
+(``RequestManager::register_ssm_model``, reference request_manager.h:147).
+
+Models load from a local HuggingFace model directory (config.json +
+safetensors/bin + tokenizer files).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+
+from flexflow_tpu.parallel.mesh import make_mesh
+from flexflow_tpu.serving.engine import InferenceEngine
+from flexflow_tpu.serving.request_manager import GenerationConfig, RequestManager
+from flexflow_tpu.serving.spec_manager import SpecRequestManager
+from flexflow_tpu.serving.speculative import SpecEngine
+from flexflow_tpu.utils import hf_weights
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "float16": jnp.bfloat16,  # TPU-native half precision is bf16
+    "half": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Mirrors the reference GenerationResult (text + token ids + profile)."""
+
+    guid: int
+    prompt: str
+    output_text: str
+    output_tokens: List[int]
+    decoding_steps: int
+    ttft_ms: float
+    latency_ms: float
+
+
+class LLM:
+    """A served causal LM (reference serve.py:79)."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        *,
+        data_type: str = "bfloat16",
+        quantization: Optional[str] = None,  # "int8" | "int4"
+        output_file: str = "",
+    ):
+        self.model_dir = model_dir
+        self.dtype = _DTYPES[data_type]
+        self.quant_bits = {"int8": 8, "int4": 4, None: None}[quantization]
+        self.output_file = output_file
+        self.spec = hf_weights.load_spec(model_dir)
+        self.params = None
+        self.tokenizer = None
+        self.rm = None
+        self._ssms: List["SSM"] = []
+
+    # ------------------------------------------------------------------
+
+    def register_ssm(self, ssm: "SSM") -> None:
+        """Register a draft model (reference register_ssm_model)."""
+        self._ssms.append(ssm)
+
+    def compile(
+        self,
+        *,
+        max_requests_per_batch: int = 8,
+        max_seq_length: int = 256,
+        max_tokens_per_batch: int = 128,
+        tensor_parallelism_degree: int = 1,
+        data_parallelism_degree: int = 1,
+        pipeline_parallelism_degree: int = 1,
+        beam_width: int = 3,
+        beam_depth: int = 4,
+        ssms: Sequence["SSM"] = (),
+    ) -> None:
+        """Load weights, build the engine (+ optional speculative pipeline)."""
+        del max_tokens_per_batch  # prefill buckets replace the token budget
+        for s in ssms:
+            self.register_ssm(s)
+
+        mesh = None
+        degree = tensor_parallelism_degree * data_parallelism_degree
+        if degree > 1 or pipeline_parallelism_degree > 1:
+            mesh = make_mesh(
+                data=data_parallelism_degree,
+                pipe=pipeline_parallelism_degree,
+                model=tensor_parallelism_degree,
+            )
+        _, self.params = hf_weights.load_params(
+            self.model_dir, self.spec, dtype=self.dtype,
+            quantize_bits=self.quant_bits, mesh=mesh,
+        )
+        self._load_tokenizer()
+
+        if self._ssms:
+            ssm = self._ssms[0]  # multiple SSMs: first registered drives
+            ssm_spec, ssm_params = hf_weights.load_params(
+                ssm.model_dir, dtype=ssm.dtype, quantize_bits=ssm.quant_bits,
+                mesh=mesh,
+            )
+            engine = SpecEngine(
+                self.spec, self.params, ssm_spec, ssm_params,
+                beam_width=beam_width, beam_depth=beam_depth,
+                max_requests_per_batch=max_requests_per_batch,
+                max_seq_len=max_seq_length,
+                cache_dtype=self.dtype,
+            )
+            self.rm = SpecRequestManager(engine)
+        else:
+            engine = InferenceEngine(
+                self.spec, self.params,
+                max_requests_per_batch=max_requests_per_batch,
+                max_seq_len=max_seq_length,
+                cache_dtype=self.dtype,
+            )
+            self.rm = RequestManager(engine)
+
+    def _load_tokenizer(self):
+        if self.tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.model_dir)
+
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[str]],
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+    ) -> List[GenerationResult]:
+        """Tokenize, serve, detokenize (reference serve.py:623)."""
+        assert self.rm is not None, "call compile() first"
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+        )
+        token_lists = [
+            self.tokenizer(p, return_tensors=None)["input_ids"] for p in prompts
+        ]
+        reqs = self.rm.generate(token_lists, cfg)
+        results = []
+        for prompt, req in zip(prompts, reqs):
+            text = self.tokenizer.decode(
+                req.output_tokens, skip_special_tokens=True
+            )
+            results.append(
+                GenerationResult(
+                    guid=req.guid,
+                    prompt=prompt,
+                    output_text=text,
+                    output_tokens=list(req.output_tokens),
+                    decoding_steps=req.profile.llm_decoding_steps,
+                    ttft_ms=req.profile.ttft * 1e3,
+                    latency_ms=req.profile.latency * 1e3,
+                )
+            )
+        if self.output_file:
+            with open(self.output_file, "a") as f:
+                for r in results:
+                    f.write(
+                        f"[Profile] guid({r.guid}) llm_decoding_steps("
+                        f"{r.decoding_steps}) latency({r.latency_ms:.3f}) "
+                        f"ttft({r.ttft_ms:.3f})\n"
+                    )
+        return results
+
+    def start_server(self) -> None:
+        assert isinstance(self.rm, RequestManager), (
+            "background server currently supports incremental decoding"
+        )
+        self.rm.start_background_server()
+
+    def stop_server(self) -> None:
+        if isinstance(self.rm, RequestManager):
+            self.rm.stop_server()
+
+
+class SSM(LLM):
+    """Small speculative model (draft); reference serve.py:710."""
+
+    def __init__(self, model_dir: str, *, data_type: str = "bfloat16",
+                 quantization: Optional[str] = None):
+        super().__init__(model_dir, data_type=data_type, quantization=quantization)

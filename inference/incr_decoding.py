@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Incremental-decoding CLI.
+
+Flag-compatible mirror of the reference CLI
+(/root/reference/inference/incr_decoding/incr_decoding.cc:40-120): serve a
+local HF model dir with continuous-batching incremental decoding over a prompt
+json file. Legion resource flags (-ll:gpu etc.) have no TPU analog and are
+accepted-and-ignored for drop-in compatibility.
+"""
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Incremental decoding server")
+    p.add_argument("-llm-model", "--llm-model", dest="model", required=True,
+                   help="local HF model directory")
+    p.add_argument("-prompt", "--prompt", dest="prompt", default="",
+                   help="json file with a list of prompt strings")
+    p.add_argument("-output-file", "--output-file", dest="output_file", default="")
+    p.add_argument("--max-requests-per-batch", type=int, default=8)
+    p.add_argument("--max-tokens-per-batch", type=int, default=128)
+    p.add_argument("--max-sequence-length", type=int, default=256)
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("-tensor-parallelism-degree", "--tensor-parallelism-degree",
+                   dest="tp", type=int, default=1)
+    p.add_argument("-pipeline-parallelism-degree", "--pipeline-parallelism-degree",
+                   dest="pp", type=int, default=1)
+    p.add_argument("-data-parallelism-degree", "--data-parallelism-degree",
+                   dest="dp", type=int, default=1)
+    p.add_argument("--fusion", action="store_true",
+                   help="accepted for parity; XLA always fuses")
+    p.add_argument("-4bit-quantization", "--4bit-quantization",
+                   dest="int4", action="store_true")
+    p.add_argument("-8bit-quantization", "--8bit-quantization",
+                   dest="int8", action="store_true")
+    p.add_argument("--full-precision", action="store_true",
+                   help="fp32 weights (default bf16)")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args, _legion_flags = build_parser().parse_known_args(argv)
+
+    from flexflow_tpu.serve import LLM
+
+    quant = "int4" if args.int4 else ("int8" if args.int8 else None)
+    llm = LLM(
+        args.model,
+        data_type="float32" if args.full_precision else "bfloat16",
+        quantization=quant,
+        output_file=args.output_file,
+    )
+    llm.compile(
+        max_requests_per_batch=args.max_requests_per_batch,
+        max_seq_length=args.max_sequence_length,
+        max_tokens_per_batch=args.max_tokens_per_batch,
+        tensor_parallelism_degree=args.tp,
+        pipeline_parallelism_degree=args.pp,
+        data_parallelism_degree=args.dp,
+    )
+
+    prompts = ["Three tips for staying healthy are: "]
+    if args.prompt:
+        with open(args.prompt) as f:
+            prompts = json.load(f)
+
+    results = llm.generate(prompts, max_new_tokens=args.max_new_tokens)
+    for r in results:
+        print(f"=== guid {r.guid} (steps {r.decoding_steps}, "
+              f"latency {r.latency_ms:.1f}ms) ===")
+        print(r.prompt + r.output_text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
