@@ -37,8 +37,17 @@ def sample(
     logits: jnp.ndarray,  # [B, V] f32
     key: jax.Array,
     cfg: SamplingConfig,
+    *,
+    greedy_only: bool = False,
 ) -> jnp.ndarray:
-    """Sample one token per row; greedy rows (temperature<=0) take argmax."""
+    """Sample one token per row; greedy rows (temperature<=0) take argmax.
+
+    ``greedy_only=True`` (static) skips the vocab-sort machinery entirely —
+    the scheduler sets it when every active request is greedy, which is the
+    reference's ArgMax fast path (src/ops/argmax.cu) vs Sampling op split.
+    """
+    if greedy_only:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     b, v = logits.shape
     greedy = cfg.temperature <= 0.0
     temp = jnp.where(greedy, 1.0, cfg.temperature)

@@ -35,8 +35,10 @@ class QuantizedArray:
     ``contract_dims`` axes of the unit are the contraction axes (flattened to
     D for grouping). Carriers:
 
-    q:      int8/uint8. INT8: [*B, D, R]. INT4: [*B, D//2, R] (byte b packs
-            elements 2b (low nibble), 2b+1 (high nibble)).
+    q:      int8/uint8. INT8: [*B, D, R]. INT4: [*B, D//2, R] planar-packed
+            (byte r packs element r in the low nibble and element r + D//2 in
+            the high nibble — unpacking is two contiguous sublane blocks, the
+            layout the Pallas dequant-matmul kernel wants).
     scale:  [*B, D // group_size, R] f32 per-group scale.
     offset: [*B, D // group_size, R] f32 per-group minimum (INT4 only).
     """
@@ -86,13 +88,13 @@ class QuantizedArray:
 
 
 def _pick_group_size(d: int, group_size: int, bits: int) -> int:
-    g = min(group_size, d)
-    while d % g:
+    # INT4 planar packing: groups must not straddle the half-plane boundary,
+    # so the group size must divide d // 2.
+    span = d // 2 if bits == 4 else d
+    g = min(group_size, span)
+    while span % g:
         g //= 2
-    g = max(g, 1)
-    if bits == 4 and g % 2:
-        g = 2 if d % 2 == 0 else 1
-    return g
+    return max(g, 1)
 
 
 def quantize(
@@ -132,7 +134,8 @@ def quantize(
         scale = jnp.maximum((hi - lo) / 15.0, 1e-12)
         qv = jnp.clip(jnp.round((wf - lo) / scale), 0, 15).astype(jnp.uint8)
         qv = qv.reshape(b, d, rest)
-        q = (qv[:, 0::2] | (qv[:, 1::2] << 4)).astype(jnp.uint8)
+        half = d // 2
+        q = (qv[:, :half] | (qv[:, half:] << 4)).astype(jnp.uint8)
         q = q.reshape(shape[:batch_dims] + (d // 2, rest))
         offset = lo[:, :, 0].reshape(shape[:batch_dims] + (d // g, rest))
         scale = scale[:, :, 0].reshape(shape[:batch_dims] + (d // g, rest))
@@ -170,9 +173,9 @@ def dequantize(qa: QuantizedArray) -> jnp.ndarray:
         w = q * scale
     else:
         packed = qa.q.reshape(b, d // 2, rest)
-        qv = jnp.stack(
-            [(packed & 0xF), ((packed >> 4) & 0xF)], axis=2
-        ).reshape(b, d, rest).astype(jnp.float32)
+        qv = jnp.concatenate(
+            [(packed & 0xF), ((packed >> 4) & 0xF)], axis=1
+        ).astype(jnp.float32)
         scale = qa.scale.reshape(b, d // g, 1, rest)
         off = qa.offset.reshape(b, d // g, 1, rest)
         w = qv.reshape(b, d // g, g, rest) * scale + off

@@ -87,13 +87,77 @@ class InferenceEngine:
         def insert_fn(cache: KVCache, k_new, v_new, slot):
             return decoder.insert_kv(cache, k_new, v_new, slot, jnp.int32(0))
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_fn(params, cache: KVCache, cache_lens, tokens, key, scfg):
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
+        def prefill_insert_fn(
+            params, cache: KVCache, tokens, length, slot, key, scfg,
+            greedy_only=False,
+        ):
+            """Fused prompt prefill + KV insert + first-token sample: one
+            dispatch per admission (the reference's prompt phase +
+            update_kv_cache + ArgMax as one Legion trace)."""
+            positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+            logits, kv = decoder.forward(
+                self.spec, params, tokens, positions,
+                lengths=length[None], return_kv=True,
+            )
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[0, 0]  # [V]
+            k, v = kv  # [L, 1, bucket, KH, D]
+            cache = decoder.insert_kv(cache, k[:, 0], v[:, 0], slot, jnp.int32(0))
+            tok = sampling_lib.sample(
+                last[None], key, scfg, greedy_only=greedy_only
+            )[0]
+            return tok, cache
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
+        def decode_fn(
+            params, cache: KVCache, cache_lens, tokens, key, scfg,
+            greedy_only=False,
+        ):
             logits, cache = decoder.forward_cached(
                 self.spec, params, tokens[:, None], cache, cache_lens
             )
-            next_tokens = sampling_lib.sample(logits[:, 0], key, scfg)
+            next_tokens = sampling_lib.sample(
+                logits[:, 0], key, scfg, greedy_only=greedy_only
+            )
             return next_tokens, cache
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,),
+            static_argnames=("n", "greedy_only"),
+        )
+        def decode_n_fn(
+            params, cache: KVCache, cache_lens, tokens, key, scfg, n,
+            greedy_only=False,
+        ):
+            """n chained decode steps fully on device (horizon decoding).
+
+            The device feeds each sampled token back as the next input — the
+            TPU analog of the reference's future-chained scheduler running
+            ahead of the GPUs (request_manager.cc:3122-3137). Host sees [n, B]
+            tokens once per horizon instead of [B] per step.
+            """
+
+            def body(carry, i):
+                cache, lens, toks = carry
+                logits, cache = decoder.forward_cached(
+                    self.spec, params, toks[:, None], cache, lens
+                )
+                nxt = sampling_lib.sample(
+                    logits[:, 0], jax.random.fold_in(key, i), scfg,
+                    greedy_only=greedy_only,
+                )
+                return (cache, lens + 1, nxt), nxt
+
+            (cache, _, _), out = jax.lax.scan(
+                body, (cache, cache_lens, tokens), jnp.arange(n)
+            )
+            return out, cache
 
         @jax.jit
         def sample_fn(logits, key, scfg):
@@ -101,7 +165,9 @@ class InferenceEngine:
 
         self._prefill = prefill_fn
         self._insert = insert_fn
+        self._prefill_insert = prefill_insert_fn
         self._decode = decode_fn
+        self._decode_n = decode_n_fn
         self._sample = sample_fn
 
     # ------------------------------------------------------------------
@@ -132,9 +198,71 @@ class InferenceEngine:
         tok = self._sample(last_logits, key, scfg1)
         return int(tok), kv, last_logits
 
+    def prefill_async(
+        self, prompt_tokens: np.ndarray, key: jax.Array, scfg1: SamplingConfig
+    ):
+        """Like prefill but returns the first token as a DEVICE scalar (no
+        blocking device->host fetch; the pipelined scheduler batches these)."""
+        n = len(prompt_tokens)
+        bucket = self.prefill_bucket(n)
+        if n > self.max_seq_len:
+            raise ValueError(
+                f"prompt length {n} exceeds max_seq_len {self.max_seq_len}"
+            )
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt_tokens
+        last_logits, kv = self._prefill(
+            self.params, jnp.asarray(padded), jnp.int32(n)
+        )
+        tok = self._sample(last_logits, key, scfg1)
+        return tok, kv, last_logits
+
     def insert(self, kv, slot: int) -> None:
         k_new, v_new = kv
         self.cache = self._insert(self.cache, k_new, v_new, jnp.int32(slot))
+
+    def prefill_to_slot_async(
+        self,
+        prompt_tokens: np.ndarray,
+        slot: int,
+        key: jax.Array,
+        scfg1: SamplingConfig,
+    ):
+        """Fused prefill+insert+sample; returns the first token as a DEVICE
+        scalar (one dispatch per admission, no host fetch)."""
+        n = len(prompt_tokens)
+        if n > self.max_seq_len:
+            raise ValueError(
+                f"prompt length {n} exceeds max_seq_len {self.max_seq_len}"
+            )
+        bucket = self.prefill_bucket(n)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt_tokens
+        tok, self.cache = self._prefill_insert(
+            self.params,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.int32(n),
+            jnp.int32(slot),
+            key,
+            scfg1,
+            greedy_only=self._greedy_only(scfg1),
+        )
+        return tok
+
+    def prefill_to_slot(
+        self, prompt_tokens: np.ndarray, slot: int, key: jax.Array,
+        scfg1: SamplingConfig,
+    ) -> int:
+        return int(
+            jax.device_get(
+                self.prefill_to_slot_async(prompt_tokens, slot, key, scfg1)
+            )
+        )
+
+    @staticmethod
+    def _greedy_only(scfg: SamplingConfig) -> bool:
+        return bool(np.all(np.asarray(scfg.temperature) <= 0.0))
 
     def decode(
         self,
@@ -150,5 +278,44 @@ class InferenceEngine:
             jnp.asarray(tokens, jnp.int32),
             key,
             scfg,
+            greedy_only=self._greedy_only(scfg),
         )
-        return np.asarray(next_tokens)
+        return jax.device_get(next_tokens)
+
+    def decode_horizon(
+        self,
+        cache_lens: np.ndarray,  # [B]
+        tokens: np.ndarray,  # [B]
+        key: jax.Array,
+        scfg: SamplingConfig,
+        n: int,
+    ) -> np.ndarray:
+        """Run n device-resident decode steps; returns [n, B] tokens."""
+        return jax.device_get(
+            self.decode_horizon_async(cache_lens, tokens, key, scfg, n)
+        )
+
+    def decode_horizon_async(
+        self,
+        cache_lens: np.ndarray,  # [B]
+        tokens,  # [B] np or device array (device feedback from prior horizon)
+        key: jax.Array,
+        scfg: SamplingConfig,
+        n: int,
+    ) -> jnp.ndarray:
+        """Dispatch n decode steps; returns the [n, B] token DEVICE array
+        without blocking — the pipelined scheduler fetches it one horizon
+        late, overlapping device->host transfer with the next horizon's
+        compute (the reference's 4-deep future pipeline,
+        request_manager.cc:3122-3137)."""
+        out, self.cache = self._decode_n(
+            self.params,
+            self.cache,
+            jnp.asarray(cache_lens, jnp.int32),
+            jnp.asarray(tokens, jnp.int32),
+            key,
+            scfg,
+            n,
+            greedy_only=self._greedy_only(scfg),
+        )
+        return out

@@ -24,6 +24,7 @@ import time
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from flexflow_tpu.ops.sampling import SamplingConfig
@@ -88,9 +89,31 @@ class RequestManager:
         *,
         eos_token_ids: Sequence[int] = (),
         seed: int = 0,
+        decode_horizon: int = 1,
+        pipelined: bool = False,
+        pipeline_depth: int = 2,
         log_fn=None,
     ):
+        """``decode_horizon`` > 1 runs that many decode steps fully on device
+        per scheduling iteration (identical outputs; EOS detection and slot
+        refill happen at horizon boundaries — the analog of the reference's
+        4-deep in-flight batch pipeline, request_manager.cc:3122-3137).
+
+        ``pipelined=True`` additionally dispatches horizon k+1 (the device
+        feeds sampled tokens back internally) BEFORE fetching horizon k's
+        tokens, so device->host transfer and host bookkeeping overlap the
+        next horizon's compute. Outputs are identical; slot retire/admit
+        take effect one horizon late (bounded wasted compute)."""
         self.engine = engine
+        self.decode_horizon = max(int(decode_horizon), 1)
+        self.pipelined = bool(pipelined)
+        # max horizons in flight before the oldest is fetched (reference keeps
+        # <= 4 batches in flight, request_manager.cc:3124)
+        self.pipeline_depth = max(int(pipeline_depth), 1)
+        self._inflight_q = []  # [(out_dev [n, B], [(slot, req), ...]), ...]
+        self._feedback = None  # device [B] tokens from the last dispatch
+        self._feedback_overrides = []  # [(slot, token)] set at admit time
+        self._pending_first = []  # [(slot, req, device first-token scalar)]
         self.eos_token_ids = tuple(eos_token_ids) or engine.spec.eos_ids()
         self._guid = itertools.count(1000000)
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -160,22 +183,30 @@ class RequestManager:
                 top_p=np.array([req.config.top_p], np.float32),
                 top_k=np.array([req.config.top_k], np.int32),
             )
-            first_tok, kv, _ = self.engine.prefill(
-                np.asarray(req.prompt_tokens, np.int32), self._next_key(), scfg1
-            )
-            self.engine.insert(kv, slot)
-            req.profile.first_token_time = time.monotonic()
-            req.profile.llm_decoding_steps = 1
-            req.output_tokens.append(first_tok)
+            prompt = np.asarray(req.prompt_tokens, np.int32)
+            if self.pipelined:
+                tok_dev = self.engine.prefill_to_slot_async(
+                    prompt, slot, self._next_key(), scfg1
+                )
+                self._pending_first.append((slot, req, tok_dev))
+                self._feedback_overrides.append((slot, tok_dev))
+            else:
+                first_tok = self.engine.prefill_to_slot(
+                    prompt, slot, self._next_key(), scfg1
+                )
+                req.profile.first_token_time = time.monotonic()
+                req.profile.llm_decoding_steps = 1
+                req.output_tokens.append(first_tok)
+                self._tokens[slot] = first_tok
+                self._feedback_overrides.append((slot, first_tok))
             self._slots[slot] = req
             self._cache_lens[slot] = len(req.prompt_tokens)
-            self._tokens[slot] = first_tok
             self._temperature[slot] = req.config.temperature
             self._top_p[slot] = req.config.top_p
             self._top_k[slot] = req.config.top_k
             self._log(f"[RM] admit guid={req.guid} slot={slot} "
                       f"prompt_len={len(req.prompt_tokens)}")
-            if self._finished(req, first_tok):
+            if not self.pipelined and self._finished(req, first_tok):
                 self._retire(slot)
 
     def _finished(self, req: Request, last_token: int) -> bool:
@@ -186,7 +217,8 @@ class RequestManager:
         if len(req.output_tokens) >= req.config.max_new_tokens:
             return True
         total = len(req.prompt_tokens) + len(req.output_tokens)
-        return total >= self.engine.max_seq_len
+        # leave room for one full decode horizon in the KV cache
+        return total + self.decode_horizon > self.engine.max_seq_len
 
     def _retire(self, slot: int) -> None:
         req = self._slots[slot]
@@ -202,8 +234,80 @@ class RequestManager:
         )
         req.done.set()
 
+    def _process_horizon(self, out_tokens: np.ndarray, entries) -> None:
+        """Apply one fetched horizon's tokens to its dispatched requests."""
+        n = out_tokens.shape[0]
+        for slot, req in entries:
+            if req.state == COMPLETED:
+                continue  # retired while this horizon was in flight
+            for i in range(n):
+                tok = int(out_tokens[i, slot])
+                req.output_tokens.append(tok)
+                req.profile.llm_decoding_steps += 1
+                if self._finished(req, tok):
+                    self._retire(slot)
+                    break
+
+    def _flush_pending_first(self) -> None:
+        """Batched fetch of first tokens from admits in the previous step."""
+        if not self._pending_first:
+            return
+        pend, self._pending_first = self._pending_first, []
+        vals = jax.device_get(jnp.stack([t for _, _, t in pend]))
+        now = time.monotonic()
+        for (slot, req, _), tok in zip(pend, vals):
+            tok = int(tok)
+            req.profile.first_token_time = now
+            req.profile.llm_decoding_steps = 1
+            req.output_tokens.append(tok)
+            if self._finished(req, tok):
+                self._retire(slot)
+
+    def _step_pipelined(self) -> bool:
+        self._flush_pending_first()
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+
+        if active:
+            scfg = SamplingConfig(
+                temperature=self._temperature, top_p=self._top_p,
+                top_k=self._top_k,
+            )
+            n = self.decode_horizon
+            tokens_in = (
+                self._feedback
+                if self._feedback is not None
+                else jnp.asarray(self._tokens)
+            )
+            for slot, tok in self._feedback_overrides:
+                tokens_in = tokens_in.at[slot].set(tok)
+            self._feedback_overrides = []
+            lens = self._cache_lens.copy()
+            out_dev = self.engine.decode_horizon_async(
+                lens, tokens_in, self._next_key(), scfg, n
+            )
+            entries = [(s, self._slots[s]) for s in active]
+            for s in active:
+                self._cache_lens[s] += n
+            self._feedback = out_dev[-1]
+            self._inflight_q.append((out_dev, entries))
+            self._steps += n
+
+        # fetch the oldest horizon once the pipeline is full (or draining)
+        while self._inflight_q and (
+            len(self._inflight_q) >= self.pipeline_depth or not active
+        ):
+            out_dev, entries = self._inflight_q.pop(0)
+            self._process_horizon(jax.device_get(out_dev), entries)
+            if active:
+                break  # drain at most one per step while running
+
+        return bool(active or self._inflight_q or self._pending_first)
+
     def step(self) -> bool:
         """One scheduling iteration; returns True if any request is in flight."""
+        if self.pipelined and self.decode_horizon > 1:
+            return self._step_pipelined()
         self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
@@ -211,19 +315,29 @@ class RequestManager:
         scfg = SamplingConfig(
             temperature=self._temperature, top_p=self._top_p, top_k=self._top_k
         )
-        next_tokens = self.engine.decode(
-            self._cache_lens, self._tokens, self._next_key(), scfg
-        )
-        self._steps += 1
+        n = self.decode_horizon
+        if n == 1:
+            horizon_tokens = self.engine.decode(
+                self._cache_lens, self._tokens, self._next_key(), scfg
+            )[None, :]
+        else:
+            horizon_tokens = self.engine.decode_horizon(
+                self._cache_lens, self._tokens, self._next_key(), scfg, n
+            )  # [n, B]
+        self._steps += n
         for slot in active:
             req = self._slots[slot]
-            tok = int(next_tokens[slot])
-            req.output_tokens.append(tok)
-            req.profile.llm_decoding_steps += 1
-            self._cache_lens[slot] += 1
-            self._tokens[slot] = tok
-            if self._finished(req, tok):
-                self._retire(slot)
+            for i in range(n):
+                tok = int(horizon_tokens[i, slot])
+                req.output_tokens.append(tok)
+                req.profile.llm_decoding_steps += 1
+                if self._finished(req, tok):
+                    self._retire(slot)
+                    break
+            else:
+                # request continues: all n tokens' KV are in the cache
+                self._cache_lens[slot] += n
+                self._tokens[slot] = int(horizon_tokens[n - 1, slot])
         return True
 
     # ------------------------------------------------------------------

@@ -124,3 +124,63 @@ def test_background_server(tiny_params):
         assert all(len(r.output_tokens) == 4 for r in reqs)
     finally:
         rm.stop_server()
+
+
+def test_horizon_decode_matches(tiny_params):
+    prompts = [[3, 17, 91], [5, 8, 13, 21, 34], [2], [40, 41, 42, 43]]
+    base = RequestManager(make_engine(tiny_params))
+    want = [
+        r.output_tokens
+        for r in base.generate(prompts, GenerationConfig(max_new_tokens=9))
+    ]
+    rm = RequestManager(make_engine(tiny_params), decode_horizon=4)
+    got = [
+        r.output_tokens
+        for r in rm.generate(prompts, GenerationConfig(max_new_tokens=9))
+    ]
+    assert got == want
+
+
+def test_horizon_eos_truncates(tiny_params):
+    prompt = [3, 17, 91, 5, 8]
+    toks = greedy_reference(TINY, tiny_params, prompt, 10)
+    eos = toks[3]
+    rm = RequestManager(
+        make_engine(tiny_params), eos_token_ids=[eos], decode_horizon=4
+    )
+    [req] = rm.generate([prompt], GenerationConfig(max_new_tokens=10))
+    assert req.output_tokens == toks[:4]
+
+
+def test_pipelined_decode_matches(tiny_params):
+    prompts = [[3, 17, 91], [5, 8, 13, 21, 34], [2], [40, 41, 42, 43]]
+    base = RequestManager(make_engine(tiny_params))
+    want = [
+        r.output_tokens
+        for r in base.generate(prompts, GenerationConfig(max_new_tokens=9))
+    ]
+    rm = RequestManager(
+        make_engine(tiny_params), decode_horizon=4, pipelined=True
+    )
+    got = [
+        r.output_tokens
+        for r in rm.generate(prompts, GenerationConfig(max_new_tokens=9))
+    ]
+    assert got == want
+
+
+def test_pipelined_overflow_queue(tiny_params):
+    prompts = [[i + 1, i + 2] for i in range(9)]  # > 4 slots, forces reuse
+    base = RequestManager(make_engine(tiny_params))
+    want = [
+        r.output_tokens
+        for r in base.generate(prompts, GenerationConfig(max_new_tokens=6))
+    ]
+    rm = RequestManager(
+        make_engine(tiny_params), decode_horizon=3, pipelined=True
+    )
+    got = [
+        r.output_tokens
+        for r in rm.generate(prompts, GenerationConfig(max_new_tokens=6))
+    ]
+    assert got == want
