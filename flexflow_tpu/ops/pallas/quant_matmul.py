@@ -38,28 +38,37 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, *, group_size: int):
     x = x_ref[:]  # [B, D]
     q = q_ref[:]  # [D, BF] int8
     s = s_ref[:]  # [G, BF] f32
-    # int8 values are exactly representable in bf16; bf16 x bf16 dot rides
-    # the MXU at full rate (f32 would take 4 MXU passes)
-    w = q.astype(jnp.bfloat16) * _repeat_rows(s, group_size).astype(jnp.bfloat16)
+    # dequant exactly in f32, round once to the compute dtype, one big MXU dot
+    # (measured faster than batched per-group dots for small B)
+    w = (q.astype(jnp.float32) * _repeat_rows(s, group_size)).astype(x.dtype)
     o_ref[:] = jnp.dot(
-        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        x, w, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
 def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
     x = x_ref[:]  # [B, D]
-    # Mosaic has no uint8 casts: bitcast to int8; nibble masks are unaffected
-    # (>> on int8 sign-extends, the & 0xF strips the extension).
+    # Mosaic has no uint8 casts and no i8 shifts: bitcast to int8 for the
+    # low-nibble mask, widen to int32 for the (legal) arithmetic shift.
     packed = pltpu.bitcast(q_ref[:], jnp.int8)  # [D/2, BF] planar
-    lo = (packed & 0xF).astype(jnp.bfloat16)
-    hi = ((packed >> 4) & 0xF).astype(jnp.bfloat16)
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 & 0xF).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
     qv = jnp.concatenate([lo, hi], axis=0)  # [D, BF], values 0..15
-    s = _repeat_rows(s_ref[:], group_size).astype(jnp.bfloat16)
-    off = _repeat_rows(off_ref[:], group_size).astype(jnp.bfloat16)
-    w = qv * s + off
-    o_ref[:] = jnp.dot(
-        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    b = x.shape[0]
+    g = s_ref.shape[0]
+    # per-group dots; scale applied after the dot, offset via group-sums of x:
+    # sum_{d in g} x_d * (q_d * s_g + off_g)
+    #   = s_g * dot(x_g, q_g) + off_g * sum(x_g)
+    qg = qv.reshape(g, group_size, -1)  # [G, gs, BF]
+    xg = x.reshape(b, g, group_size).transpose(1, 0, 2)  # [G, B, gs]
+    pg = jax.lax.dot_general(
+        xg, qg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, B, BF]
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [G, B]
+    out = pg * s_ref[:][:, None, :] + xsum[:, :, None] * off_ref[:][:, None, :]
+    o_ref[:] = jnp.sum(out, axis=0).astype(o_ref.dtype)
 
 
 @functools.partial(
