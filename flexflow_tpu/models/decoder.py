@@ -42,6 +42,34 @@ from flexflow_tpu.specs import ModelSpec
 
 Params = Dict[str, Any]
 
+# When set (via manual_tp_axis), row-parallel projections psum over this mesh
+# axis — used by code running INSIDE a fully-manual shard_map (the pipeline
+# executor), where GSPMD no longer inserts the TP collectives automatically.
+# None (the default) leaves reduction to GSPMD. This mirrors the reference's
+# explicit AllReduce parallel op (src/parallel_ops/kernels/allreduce_kernels.cu:37)
+# vs its implicit Legion data movement.
+_MANUAL_TP_AXIS: Any = None
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def manual_tp_axis(axis: str):
+    global _MANUAL_TP_AXIS
+    prev = _MANUAL_TP_AXIS
+    _MANUAL_TP_AXIS = axis
+    try:
+        yield
+    finally:
+        _MANUAL_TP_AXIS = prev
+
+
+def _tp_reduce(x):
+    if _MANUAL_TP_AXIS is not None:
+        return jax.lax.psum(x, _MANUAL_TP_AXIS)
+    return x
+
 
 class KVCache(NamedTuple):
     """Per-request-slot KV cache, stacked over layers.
@@ -111,7 +139,11 @@ def _mlp(spec: ModelSpec, p: Params, h):
         inner = act_lib.sigmoid_silu_multi(gate, up)
     else:
         inner = act_lib.get_activation(spec.act)(_linear(h, p["wu"], p.get("bu")))
-    return _linear(inner, p["wd"], p.get("bd"))
+    # down-proj is row-parallel under TP: reduce partials before the bias
+    out = _tp_reduce(jnp.tensordot(inner, as_array(p["wd"]), axes=1))
+    if p.get("bd") is not None:
+        out = out + p["bd"]
+    return out.astype(h.dtype)
 
 
 def _moe_mlp(spec: ModelSpec, p: Params, h):
@@ -141,14 +173,14 @@ def _moe_mlp(spec: ModelSpec, p: Params, h):
     gate = jnp.einsum("btd,edf->btef", h, as_array(p["wg"]))
     up = jnp.einsum("btd,edf->btef", h, as_array(p["wu"]))
     inner = act_lib.sigmoid_silu_multi(gate, up)
-    out = jnp.einsum("btef,efd->bted", inner, as_array(p["wd"]))
+    out = _tp_reduce(jnp.einsum("btef,efd->bted", inner, as_array(p["wd"])))
     return jnp.sum(out * combine[..., None].astype(out.dtype), axis=-2)
 
 
 def _attn_out(spec: ModelSpec, p: Params, a):
-    """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D]."""
-    out = jnp.einsum("bthd,hdo->bto", a, as_array(p["wo"]).reshape(
-        a.shape[-2], a.shape[-1], -1))
+    """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D] (row-parallel under TP)."""
+    out = _tp_reduce(jnp.einsum("bthd,hdo->bto", a, as_array(p["wo"]).reshape(
+        a.shape[-2], a.shape[-1], -1)))
     if p.get("bo") is not None:
         out = out + p["bo"]
     return out.astype(a.dtype)
