@@ -122,11 +122,34 @@ def _linear(x, w, b=None):
     return out.astype(x.dtype)
 
 
+def _apply_lora(p: Params, mod: str, x, out):
+    """Add a per-request-routed LoRA delta to a projection output.
+
+    Reference: src/ops/lora_linear.cc inference path (xA.B scaled, adapter
+    chosen per request via BatchConfig PEFT fields). ``p["_lora"]`` holds the
+    per-layer adapter stacks [N, D_in, r]/[N, r, D_out]; ``p["_lora_onehot"]``
+    [B, N] routes each request slot to its adapter (all-zero row = no LoRA).
+    """
+    lora = p.get("_lora")
+    if not lora or mod not in lora:
+        return out
+    a = lora[mod]["a"].astype(jnp.float32)  # [N, D_in, r]
+    b = lora[mod]["b"].astype(jnp.float32)  # [N, r, D_out]
+    onehot = p["_lora_onehot"].astype(jnp.float32)  # [B, N]
+    scale = p["_lora_scale"]
+    bsz = onehot.shape[0]
+    xf = x.reshape(bsz, -1, a.shape[1]).astype(jnp.float32)  # [B, T, D_in]
+    a_sel = jnp.einsum("bn,ndr->bdr", onehot, a)
+    b_sel = jnp.einsum("bn,nrf->brf", onehot, b)
+    delta = jnp.einsum("btr,brf->btf", jnp.einsum("btd,bdr->btr", xf, a_sel), b_sel)
+    return out + (delta * scale).reshape(out.shape).astype(out.dtype)
+
+
 def _qkv(spec: ModelSpec, p: Params, h):
     """Project h [B,T,D] -> q [B,T,H,Dh], k/v [B,T,KH,Dh]."""
-    q = _linear(h, p["wq"], p.get("bq"))
-    k = _linear(h, p["wk"], p.get("bk"))
-    v = _linear(h, p["wv"], p.get("bv"))
+    q = _apply_lora(p, "wq", h, _linear(h, p["wq"], p.get("bq")))
+    k = _apply_lora(p, "wk", h, _linear(h, p["wk"], p.get("bk")))
+    v = _apply_lora(p, "wv", h, _linear(h, p["wv"], p.get("bv")))
     return q, k, v
 
 
@@ -134,16 +157,18 @@ def _mlp(spec: ModelSpec, p: Params, h):
     if spec.moe is not None:
         return _moe_mlp(spec, p, h)
     if spec.act == "silu_gate":
-        gate = _linear(h, p["wg"])
-        up = _linear(h, p["wu"])
+        gate = _apply_lora(p, "wg", h, _linear(h, p["wg"]))
+        up = _apply_lora(p, "wu", h, _linear(h, p["wu"]))
         inner = act_lib.sigmoid_silu_multi(gate, up)
     else:
-        inner = act_lib.get_activation(spec.act)(_linear(h, p["wu"], p.get("bu")))
+        inner = act_lib.get_activation(spec.act)(
+            _apply_lora(p, "wu", h, _linear(h, p["wu"], p.get("bu")))
+        )
     # down-proj is row-parallel under TP: reduce partials before the bias
     out = _tp_reduce(jnp.tensordot(inner, as_array(p["wd"]), axes=1))
     if p.get("bd") is not None:
         out = out + p["bd"]
-    return out.astype(h.dtype)
+    return _apply_lora(p, "wd", inner, out.astype(h.dtype))
 
 
 def _moe_mlp(spec: ModelSpec, p: Params, h):
@@ -183,7 +208,7 @@ def _attn_out(spec: ModelSpec, p: Params, a):
         a.shape[-2], a.shape[-1], -1)))
     if p.get("bo") is not None:
         out = out + p["bo"]
-    return out.astype(a.dtype)
+    return _apply_lora(p, "wo", a, out.astype(a.dtype))
 
 
 def _layer(spec: ModelSpec, p: Params, h, attend):
@@ -259,6 +284,9 @@ def forward(
     *,
     lengths: Optional[jnp.ndarray] = None,  # [B] valid lengths (mask padding)
     return_kv: bool = False,
+    lora: Optional[Params] = None,  # {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
+    adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
+    lora_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Self-attention forward (training / prefill).
 
@@ -290,11 +318,21 @@ def forward(
         return out, ((k, v) if return_kv else 0)
 
     def body(h, xs):
-        layer_params = xs
+        if lora is not None:
+            layer_params, lora_layer = xs
+            layer_params = {
+                **layer_params,
+                "_lora": lora_layer,
+                "_lora_onehot": adapter_onehot,
+                "_lora_scale": lora_scale,
+            }
+        else:
+            layer_params = xs
         h, aux = _layer(spec, layer_params, h, attend)
         return h, aux
 
-    h, kv = jax.lax.scan(body, h, params["layers"])
+    xs = params["layers"] if lora is None else (params["layers"], lora)
+    h, kv = jax.lax.scan(body, h, xs)
     logits = _unembed(spec, params, h)
     return logits, (kv if return_kv else None)
 
@@ -310,6 +348,9 @@ def forward_cached(
     tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool
     kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] bool full mask override
     write_pos: Optional[jnp.ndarray] = None,  # [B, T] absolute cache positions
+    lora: Optional[Params] = None,
+    adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
+    lora_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache)."""
     b, t = tokens.shape
@@ -327,7 +368,16 @@ def forward_cached(
 
     def body(carry, xs):
         h, ck, cv = carry
-        layer_params, l = xs
+        if lora is not None:
+            layer_params, l, lora_layer = xs
+            layer_params = {
+                **layer_params,
+                "_lora": lora_layer,
+                "_lora_onehot": adapter_onehot,
+                "_lora_scale": lora_scale,
+            }
+        else:
+            layer_params, l = xs
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)
@@ -349,11 +399,13 @@ def forward_cached(
         h, (ck, cv) = _layer(spec, layer_params, h, attend)
         return (h, ck, cv), None
 
-    (h, ck, cv), _ = jax.lax.scan(
-        body,
-        (h, cache.k, cache.v),
-        (params["layers"], jnp.arange(spec.num_layers, dtype=jnp.int32)),
+    layer_idx = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    xs = (
+        (params["layers"], layer_idx)
+        if lora is None
+        else (params["layers"], layer_idx, lora)
     )
+    (h, ck, cv), _ = jax.lax.scan(body, (h, cache.k, cache.v), xs)
     logits = _unembed(spec, params, h)
     return logits, KVCache(k=ck, v=cv)
 

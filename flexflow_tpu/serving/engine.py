@@ -57,9 +57,24 @@ class InferenceEngine:
         min_prefill_bucket: int = 16,
         cache_dtype=jnp.bfloat16,
         donate_cache: bool = True,
+        lora=None,
+        lora_config=None,
     ):
         self.spec = spec
         self.params = params
+        # LoRA adapter stacks (reference LoraLinear registry,
+        # peft_weight_allocator.cc): {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
+        self.lora = lora
+        if lora is not None:
+            from flexflow_tpu.peft import lora_scaling
+
+            self.lora_scale = lora_scaling(lora_config) if lora_config else 1.0
+            self.num_adapters = next(
+                iter(lora.values())
+            )["a"].shape[1]
+        else:
+            self.lora_scale = 1.0
+            self.num_adapters = 0
         self.max_requests = max_requests_per_batch
         self.max_seq_len = max_seq_len
         self.min_prefill_bucket = min_prefill_bucket
@@ -92,7 +107,7 @@ class InferenceEngine:
         )
         def prefill_insert_fn(
             params, cache: KVCache, tokens, length, slot, key, scfg,
-            greedy_only=False,
+            lora=None, onehot1=None, greedy_only=False,
         ):
             """Fused prompt prefill + KV insert + first-token sample: one
             dispatch per admission (the reference's prompt phase +
@@ -101,6 +116,8 @@ class InferenceEngine:
             logits, kv = decoder.forward(
                 self.spec, params, tokens, positions,
                 lengths=length[None], return_kv=True,
+                lora=lora, adapter_onehot=onehot1,
+                lora_scale=self.lora_scale,
             )
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
@@ -117,10 +134,11 @@ class InferenceEngine:
         )
         def decode_fn(
             params, cache: KVCache, cache_lens, tokens, key, scfg,
-            greedy_only=False,
+            lora=None, onehot=None, greedy_only=False,
         ):
             logits, cache = decoder.forward_cached(
-                self.spec, params, tokens[:, None], cache, cache_lens
+                self.spec, params, tokens[:, None], cache, cache_lens,
+                lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
             )
             next_tokens = sampling_lib.sample(
                 logits[:, 0], key, scfg, greedy_only=greedy_only
@@ -133,7 +151,7 @@ class InferenceEngine:
         )
         def decode_n_fn(
             params, cache: KVCache, cache_lens, tokens, key, scfg, n,
-            greedy_only=False,
+            lora=None, onehot=None, greedy_only=False,
         ):
             """n chained decode steps fully on device (horizon decoding).
 
@@ -146,7 +164,9 @@ class InferenceEngine:
             def body(carry, i):
                 cache, lens, toks = carry
                 logits, cache = decoder.forward_cached(
-                    self.spec, params, toks[:, None], cache, lens
+                    self.spec, params, toks[:, None], cache, lens,
+                    lora=lora, adapter_onehot=onehot,
+                    lora_scale=self.lora_scale,
                 )
                 nxt = sampling_lib.sample(
                     logits[:, 0], jax.random.fold_in(key, i), scfg,
@@ -227,6 +247,7 @@ class InferenceEngine:
         slot: int,
         key: jax.Array,
         scfg1: SamplingConfig,
+        adapter_id: int = -1,
     ):
         """Fused prefill+insert+sample; returns the first token as a DEVICE
         scalar (one dispatch per admission, no host fetch)."""
@@ -246,17 +267,21 @@ class InferenceEngine:
             jnp.int32(slot),
             key,
             scfg1,
+            self.lora,
+            self._onehot([adapter_id]) if self.lora is not None else None,
             greedy_only=self._greedy_only(scfg1),
         )
         return tok
 
     def prefill_to_slot(
         self, prompt_tokens: np.ndarray, slot: int, key: jax.Array,
-        scfg1: SamplingConfig,
+        scfg1: SamplingConfig, adapter_id: int = -1,
     ) -> int:
         return int(
             jax.device_get(
-                self.prefill_to_slot_async(prompt_tokens, slot, key, scfg1)
+                self.prefill_to_slot_async(
+                    prompt_tokens, slot, key, scfg1, adapter_id
+                )
             )
         )
 
@@ -264,12 +289,28 @@ class InferenceEngine:
     def _greedy_only(scfg: SamplingConfig) -> bool:
         return bool(np.all(np.asarray(scfg.temperature) <= 0.0))
 
+    def _onehot(self, adapter_ids) -> Optional[jnp.ndarray]:
+        """[B] adapter ids (-1 = none) -> [B, N] routing one-hot (or None)."""
+        if self.lora is None:
+            return None
+        ids = (
+            np.full((self.max_requests,), -1, np.int64)
+            if adapter_ids is None
+            else np.asarray(adapter_ids)
+        )
+        oh = np.zeros((len(ids), self.num_adapters), np.float32)
+        for i, a in enumerate(ids):
+            if a >= 0:
+                oh[i, int(a)] = 1.0
+        return jnp.asarray(oh)
+
     def decode(
         self,
         cache_lens: np.ndarray,  # [B]
         tokens: np.ndarray,  # [B] current token per slot
         key: jax.Array,
         scfg: SamplingConfig,
+        adapter_ids=None,
     ) -> np.ndarray:
         next_tokens, self.cache = self._decode(
             self.params,
@@ -278,6 +319,8 @@ class InferenceEngine:
             jnp.asarray(tokens, jnp.int32),
             key,
             scfg,
+            self.lora,
+            self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
         )
         return jax.device_get(next_tokens)
@@ -289,10 +332,13 @@ class InferenceEngine:
         key: jax.Array,
         scfg: SamplingConfig,
         n: int,
+        adapter_ids=None,
     ) -> np.ndarray:
         """Run n device-resident decode steps; returns [n, B] tokens."""
         return jax.device_get(
-            self.decode_horizon_async(cache_lens, tokens, key, scfg, n)
+            self.decode_horizon_async(
+                cache_lens, tokens, key, scfg, n, adapter_ids
+            )
         )
 
     def decode_horizon_async(
@@ -302,6 +348,7 @@ class InferenceEngine:
         key: jax.Array,
         scfg: SamplingConfig,
         n: int,
+        adapter_ids=None,
     ) -> jnp.ndarray:
         """Dispatch n decode steps; returns the [n, B] token DEVICE array
         without blocking — the pipelined scheduler fetches it one horizon
@@ -316,6 +363,8 @@ class InferenceEngine:
             key,
             scfg,
             n,
+            self.lora,
+            self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
         )
         return out

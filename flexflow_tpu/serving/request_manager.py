@@ -40,6 +40,9 @@ class GenerationConfig:
     top_p: float = 1.0
     top_k: int = 0
     stop_token_ids: Sequence[int] = ()
+    # LoRA adapter slot for this request (-1 = base model); reference:
+    # per-request peft_model_id in BatchConfig PEFT fields
+    adapter_id: int = -1
 
 
 @dataclasses.dataclass
@@ -127,6 +130,8 @@ class RequestManager:
         self._temperature = np.zeros(b, np.float32)
         self._top_p = np.ones(b, np.float32)
         self._top_k = np.zeros(b, np.int32)
+        self._adapter = np.full(b, -1, np.int64)
+        self._finetune_queue = []  # co-scheduled LoRA finetuning sessions
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
         self._num_processed = 0
@@ -186,13 +191,15 @@ class RequestManager:
             prompt = np.asarray(req.prompt_tokens, np.int32)
             if self.pipelined:
                 tok_dev = self.engine.prefill_to_slot_async(
-                    prompt, slot, self._next_key(), scfg1
+                    prompt, slot, self._next_key(), scfg1,
+                    adapter_id=req.config.adapter_id,
                 )
                 self._pending_first.append((slot, req, tok_dev))
                 self._feedback_overrides.append((slot, tok_dev))
             else:
                 first_tok = self.engine.prefill_to_slot(
-                    prompt, slot, self._next_key(), scfg1
+                    prompt, slot, self._next_key(), scfg1,
+                    adapter_id=req.config.adapter_id,
                 )
                 req.profile.first_token_time = time.monotonic()
                 req.profile.llm_decoding_steps = 1
@@ -204,6 +211,7 @@ class RequestManager:
             self._temperature[slot] = req.config.temperature
             self._top_p[slot] = req.config.top_p
             self._top_k[slot] = req.config.top_k
+            self._adapter[slot] = req.config.adapter_id
             self._log(f"[RM] admit guid={req.guid} slot={slot} "
                       f"prompt_len={len(req.prompt_tokens)}")
             if not self.pipelined and self._finished(req, first_tok):
@@ -226,6 +234,7 @@ class RequestManager:
         req.profile.finish_time = time.monotonic()
         self._slots[slot] = None
         self._cache_lens[slot] = 0
+        self._adapter[slot] = -1
         self._num_processed += 1
         self._log(
             f"[Profile] guid({req.guid}) llm_decoding_steps("
@@ -284,7 +293,8 @@ class RequestManager:
             self._feedback_overrides = []
             lens = self._cache_lens.copy()
             out_dev = self.engine.decode_horizon_async(
-                lens, tokens_in, self._next_key(), scfg, n
+                lens, tokens_in, self._next_key(), scfg, n,
+                adapter_ids=self._adapter,
             )
             entries = [(s, self._slots[s]) for s in active]
             for s in active:
@@ -318,11 +328,13 @@ class RequestManager:
         n = self.decode_horizon
         if n == 1:
             horizon_tokens = self.engine.decode(
-                self._cache_lens, self._tokens, self._next_key(), scfg
+                self._cache_lens, self._tokens, self._next_key(), scfg,
+                adapter_ids=self._adapter,
             )[None, :]
         else:
             horizon_tokens = self.engine.decode_horizon(
-                self._cache_lens, self._tokens, self._next_key(), scfg, n
+                self._cache_lens, self._tokens, self._next_key(), scfg, n,
+                adapter_ids=self._adapter,
             )  # [n, B]
         self._steps += n
         for slot in active:
@@ -344,9 +356,27 @@ class RequestManager:
     # serving loops (reference serve_incr_decoding, request_manager.cc:3012)
     # ------------------------------------------------------------------
 
+    def register_finetune(self, session) -> None:
+        """Queue a LoRA finetuning session to run alongside serving
+        (reference: PEFT finetuning request queue, request_manager.cc
+        PEFT slot in prepare_next_batch)."""
+        self._finetune_queue.append(session)
+
+    def _finetune_tick(self) -> bool:
+        if not self._finetune_queue:
+            return False
+        session = self._finetune_queue[0]
+        done = session.tick(self.engine)
+        if done:
+            self._finetune_queue.pop(0)
+        return True
+
     def run_until_idle(self) -> None:
-        while self.step() or not self._pending.empty():
-            pass
+        while True:
+            busy = self.step()
+            busy |= self._finetune_tick()
+            if not busy and self._pending.empty():
+                break
 
     def generate(
         self,
