@@ -1,0 +1,25 @@
+"""Keras-compatible frontend.
+
+TPU-native mirror of the reference's Keras frontend
+(/root/reference/python/flexflow/keras/ — ``models/{model,sequential}.py``,
+``layers/{core,convolutional,normalization,merge,pool}.py``): a familiar
+Sequential/functional API that lowers onto the FFModel DSL and its fused
+jitted training step.
+"""
+
+from flexflow_tpu.keras.layers import (  # noqa: F401
+    Activation,
+    Add,
+    AveragePooling2D,
+    BatchNormalization,
+    Concatenate,
+    Conv2D,
+    Dense,
+    Dropout,
+    Embedding,
+    Flatten,
+    Input,
+    MaxPooling2D,
+)
+from flexflow_tpu.keras.models import Model, Sequential  # noqa: F401
+from flexflow_tpu.keras.optimizers import SGD, Adam  # noqa: F401

@@ -105,3 +105,25 @@ def test_fit_and_evaluate():
     res = tr.evaluate(_data(n=2, seed=1))
     assert "loss" in res and "accuracy" in res
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_dataloader_sharded():
+    from flexflow_tpu.parallel import make_mesh
+    from flexflow_tpu.training.dataloader import SingleDataLoader
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(40, 8).astype(np.float32)
+    y = rng.randint(0, 4, 40).astype(np.int32)
+    mesh = make_mesh(data=4)
+    dl = SingleDataLoader([x, y], batch_size=8, mesh=mesh, seed=3)
+    assert dl.num_batches == 5
+    seen = 0
+    for bx, by in dl:
+        assert bx.shape == (8, 8) and by.shape == (8,)
+        assert len(bx.sharding.device_set) == 4
+        seen += 1
+    assert seen == 5
+    # shuffling differs across epochs but covers all data
+    all1 = np.concatenate([np.asarray(b[1]) for b in dl.epoch()])
+    all2 = np.concatenate([np.asarray(b[1]) for b in dl.epoch()])
+    assert sorted(all1.tolist()) == sorted(all2.tolist())
