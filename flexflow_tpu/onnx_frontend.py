@@ -1,0 +1,185 @@
+"""ONNX frontend: ONNX graph -> FFModel DSL (+ initializer weights).
+
+TPU-native mirror of the reference's ONNX frontend
+(/root/reference/python/flexflow/onnx/model.py — ONNX graph to FFModel op
+list). Requires the ``onnx`` package at call time (not a hard dependency of
+the framework); tests skip when it is absent in the environment.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from flexflow_tpu.ffmodel import FFModel
+
+
+def _attr(node, name, default=None):
+    for a in node.attribute:
+        if a.name == name:
+            if a.type == 1:
+                return a.f
+            if a.type == 2:
+                return a.i
+            if a.type == 7:
+                return list(a.ints)
+            if a.type == 6:
+                return list(a.floats)
+            if a.type == 3:
+                return a.s.decode()
+    return default
+
+
+def from_onnx_model(
+    model_or_path,
+    *,
+    batch_size: int = 32,
+) -> FFModel:
+    """Build an FFModel from an onnx.ModelProto (or a path to a .onnx file).
+
+    Initializer weights transfer into the DSL params via
+    :func:`apply_onnx_weights` after ``compile()``.
+    """
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "the onnx frontend requires the 'onnx' package"
+        ) from e
+
+    model = (
+        onnx.load(model_or_path)
+        if isinstance(model_or_path, str)
+        else model_or_path
+    )
+    graph = model.graph
+    inits: Dict[str, np.ndarray] = {
+        i.name: numpy_helper.to_array(i) for i in graph.initializer
+    }
+
+    ff = FFModel()
+    env: Dict[str, Any] = {}
+    weight_loads = []
+
+    for vi in graph.input:
+        if vi.name in inits:
+            continue
+        dims = [
+            d.dim_value if d.dim_value > 0 else batch_size
+            for d in vi.type.tensor_type.shape.dim
+        ]
+        dims[0] = batch_size
+        env[vi.name] = ff.create_tensor(tuple(dims))
+
+    for node in graph.node:
+        op = node.op_type
+        ins = node.input
+        x = env.get(ins[0])
+        if op == "Gemm":
+            w = inits[ins[1]]
+            trans_b = _attr(node, "transB", 0)
+            w_np = w.T if trans_b else w
+            out_dim = w_np.shape[1]
+            b_np = inits.get(ins[2]) if len(ins) > 2 else None
+            t = ff.dense(x, out_dim, use_bias=b_np is not None, name=node.name or ins[1])
+            name = ff._nodes[t.node].name
+            weight_loads.append((name, w_np.astype(np.float32),
+                                 None if b_np is None else b_np.astype(np.float32)))
+            env[node.output[0]] = t
+        elif op == "MatMul":
+            if ins[1] in inits:
+                w_np = inits[ins[1]]
+                t = ff.dense(x, w_np.shape[-1], use_bias=False,
+                             name=node.name or ins[1])
+                name = ff._nodes[t.node].name
+                weight_loads.append((name, w_np.astype(np.float32), None))
+                env[node.output[0]] = t
+            else:
+                env[node.output[0]] = ff.batch_matmul(x, env[ins[1]])
+        elif op == "Conv":
+            w = inits[ins[1]]
+            strides = _attr(node, "strides", [1, 1])
+            pads = _attr(node, "pads", [0, 0, 0, 0])
+            group = _attr(node, "group", 1)
+            b_np = inits.get(ins[2]) if len(ins) > 2 else None
+            t = ff.conv2d(x, w.shape[0], w.shape[2], w.shape[3],
+                          strides[0], strides[1], pads[0], pads[1],
+                          groups=group, use_bias=b_np is not None,
+                          name=node.name or ins[1])
+            name = ff._nodes[t.node].name
+            weight_loads.append(
+                (name, w.astype(np.float32),
+                 None if b_np is None else b_np.astype(np.float32)))
+            env[node.output[0]] = t
+        elif op in ("MaxPool", "AveragePool"):
+            kernel = _attr(node, "kernel_shape")
+            strides = _attr(node, "strides", kernel)
+            pads = _attr(node, "pads", [0, 0, 0, 0])
+            env[node.output[0]] = ff.pool2d(
+                x, kernel[0], kernel[1], strides[0], strides[1],
+                pads[0], pads[1],
+                "max" if op == "MaxPool" else "avg", name=node.name)
+        elif op == "BatchNormalization":
+            eps = _attr(node, "epsilon", 1e-5)
+            t = ff.batch_norm(x, relu=False, eps=eps, name=node.name or ins[1])
+            name = ff._nodes[t.node].name
+            weight_loads.append(
+                (name, {"scale": inits[ins[1]], "bias": inits[ins[2]],
+                        "__state__": {"mean": inits[ins[3]],
+                                      "var": inits[ins[4]]}}, None))
+            env[node.output[0]] = t
+        elif op == "Relu":
+            env[node.output[0]] = ff.relu(x)
+        elif op == "Sigmoid":
+            env[node.output[0]] = ff.sigmoid(x)
+        elif op == "Tanh":
+            env[node.output[0]] = ff.tanh(x)
+        elif op == "Softmax":
+            env[node.output[0]] = ff.softmax(x, axis=_attr(node, "axis", -1))
+        elif op == "Add":
+            env[node.output[0]] = ff.add(x, env[ins[1]])
+        elif op == "Sub":
+            env[node.output[0]] = ff.subtract(x, env[ins[1]])
+        elif op == "Mul":
+            env[node.output[0]] = ff.multiply(x, env[ins[1]])
+        elif op == "Concat":
+            env[node.output[0]] = ff.concat(
+                [env[i] for i in ins], axis=_attr(node, "axis", 0))
+        elif op == "Flatten":
+            env[node.output[0]] = ff.flat(x)
+        elif op == "Reshape":
+            shape = inits[ins[1]].tolist()
+            total = int(np.prod(x.shape))
+            shape = [s if s != 0 else x.shape[i] for i, s in enumerate(shape)]
+            if -1 in shape:
+                known = int(np.prod([s for s in shape if s != -1]))
+                shape[shape.index(-1)] = total // known
+            env[node.output[0]] = ff.reshape(x, shape)
+        elif op == "Transpose":
+            env[node.output[0]] = ff.transpose(x, _attr(node, "perm"))
+        elif op in ("Dropout", "Identity"):
+            env[node.output[0]] = x
+        else:
+            raise NotImplementedError(f"ONNX op {op}")
+
+    ff._onnx_weight_loads = weight_loads
+    return ff
+
+
+def apply_onnx_weights(ff: FFModel) -> None:
+    """After ff.compile(): overwrite initialized params with ONNX weights."""
+    for name, w, b in getattr(ff, "_onnx_weight_loads", []):
+        if isinstance(w, dict):
+            state = w.pop("__state__", None)
+            ff.params[name] = {k: jnp.asarray(v) for k, v in w.items()}
+            if state:
+                ff.state[name] = {k: jnp.asarray(v) for k, v in state.items()}
+            continue
+        p = {"w": jnp.asarray(w)}
+        if b is not None:
+            p["b"] = jnp.asarray(b)
+        ff.params[name] = p

@@ -1,0 +1,254 @@
+"""PyTorch frontend: torch.fx symbolic trace -> FFModel DSL graph (+weights).
+
+TPU-native mirror of the reference's torch frontend
+(/root/reference/python/flexflow/torch/model.py:29,173,873 — ``torch.fx``
+symbolic trace serialized to an op list and rebuilt as FFModel ops). Beyond
+the reference, weights are transferred so the imported model is numerically
+identical to the torch module (verified in tests/test_torch_frontend.py).
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any, Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from flexflow_tpu.ffmodel import FFModel
+from flexflow_tpu.ffmodel.model import Tensor
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def from_torch_module(
+    module,
+    input_shapes: Sequence[Tuple[int, ...]],
+    *,
+    batch_size: int = 32,
+    input_dtypes: Sequence[Any] = (),
+    transfer_weights: bool = True,
+) -> FFModel:
+    """Trace a ``torch.nn.Module`` into a (compiled-ready) FFModel.
+
+    ``input_shapes`` exclude the batch dim. Call ``ff.compile(...)`` on the
+    result; pass ``transfer_weights=False`` to keep fresh initialization.
+    """
+    import torch
+    import torch.fx
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    gm = torch.fx.symbolic_trace(module)
+    ff = FFModel()
+    env: Dict[str, Any] = {}
+    weight_loads = []  # (dsl_node_name, loader_fn)
+    in_iter = iter(range(len(input_shapes)))
+    dtypes = list(input_dtypes) or [jnp.float32] * len(input_shapes)
+
+    def t(x):
+        """fx arg -> DSL tensor or python value."""
+        if isinstance(x, torch.fx.Node):
+            return env[x.name]
+        return x
+
+    def mark(node, out):
+        env[node.name] = out
+
+    for node in gm.graph.nodes:
+        if node.op == "placeholder":
+            i = next(in_iter)
+            mark(node, ff.create_tensor(
+                (batch_size,) + tuple(input_shapes[i]), dtypes[i]))
+        elif node.op == "call_module":
+            sub = gm.get_submodule(node.target)
+            x = t(node.args[0])
+            if isinstance(sub, tnn.Linear):
+                out = ff.dense(x, sub.out_features,
+                               use_bias=sub.bias is not None, name=node.name)
+                if transfer_weights:
+                    weight_loads.append((node.name, _linear_loader(sub)))
+            elif isinstance(sub, tnn.Conv2d):
+                ph, pw = _pair(sub.padding)
+                sh, sw = _pair(sub.stride)
+                kh, kw = _pair(sub.kernel_size)
+                out = ff.conv2d(x, sub.out_channels, kh, kw, sh, sw, ph, pw,
+                                groups=sub.groups,
+                                use_bias=sub.bias is not None, name=node.name)
+                if transfer_weights:
+                    weight_loads.append((node.name, _conv_loader(sub)))
+            elif isinstance(sub, tnn.MaxPool2d):
+                kh, kw = _pair(sub.kernel_size)
+                sh, sw = _pair(sub.stride or sub.kernel_size)
+                ph, pw = _pair(sub.padding)
+                out = ff.pool2d(x, kh, kw, sh, sw, ph, pw, "max", name=node.name)
+            elif isinstance(sub, tnn.AvgPool2d):
+                kh, kw = _pair(sub.kernel_size)
+                sh, sw = _pair(sub.stride or sub.kernel_size)
+                ph, pw = _pair(sub.padding)
+                out = ff.pool2d(x, kh, kw, sh, sw, ph, pw, "avg", name=node.name)
+            elif isinstance(sub, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+                out = ff.batch_norm(x, relu=False, momentum=1 - sub.momentum,
+                                    eps=sub.eps, name=node.name)
+                if transfer_weights:
+                    weight_loads.append((node.name, _bn_loader(sub)))
+            elif isinstance(sub, tnn.LayerNorm):
+                out = ff.layer_norm(x, eps=sub.eps,
+                                    elementwise_affine=sub.elementwise_affine,
+                                    name=node.name)
+                if transfer_weights and sub.elementwise_affine:
+                    weight_loads.append((node.name, _ln_loader(sub)))
+            elif isinstance(sub, tnn.Embedding):
+                out = ff.embedding(x, sub.num_embeddings, sub.embedding_dim,
+                                   name=node.name)
+                if transfer_weights:
+                    weight_loads.append(
+                        (node.name,
+                         lambda s=sub: {"w": jnp.asarray(
+                             s.weight.detach().numpy())}))
+            elif isinstance(sub, tnn.ReLU):
+                out = ff.relu(x)
+            elif isinstance(sub, tnn.Sigmoid):
+                out = ff.sigmoid(x)
+            elif isinstance(sub, tnn.Tanh):
+                out = ff.tanh(x)
+            elif isinstance(sub, tnn.GELU):
+                out = ff.gelu(x)
+            elif isinstance(sub, tnn.Softmax):
+                out = ff.softmax(x, axis=sub.dim if sub.dim is not None else -1)
+            elif isinstance(sub, tnn.Dropout):
+                out = ff.dropout(x, sub.p, name=node.name)
+            elif isinstance(sub, tnn.Flatten):
+                out = ff.flat(x)
+            elif isinstance(sub, tnn.Identity):
+                out = x
+            else:
+                raise NotImplementedError(f"torch module {type(sub).__name__}")
+            mark(node, out)
+        elif node.op == "call_function":
+            fn = node.target
+            args = [t(a) for a in node.args]
+            if fn in (operator.add, torch.add):
+                out = (ff.add(args[0], args[1])
+                       if isinstance(args[1], Tensor)
+                       else ff.scalar_add(args[0], float(args[1])))
+            elif fn in (operator.sub, torch.sub):
+                out = (ff.subtract(args[0], args[1])
+                       if isinstance(args[1], Tensor)
+                       else ff.scalar_sub(args[0], float(args[1])))
+            elif fn in (operator.mul, torch.mul):
+                out = (ff.multiply(args[0], args[1])
+                       if isinstance(args[1], Tensor)
+                       else ff.scalar_multiply(args[0], float(args[1])))
+            elif fn in (operator.truediv, torch.div):
+                out = (ff.divide(args[0], args[1])
+                       if isinstance(args[1], Tensor)
+                       else ff.scalar_true_divide(args[0], float(args[1])))
+            elif fn is F.relu or fn is torch.relu:
+                out = ff.relu(args[0])
+            elif fn is torch.sigmoid or fn is F.sigmoid:
+                out = ff.sigmoid(args[0])
+            elif fn is torch.tanh or fn is F.tanh:
+                out = ff.tanh(args[0])
+            elif fn is F.gelu:
+                out = ff.gelu(args[0])
+            elif fn is F.softmax or fn is torch.softmax:
+                dim = node.kwargs.get("dim", node.args[1] if len(node.args) > 1 else -1)
+                out = ff.softmax(args[0], axis=dim)
+            elif fn is torch.flatten:
+                out = ff.flat(args[0])
+            elif fn is torch.cat:
+                dim = node.kwargs.get("dim", node.args[1] if len(node.args) > 1 else 0)
+                out = ff.concat([t(a) for a in node.args[0]], axis=dim)
+            elif fn is torch.exp:
+                out = ff.exp(args[0])
+            elif fn is torch.matmul:
+                out = ff.batch_matmul(args[0], args[1])
+            else:
+                raise NotImplementedError(f"torch function {fn}")
+            mark(node, out)
+        elif node.op == "call_method":
+            x = t(node.args[0])
+            m = node.target
+            if m == "view" or m == "reshape":
+                shape = [a if a != -1 else -1 for a in node.args[1:]]
+                concrete = list(shape)
+                if -1 in concrete:
+                    known = int(np.prod([s for s in concrete if s != -1]))
+                    total = int(np.prod(x.shape))
+                    concrete[concrete.index(-1)] = total // abs(known)
+                out = ff.reshape(x, concrete)
+            elif m == "flatten":
+                out = ff.flat(x)
+            elif m in ("transpose",):
+                d0, d1 = node.args[1], node.args[2]
+                perm = list(range(x.ndim))
+                perm[d0], perm[d1] = perm[d1], perm[d0]
+                out = ff.transpose(x, perm)
+            elif m == "permute":
+                out = ff.transpose(x, list(node.args[1:]))
+            elif m == "relu":
+                out = ff.relu(x)
+            else:
+                raise NotImplementedError(f"torch method {m}")
+            mark(node, out)
+        elif node.op == "get_attr":
+            raise NotImplementedError("get_attr tensors not supported")
+        elif node.op == "output":
+            pass
+
+    ff._torch_weight_loads = weight_loads
+    return ff
+
+
+def apply_torch_weights(ff: FFModel) -> None:
+    """After ff.compile(): overwrite initialized params with torch weights."""
+    for name, loader in getattr(ff, "_torch_weight_loads", []):
+        out = loader()
+        state = out.pop("__state__", None)
+        ff.params[name] = out
+        if state:
+            ff.state[name] = state
+
+
+def _linear_loader(sub):
+    def load():
+        p = {"w": jnp.asarray(sub.weight.detach().numpy().T)}
+        if sub.bias is not None:
+            p["b"] = jnp.asarray(sub.bias.detach().numpy())
+        return p
+    return load
+
+
+def _conv_loader(sub):
+    def load():
+        p = {"w": jnp.asarray(sub.weight.detach().numpy())}
+        if sub.bias is not None:
+            p["b"] = jnp.asarray(sub.bias.detach().numpy())
+        return p
+    return load
+
+
+def _bn_loader(sub):
+    def load():
+        return {
+            "scale": jnp.asarray(sub.weight.detach().numpy()),
+            "bias": jnp.asarray(sub.bias.detach().numpy()),
+            "__state__": {
+                "mean": jnp.asarray(sub.running_mean.detach().numpy()),
+                "var": jnp.asarray(sub.running_var.detach().numpy()),
+            },
+        }
+    return load
+
+
+def _ln_loader(sub):
+    def load():
+        p = {"scale": jnp.asarray(sub.weight.detach().numpy())}
+        if sub.bias is not None:
+            p["bias"] = jnp.asarray(sub.bias.detach().numpy())
+        return p
+    return load

@@ -1,0 +1,101 @@
+"""torch.fx frontend tests: imported models must match torch numerically
+(the reference's align-test philosophy applied to the frontend)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from flexflow_tpu.torch_frontend import apply_torch_weights, from_torch_module  # noqa: E402
+
+
+def _compare(module, input_shapes, batch=4, atol=1e-4):
+    torch.manual_seed(0)
+    module = module.eval()
+    ff = from_torch_module(module, input_shapes, batch_size=batch)
+    ff.compile(optimizer=None)
+    apply_torch_weights(ff)
+    rng = np.random.RandomState(0)
+    xs = [rng.randn(batch, *s).astype(np.float32) for s in input_shapes]
+    with torch.no_grad():
+        want = module(*[torch.tensor(x) for x in xs]).numpy()
+    got = ff.forward(xs)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+    return ff
+
+
+def test_mlp():
+    class MLP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(16, 32)
+            self.fc2 = tnn.Linear(32, 4)
+
+        def forward(self, x):
+            return self.fc2(F.relu(self.fc1(x)))
+
+    _compare(MLP(), [(16,)])
+
+
+def test_cnn_with_bn():
+    class CNN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(1, 8, 3, padding=1)
+            self.bn = tnn.BatchNorm2d(8)
+            self.pool = tnn.MaxPool2d(2)
+            self.conv2 = tnn.Conv2d(8, 4, 3, padding=1)
+            self.fc = tnn.Linear(4 * 4 * 4, 3)
+
+        def forward(self, x):
+            x = self.pool(F.relu(self.bn(self.conv1(x))))
+            x = torch.flatten(self.conv2(x), 1)
+            return self.fc(x)
+
+    # perturb BN running stats so eval mode actually uses them
+    m = CNN()
+    with torch.no_grad():
+        m.bn.running_mean.add_(0.3)
+        m.bn.running_var.mul_(1.7)
+    _compare(m, [(1, 8, 8)])
+
+
+def test_residual_and_methods():
+    class Res(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(8, 8)
+            self.fc2 = tnn.Linear(8, 8)
+
+        def forward(self, x):
+            h = torch.relu(self.fc1(x))
+            h = h + x
+            h = self.fc2(h) * 2.0
+            return h.reshape(-1, 8)
+
+    _compare(Res(), [(8,)])
+
+
+def test_imported_model_trains():
+    class MLP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(16, 32)
+            self.fc2 = tnn.Linear(32, 4)
+
+        def forward(self, x):
+            return self.fc2(torch.relu(self.fc1(x)))
+
+    from flexflow_tpu.ffmodel import AdamOptimizer
+
+    ff = from_torch_module(MLP(), [(16,)], batch_size=32)
+    ff.compile(optimizer=AdamOptimizer(lr=1e-2))
+    apply_torch_weights(ff)
+    rng = np.random.RandomState(0)
+    w = rng.randn(16, 4)
+    x = rng.randn(256, 16).astype(np.float32)
+    y = (x @ w).argmax(-1).astype(np.int32)
+    hist = ff.fit(x, y, batch_size=32, epochs=10)
+    assert hist[-1]["accuracy"] > 0.85
