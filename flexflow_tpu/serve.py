@@ -88,7 +88,6 @@ class LLM:
         ssms: Sequence["SSM"] = (),
     ) -> None:
         """Load weights, build the engine (+ optional speculative pipeline)."""
-        del max_tokens_per_batch  # prefill buckets replace the token budget
         for s in ssms:
             self.register_ssm(s)
 
@@ -125,6 +124,11 @@ class LLM:
                 self.spec, self.params,
                 max_requests_per_batch=max_requests_per_batch,
                 max_seq_len=max_seq_length,
+                max_tokens_per_batch=(
+                    max_tokens_per_batch
+                    if max_tokens_per_batch < max_seq_length
+                    else 0
+                ),
                 cache_dtype=self.dtype,
             )
             self.rm = RequestManager(engine)

@@ -54,6 +54,7 @@ class InferenceEngine:
         *,
         max_requests_per_batch: int = 8,
         max_seq_len: int = 256,
+        max_tokens_per_batch: int = 0,  # >0 enables chunked prefill
         min_prefill_bucket: int = 16,
         cache_dtype=jnp.bfloat16,
         donate_cache: bool = True,
@@ -77,6 +78,7 @@ class InferenceEngine:
             self.num_adapters = 0
         self.max_requests = max_requests_per_batch
         self.max_seq_len = max_seq_len
+        self.max_tokens_per_batch = max_tokens_per_batch
         self.min_prefill_bucket = min_prefill_bucket
         self.cache = decoder.init_kv_cache(
             spec, max_requests_per_batch, max_seq_len, cache_dtype
@@ -183,12 +185,46 @@ class InferenceEngine:
         def sample_fn(logits, key, scfg):
             return sampling_lib.sample(logits[None], key, scfg)[0]
 
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def chunk_prefill_fn(params, ck_slot, cv_slot, lens1, tokens, lora, onehot1):
+            """One prompt chunk [1, C] against a single-slot cache view.
+
+            Chunked prefill (reference token-budget prompt phase,
+            request_manager.cc:860-940 get_max_verify_tokens_per_batch /
+            batch token budgeting): the default causal tree-mask +
+            committed-prefix mask in forward_cached IS the chunked-prefill
+            attention pattern.
+            """
+            logits, cache = decoder.forward_cached(
+                self.spec, params, tokens,
+                KVCache(ck_slot, cv_slot), lens1,
+                lora=lora, adapter_onehot=onehot1,
+                lora_scale=self.lora_scale,
+            )
+            return logits, cache.k, cache.v
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_slot_fn(cache: KVCache, ck_slot, cv_slot, slot):
+            k = jax.lax.dynamic_update_slice_in_dim(cache.k, ck_slot, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache.v, cv_slot, slot, axis=1)
+            return KVCache(k, v)
+
+        @jax.jit
+        def read_slot_fn(cache: KVCache, slot):
+            return (
+                jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+                jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+            )
+
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._prefill_insert = prefill_insert_fn
         self._decode = decode_fn
         self._decode_n = decode_n_fn
         self._sample = sample_fn
+        self._chunk_prefill = chunk_prefill_fn
+        self._write_slot = write_slot_fn
+        self._read_slot = read_slot_fn
 
     # ------------------------------------------------------------------
     # host-facing API (used by the RequestManager)
@@ -256,6 +292,10 @@ class InferenceEngine:
             raise ValueError(
                 f"prompt length {n} exceeds max_seq_len {self.max_seq_len}"
             )
+        if self.max_tokens_per_batch and n > self.max_tokens_per_batch:
+            return self._chunked_prefill_to_slot(
+                prompt_tokens, slot, key, scfg1, adapter_id
+            )
         bucket = self.prefill_bucket(n)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt_tokens
@@ -271,6 +311,37 @@ class InferenceEngine:
             self._onehot([adapter_id]) if self.lora is not None else None,
             greedy_only=self._greedy_only(scfg1),
         )
+        return tok
+
+    def _chunked_prefill_to_slot(
+        self, prompt_tokens: np.ndarray, slot: int, key: jax.Array,
+        scfg1: SamplingConfig, adapter_id: int = -1,
+    ):
+        """Token-budgeted prompt processing: chunks of max_tokens_per_batch
+        against a single-slot cache view (reference chunked prefill,
+        request_manager.cc:860-940). Returns the first token (device)."""
+        c = self.max_tokens_per_batch
+        ck, cv = self._read_slot(self.cache, jnp.int32(slot))
+        onehot1 = self._onehot([adapter_id]) if self.lora is not None else None
+        n = len(prompt_tokens)
+        logits = None
+        done = 0
+        while done < n:
+            m = min(c, n - done)
+            padded = np.zeros((1, c), np.int32)
+            padded[0, :m] = prompt_tokens[done:done + m]
+            # clamp padding rows' writes: positions beyond the prompt are
+            # scratch (never attended: lens only ever advances past written
+            # positions)
+            logits, ck, cv = self._chunk_prefill(
+                self.params, ck, cv,
+                jnp.full((1,), done, jnp.int32), jnp.asarray(padded),
+                self.lora, onehot1,
+            )
+            last_valid = m - 1
+            done += m
+        self.cache = self._write_slot(self.cache, ck, cv, jnp.int32(slot))
+        tok = self._sample(logits[0, last_valid], key, scfg1)
         return tok
 
     def prefill_to_slot(

@@ -1,0 +1,129 @@
+"""Auxiliary subsystem tests: debug dumps, HTTP endpoint, trace generator +
+request-rate replay (reference §5 aux subsystems)."""
+
+import json
+import os
+import sys
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import decoder, params as params_lib
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+from flexflow_tpu.utils.debug_dump import DebugDumper, forward_with_traces
+
+TINY = specs.ModelSpec(
+    arch="LlamaForCausalLM",
+    vocab_size=96,
+    hidden_size=64,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=128,
+    norm_eps=1e-6,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return params_lib.init_params(TINY, jax.random.PRNGKey(0))
+
+
+def test_debug_traces_match_forward(tiny_params, tmp_path):
+    tokens = jnp.asarray([[3, 17, 91, 5]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    want, _ = decoder.forward(TINY, tiny_params, tokens, pos)
+    got, traces = forward_with_traces(TINY, tiny_params, tokens, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    for l in range(TINY.num_layers):
+        for key in ("q_proj", "attn_output", "output"):
+            assert f"layers.{l}.{key}" in traces
+
+    dumper = DebugDumper(str(tmp_path))
+    d = dumper.dump_step(traces)
+    f = os.path.join(d, "layers.0.attn_output", "shard_0.npy")
+    assert os.path.exists(f)
+    arr = np.load(f)
+    np.testing.assert_allclose(arr, np.asarray(traces["layers.0.attn_output"]))
+    assert dumper.dump_step(traces).endswith("fwd_step_1")
+
+
+def test_trace_generator_and_replay(tiny_params):
+    from benchmarks.generate_trace import generate_trace
+    from benchmarks.req_rate_benchmark import run_trace, summarize
+
+    trace = generate_trace(arrival_rate=50.0, duration_s=0.2,
+                           prompt_len_mean=6, output_len_mean=5, max_len=32,
+                           seed=0)
+    assert len(trace) > 1
+    engine = InferenceEngine(
+        TINY, tiny_params, max_requests_per_batch=4, max_seq_len=64,
+        cache_dtype=jnp.float32,
+    )
+    rm = RequestManager(engine)
+    import time
+    t0 = time.monotonic()
+    reqs = run_trace(rm, trace, TINY.vocab_size, time_scale=0.1)
+    stats = summarize(reqs, time.monotonic() - t0)
+    assert stats["requests"] == len(trace)
+    assert stats["output_tokens"] > 0
+    assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
+
+
+def test_http_server(tiny_params, tmp_path):
+    """Serve a tiny model through the stdlib endpoint and round-trip JSON."""
+
+    class _FakeTok:
+        def __call__(self, p, return_tensors=None):
+            return {"input_ids": [ord(c) % TINY.vocab_size for c in p]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(32 + (i % 90)) for i in ids)
+
+    from flexflow_tpu.serve import LLM
+
+    class _FakeLLM:
+        """Minimal LLM duck-type (real tokenizer files unavailable offline)."""
+
+        output_file = ""
+
+        def __init__(self):
+            engine = InferenceEngine(
+                TINY, tiny_params, max_requests_per_batch=2, max_seq_len=64,
+                cache_dtype=jnp.float32,
+            )
+            self.rm = RequestManager(engine)
+            self.tokenizer = _FakeTok()
+
+        def generate(self, prompts, **kw):
+            return LLM.generate(self, prompts, **kw)
+
+    from inference.entrypoint.http_server import serve
+
+    llm = _FakeLLM()
+    server = serve(llm, port=0)
+    port = server.server_address[1]
+    try:
+        body = json.dumps({"prompt": "hi there", "max_new_tokens": 5}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert len(out["output_tokens"]) == 5
+        assert isinstance(out["output"], str)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=10
+        ) as resp:
+            assert resp.read() == b"ok"
+    finally:
+        server.shutdown()

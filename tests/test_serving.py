@@ -184,3 +184,26 @@ def test_pipelined_overflow_queue(tiny_params):
         for r in rm.generate(prompts, GenerationConfig(max_new_tokens=6))
     ]
     assert got == want
+
+
+def test_chunked_prefill_matches(tiny_params):
+    prompt = list(range(2, 30))  # 28 tokens, chunk budget 8 -> 4 chunks
+    base = RequestManager(make_engine(tiny_params))
+    [want] = base.generate([prompt], GenerationConfig(max_new_tokens=8))
+
+    chunked_engine = InferenceEngine(
+        TINY, tiny_params, max_requests_per_batch=4, max_seq_len=64,
+        max_tokens_per_batch=8, cache_dtype=jnp.float32,
+    )
+    rm = RequestManager(chunked_engine)
+    [got] = rm.generate([prompt], GenerationConfig(max_new_tokens=8))
+    assert got.output_tokens == want.output_tokens
+
+    # pipelined path also takes the chunked route
+    chunked2 = InferenceEngine(
+        TINY, tiny_params, max_requests_per_batch=4, max_seq_len=64,
+        max_tokens_per_batch=8, cache_dtype=jnp.float32,
+    )
+    rm2 = RequestManager(chunked2, decode_horizon=4, pipelined=True)
+    [got2] = rm2.generate([prompt], GenerationConfig(max_new_tokens=8))
+    assert got2.output_tokens == want.output_tokens
