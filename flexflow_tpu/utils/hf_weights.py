@@ -38,6 +38,17 @@ class LazyStateDict:
 
         st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
         if st_files:
+            # prefer the native mmap reader (zero-copy; native/safetensors_reader.cc)
+            from flexflow_tpu.utils import native_safetensors
+
+            if native_safetensors.available():
+                self._mode = "native"
+                for f in st_files:
+                    nf = native_safetensors.NativeSafetensors(f)
+                    self._open_files[f] = nf
+                    for name in nf.keys():
+                        self._index[name] = f
+                return
             from safetensors import safe_open
 
             for f in st_files:
@@ -68,6 +79,8 @@ class LazyStateDict:
 
     def __getitem__(self, name: str) -> np.ndarray:
         f = self._index[name]
+        if self._mode == "native":
+            return self._open_files[f][name]
         if self._mode == "safetensors":
             if f not in self._open_files:
                 self._open_files[f] = self._safe_open(f, framework="np")
