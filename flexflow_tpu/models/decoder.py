@@ -186,6 +186,17 @@ def _moe_mlp(spec: ModelSpec, p: Params, h):
     router_logits = jnp.tensordot(
         h.astype(jnp.float32), p["router"].astype(jnp.float32), axes=1
     )  # [B, T, E]
+    if moe.impl == "ragged":
+        from flexflow_tpu.ops.moe import moe_ffn_ragged
+
+        b, t, d = h.shape
+        out = moe_ffn_ragged(
+            h.reshape(b * t, d),
+            router_logits.reshape(b * t, -1),
+            as_array(p["wg"]), as_array(p["wu"]), as_array(p["wd"]),
+            moe.top_k,
+        )
+        return _tp_reduce(out.reshape(b, t, d)).astype(h.dtype)
     probs = jax.nn.softmax(router_logits, axis=-1)
     topw, topi = jax.lax.top_k(probs, moe.top_k)  # [B, T, K]
     topw = topw / jnp.sum(topw, axis=-1, keepdims=True)

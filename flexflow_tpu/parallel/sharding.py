@@ -67,6 +67,16 @@ _MOE_RULES: Dict[str, P] = {
     "wd": P(None, None, MODEL_AXIS, None),
 }
 
+# Expert parallelism: shard the expert axis [L, E, ...] over the model axis
+# instead of TP-within-expert (reference EP: GroupBy/Experts/Aggregate place
+# expert FFNs on distinct devices, examples/cpp/mixture_of_experts +
+# inference/models/mixtral.cc:232-320; GSPMD inserts the token movement).
+_MOE_EP_RULES: Dict[str, P] = {
+    "wg": P(None, MODEL_AXIS, None, None),
+    "wu": P(None, MODEL_AXIS, None, None),
+    "wd": P(None, MODEL_AXIS, None, None),
+}
+
 _TOP_RULES: Dict[str, P] = {
     "embed_tokens": P(MODEL_AXIS, None),  # vocab-parallel
     "embed_pos": P(None, None),
@@ -104,8 +114,13 @@ _QUANT_RULES: Dict[str, P] = {
 }
 
 
-def param_shardings(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
-    """Pytree of NamedShardings matching the params pytree (quantized or not)."""
+def param_shardings(
+    spec: ModelSpec, params: Any, mesh: Mesh, *, expert_parallel: bool = False
+) -> Any:
+    """Pytree of NamedShardings matching the params pytree (quantized or not).
+
+    ``expert_parallel=True`` shards MoE expert stacks over the model axis
+    (EP) instead of TP-within-expert."""
     moe = spec.moe is not None
 
     def leaf_spec(path, leaf) -> NamedSharding:
@@ -122,7 +137,7 @@ def param_shardings(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
         elif "layers" in names:
             rules = dict(_LAYER_RULES)
             if moe:
-                rules.update(_MOE_RULES)
+                rules.update(_MOE_EP_RULES if expert_parallel else _MOE_RULES)
             ps = rules.get(name, P())
         else:
             ps = _TOP_RULES.get(name, P())
@@ -148,6 +163,11 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_params(spec: ModelSpec, params: Any, mesh: Mesh) -> Any:
-    """Place a params pytree onto the mesh with TP shardings."""
-    return jax.device_put(params, param_shardings(spec, params, mesh))
+def shard_params(
+    spec: ModelSpec, params: Any, mesh: Mesh, *, expert_parallel: bool = False
+) -> Any:
+    """Place a params pytree onto the mesh with TP (or EP) shardings."""
+    return jax.device_put(
+        params,
+        param_shardings(spec, params, mesh, expert_parallel=expert_parallel),
+    )

@@ -33,6 +33,9 @@ class MoESpec:
     top_k: int
     # Router logits are computed in fp32 for numerical parity with HF.
     router_fp32: bool = True
+    # "dense": all-experts einsum masked by routing weights (exact, E/k x FLOPs)
+    # "ragged": sort-based dispatch + lax.ragged_dot grouped GEMMs (serving path)
+    impl: str = "dense"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -203,3 +203,36 @@ def test_mixtral():
     )
     cfg.architectures = ["MixtralForCausalLM"]
     _align(cfg, atol=5e-4)
+
+
+def test_mixtral_ragged_matches_dense():
+    """Sort+ragged_dot MoE dispatch must equal the dense masked compute."""
+    import dataclasses as _dc
+
+    import jax as _jax
+    from flexflow_tpu.models import decoder as _dec
+    from flexflow_tpu.models import params as _params
+
+    dense_spec = specs.ModelSpec(
+        arch="MixtralForCausalLM",
+        vocab_size=128,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        norm_eps=1e-6,
+        moe=specs.MoESpec(num_experts=4, top_k=2, impl="dense"),
+    )
+    ragged_spec = _dc.replace(
+        dense_spec, moe=specs.MoESpec(num_experts=4, top_k=2, impl="ragged")
+    )
+    params = _params.init_params(dense_spec, _jax.random.PRNGKey(0))
+    tokens = jnp.asarray([[3, 17, 91, 5, 8, 13]], jnp.int32)
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    want, _ = _dec.forward(dense_spec, params, tokens, pos)
+    got, _ = _dec.forward(ragged_spec, params, tokens, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)

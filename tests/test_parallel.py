@@ -102,3 +102,29 @@ def test_dp_tp_generation_matches(tiny_params):
     dp_tp = run(make_mesh(data=2, pipe=1, model=2))
     assert tp == base
     assert dp_tp == base
+
+
+def test_expert_parallel_moe():
+    moe_spec = specs.ModelSpec(
+        arch="MixtralForCausalLM",
+        vocab_size=128,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        intermediate_size=128,
+        norm_eps=1e-6,
+        moe=specs.MoESpec(num_experts=4, top_k=2),
+    )
+    params = params_lib.init_params(moe_spec, jax.random.PRNGKey(2))
+    want = _logits(moe_spec, params)
+
+    from flexflow_tpu.parallel.sharding import shard_params as sp
+
+    mesh = make_mesh(data=1, pipe=1, model=4)
+    ep = sp(moe_spec, params, mesh, expert_parallel=True)
+    shardings = param_shardings(moe_spec, params, mesh, expert_parallel=True)
+    assert shardings["layers"]["wg"].spec[1] == "model"  # expert axis sharded
+    got = _logits(moe_spec, ep)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
