@@ -1,0 +1,145 @@
+"""FFConfig — the framework's flag/config system.
+
+TPU-native mirror of the reference's FFConfig
+(/root/reference/include/flexflow/config.h:131-211 +
+``FFConfig::parse_args`` model.cc:4300-4636): training knobs, parallelism
+degrees, serving capacities, quantization, fusion/profiling toggles —
+settable from kwargs, environment (``FF_*``), or an argv-style parser.
+Legion resource flags (-ll:*) have no TPU analog and are accepted-ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence
+
+
+def _env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v not in ("0", "false", "False", "")
+
+
+@dataclasses.dataclass
+class FFConfig:
+    # training (reference -b/-e/-lr/--nodes)
+    batch_size: int = 64
+    epochs: int = 1
+    learning_rate: float = 0.01
+    weight_decay: float = 0.0
+    seed: int = 0
+
+    # parallelism degrees (config.h:186-188)
+    data_parallelism_degree: int = 1
+    tensor_parallelism_degree: int = 1
+    pipeline_parallelism_degree: int = 1
+    num_microbatches: int = 0  # 0 -> = pipeline degree
+    expert_parallel: bool = False
+    only_data_parallel: bool = False  # skip layout search (config.h:180)
+
+    # auto-parallelization search (reference --budget/--alpha)
+    search_budget: int = 8
+    search_alpha: float = 1.2
+
+    # serving capacities (request_manager.h:135-159)
+    max_requests_per_batch: int = 8
+    max_tokens_per_batch: int = 128
+    max_sequence_length: int = 256
+    max_beam_width: int = 3
+    max_beam_depth: int = 4
+    max_spec_tree_token_num: int = 64
+    max_concurrent_adapters: int = 1
+    max_lora_rank: int = 32
+
+    # scheduler
+    decode_horizon: int = 16
+    pipeline_depth: int = 2  # in-flight horizons (reference depth 4)
+
+    # numerics / quantization (-4bit/-8bit-quantization, --offload)
+    data_type: str = "bfloat16"
+    quantization: Optional[str] = None  # "int4" | "int8"
+    quantization_group_size: int = 128
+    cpu_offload: bool = False
+
+    # execution toggles
+    fusion: bool = True  # XLA fuses by construction; kept for parity
+    profiling: bool = False
+    inference_debugging: bool = False
+    use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", False)
+    use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", False)
+    verbose: bool = False
+
+    @classmethod
+    def from_env(cls, **overrides) -> "FFConfig":
+        cfg = cls(**overrides)
+        for f in dataclasses.fields(cls):
+            env = os.environ.get("FF_" + f.name.upper())
+            if env is None:
+                continue
+            if f.type in ("int", int):
+                setattr(cfg, f.name, int(env))
+            elif f.type in ("float", float):
+                setattr(cfg, f.name, float(env))
+            elif f.type in ("bool", bool):
+                setattr(cfg, f.name, env not in ("0", "false", ""))
+            else:
+                setattr(cfg, f.name, env)
+        return cfg
+
+    @classmethod
+    def parse_args(cls, argv: Sequence[str]) -> "FFConfig":
+        """Reference-style flag parsing (model.cc:4300-4636 subset)."""
+        cfg = cls()
+        flags = {
+            "-b": ("batch_size", int), "--batch-size": ("batch_size", int),
+            "-e": ("epochs", int), "--epochs": ("epochs", int),
+            "-lr": ("learning_rate", float),
+            "--learning-rate": ("learning_rate", float),
+            "-data-parallelism-degree": ("data_parallelism_degree", int),
+            "-tensor-parallelism-degree": ("tensor_parallelism_degree", int),
+            "-pipeline-parallelism-degree": ("pipeline_parallelism_degree", int),
+            "--budget": ("search_budget", int),
+            "--search-budget": ("search_budget", int),
+            "--alpha": ("search_alpha", float),
+            "--max-requests-per-batch": ("max_requests_per_batch", int),
+            "--max-tokens-per-batch": ("max_tokens_per_batch", int),
+            "--max-sequence-length": ("max_sequence_length", int),
+        }
+        boolean = {
+            "--only-data-parallel": "only_data_parallel",
+            "--fusion": "fusion",
+            "--profiling": "profiling",
+            "--inference-debugging": "inference_debugging",
+            "--verbose": "verbose",
+            "-enable-peft": None,
+            "--offload": "cpu_offload",
+        }
+        i = 0
+        argv = list(argv)
+        while i < len(argv):
+            a = argv[i]
+            if a in flags:
+                name, typ = flags[a]
+                setattr(cfg, name, typ(argv[i + 1]))
+                i += 2
+            elif a in ("-4bit-quantization",):
+                cfg.quantization = "int4"
+                i += 1
+            elif a in ("-8bit-quantization",):
+                cfg.quantization = "int8"
+                i += 1
+            elif a in boolean:
+                if boolean[a]:
+                    setattr(cfg, boolean[a], True)
+                i += 1
+            elif a.startswith("-ll:"):  # Legion resource flags: ignored
+                i += 2
+            else:
+                i += 1
+        return cfg
+
+
+# module-level default config (mutable runtime toggles live here)
+config = FFConfig.from_env()

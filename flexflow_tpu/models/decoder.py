@@ -71,6 +71,19 @@ def _tp_reduce(x):
     return x
 
 
+def _use_pallas_decode_attention() -> bool:
+    """Pallas decode kernel gate: enabled by FFConfig and only on real TPU
+    (the jnp path is the reference implementation everywhere else)."""
+    from flexflow_tpu.config import config
+
+    if not config.use_pallas_attention:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class KVCache(NamedTuple):
     """Per-request-slot KV cache, stacked over layers.
 
@@ -394,6 +407,22 @@ def forward_cached(
             q, k = _maybe_rope(spec, q, k, positions)
             nk = ck.at[l, batch_idx, write_pos].set(k.astype(ck.dtype))
             nv = cv.at[l, batch_idx, write_pos].set(v.astype(cv.dtype))
+            if (
+                t == 1
+                and tree_mask is None
+                and kv_mask is None
+                and slopes is None
+                and spec.attn_logit_softcap is None
+                and _use_pallas_decode_attention()
+            ):
+                from flexflow_tpu.ops.pallas.decode_attention import (
+                    decode_attention,
+                )
+
+                out = decode_attention(
+                    q[:, 0], nk[l], nv[l], cache_lens
+                )[:, None]
+                return out, (nk, nv)
             out = attn_lib.cached_attention(
                 q,
                 nk[l],

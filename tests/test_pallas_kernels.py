@@ -47,3 +47,22 @@ def test_quant_matmul_wo_layout():
     got = quant_matmul(x, qa, interpret=True)
     assert got.shape == (2, d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=1e-2)
+
+
+def test_decode_attention_matches_reference():
+    from flexflow_tpu.ops.attention import cached_attention
+    from flexflow_tpu.ops.pallas.decode_attention import decode_attention
+
+    b, s, h, kh, d = 4, 64, 8, 2, 32
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, 1, h, d), jnp.float32)
+    kc = jax.random.normal(ks[1], (b, s, kh, d), jnp.float32)
+    vc = jax.random.normal(ks[2], (b, s, kh, d), jnp.float32)
+    lens = jnp.asarray([5, 17, 0, 33], jnp.int32)
+
+    # reference path: new token already written at position lens
+    want = cached_attention(q, kc, vc, cache_lens=lens)
+    got = decode_attention(q[:, 0], kc, vc, lens, interpret=True)[:, None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
