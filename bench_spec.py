@@ -1,0 +1,107 @@
+"""Speculative-decoding benchmark: tree-spec vs own incremental decoding.
+
+Headline gate (BASELINE.json / reference cpp_inference_tests.sh:131-183):
+speculative e2e tokens/s >= 1.5x incremental, with lossless outputs, plus
+mean verified tokens per step. With zero egress there are no real
+(7B, 160M) weight pairs, so the draft is the verifier itself quantized to
+INT8 (self-speculation with an approximate draft — a standard draft
+construction) running the FUSED one-dispatch spec iteration.
+
+Prints one JSON line per metric.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import params as params_lib
+from flexflow_tpu.quant import quantize_params
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+from flexflow_tpu.serving.spec_manager import SpecRequestManager
+from flexflow_tpu.serving.speculative import SpecEngine
+
+
+def main():
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM",
+        vocab_size=32000,
+        hidden_size=768,
+        num_layers=12,
+        num_heads=12,
+        num_kv_heads=12,
+        head_dim=64,
+        intermediate_size=3072,
+        max_position_embeddings=2048,
+        norm_eps=1e-6,
+    )
+    batch, max_seq, max_new = 8, 512, 128
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
+    draft_params = quantize_params(spec, params, bits=8, group_size=128)
+
+    rng = np.random.RandomState(0)
+    prompts = [
+        rng.randint(1, spec.vocab_size, size=48).tolist() for _ in range(batch)
+    ]
+    cfg = GenerationConfig(max_new_tokens=max_new)
+
+    # --- incremental baseline (pipelined horizon decoding) ---
+    incr_engine = InferenceEngine(
+        spec, params, max_requests_per_batch=batch, max_seq_len=max_seq,
+    )
+    rm = RequestManager(incr_engine, decode_horizon=32, pipelined=True)
+    rm.generate([prompts[0][:20]], GenerationConfig(max_new_tokens=32))  # warm
+    t0 = time.perf_counter()
+    incr_reqs = rm.generate(prompts, cfg)
+    incr_dt = time.perf_counter() - t0
+    incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
+    incr_tps = incr_tokens / incr_dt
+
+    # --- fused tree-speculative ---
+    spec_engine = SpecEngine(
+        spec, params, spec, draft_params,
+        beam_width=2, beam_depth=4,
+        max_requests_per_batch=batch, max_seq_len=max_seq,
+    )
+    srm = SpecRequestManager(spec_engine, fused=True)
+    srm.generate([prompts[0][:20]], GenerationConfig(max_new_tokens=16))  # warm
+    t0 = time.perf_counter()
+    spec_reqs = srm.generate(prompts, cfg)
+    spec_dt = time.perf_counter() - t0
+    spec_tokens = sum(len(r.output_tokens) for r in spec_reqs)
+    spec_tps = spec_tokens / spec_dt
+
+    lossless = all(
+        a.output_tokens == b.output_tokens
+        for a, b in zip(incr_reqs, spec_reqs)
+    )
+
+    print(json.dumps({
+        "metric": "spec_decode_speedup_vs_incremental",
+        "value": round(spec_tps / incr_tps, 3),
+        "unit": "x",
+        "vs_baseline": round((spec_tps / incr_tps) / 1.5, 3),
+    }))
+    print(json.dumps({
+        "metric": "spec_decode_output_tokens_per_sec_chip",
+        "value": round(spec_tps, 2), "unit": "tokens/s",
+        "vs_baseline": round(spec_tps / incr_tps, 3),
+    }))
+    print(json.dumps({
+        "metric": "mean_verified_tokens_per_step",
+        "value": round(srm.mean_verified_tokens_per_step, 3),
+        "unit": "tokens/step",
+        "vs_baseline": 1.0,
+    }))
+    print(json.dumps({
+        "metric": "spec_outputs_lossless", "value": int(lossless),
+        "unit": "bool", "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,9 +40,14 @@ class SpecRequestManager:
         engine: SpecEngine,
         *,
         eos_token_ids: Sequence[int] = (),
+        fused: bool = False,
         log_fn=None,
     ):
+        """``fused=True`` runs each speculative iteration (draft tree ->
+        verify -> accept -> KV commit) as ONE device dispatch — identical
+        outputs, one host round-trip per iteration."""
         self.engine = engine
+        self.fused = bool(fused)
         self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
         self._guid = itertools.count(2000000)
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -122,12 +127,38 @@ class SpecRequestManager:
 
     # ------------------------------------------------------------------
 
+    def _step_fused(self, active) -> bool:
+        lens_before = self._cache_lens.copy()
+        produced, n_acc = self.engine.fused_step(lens_before, self._root_tokens)
+        self._steps += 1
+        for slot in active:
+            req = self._slots[slot]
+            n = int(n_acc[slot])
+            budget = req.config.max_new_tokens - len(req.output_tokens)
+            kept = []
+            for tok in produced[slot, :n][: max(budget, 0)]:
+                kept.append(int(tok))
+                if kept[-1] in self.eos_token_ids or kept[-1] in tuple(
+                    req.config.stop_token_ids
+                ):
+                    break
+            req.output_tokens.extend(kept)
+            req.profile.llm_decoding_steps += 1
+            self._verified_tokens_total += n
+            self._cache_lens[slot] = lens_before[slot] + n
+            self._root_tokens[slot] = int(produced[slot, n - 1])
+            if self._finished(req, req.output_tokens[-1]):
+                self._retire(slot)
+        return True
+
     def step(self) -> bool:
         """One speculation iteration (draft tree -> verify -> accept/commit)."""
         self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
             return False
+        if self.fused:
+            return self._step_fused(active)
 
         t = self.engine.tree
         lens_before = self._cache_lens.copy()

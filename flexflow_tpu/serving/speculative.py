@@ -107,8 +107,7 @@ class SpecEngine:
             return decoder.insert_kv(cache, k_new, v_new, slot, jnp.int32(0))
 
         # ---- draft root: feed the root token, return top-W expansions ----
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def draft_root_fn(params, cache, cache_lens, root_tokens):
+        def root_core(params, cache, cache_lens, root_tokens):
             logits, cache = decoder.forward_cached(
                 self.ssm_spec, params, root_tokens[:, None], cache, cache_lens
             )
@@ -116,16 +115,13 @@ class SpecEngine:
             probs, toks = jax.lax.top_k(logp, w)  # [B, W]
             return toks.astype(jnp.int32), probs, cache
 
-        # ---- draft expand one depth ----
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("d",))
-        def draft_expand_fn(
-            params, cache, cache_lens, beam_tokens, beam_logp, anc, d
-        ):
-            """Feed depth-d beam tips [B, W]; return next beams.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def draft_root_fn(params, cache, cache_lens, root_tokens):
+            return root_core(params, cache, cache_lens, root_tokens)
 
-            anc [B, W, tree]: ancestor tree-slot sets for each tip (excluding
-            the tip itself). Tips occupy slots 1+(d-1)*W + w.
-            """
+        # ---- draft expand one depth (d may be traced: used inside the
+        # fused scan as well as the per-depth jitted wrapper) ----
+        def expand_core(params, cache, cache_lens, beam_tokens, beam_logp, anc, d):
             b = beam_tokens.shape[0]
             s = cache.max_seq_len
             slot_base = 1 + (d - 1) * w
@@ -170,9 +166,14 @@ class SpecEngine:
             )  # [B, W, tree]
             return new_tokens, parents, new_logp, new_anc, cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("d",))
+        def draft_expand_fn(params, cache, cache_lens, beam_tokens, beam_logp,
+                            anc, d):
+            return expand_core(params, cache, cache_lens, beam_tokens,
+                               beam_logp, anc, d)
+
         # ---- LLM tree verification ----
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def verify_fn(params, cache, cache_lens, tree_tokens, tree_depths, anc_self):
+        def verify_core(params, cache, cache_lens, tree_tokens, tree_depths, anc_self):
             """tree_tokens [B, T] in slot order; anc_self [B, T, T] incl. self."""
             b = tree_tokens.shape[0]
             positions = cache_lens[:, None] + tree_depths  # [B, T]
@@ -196,9 +197,14 @@ class SpecEngine:
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def verify_fn(params, cache, cache_lens, tree_tokens, tree_depths,
+                      anc_self):
+            return verify_core(params, cache, cache_lens, tree_tokens,
+                               tree_depths, anc_self)
+
         # ---- KV commit: compact accepted tree slots to contiguous positions ----
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def commit_fn(cache, cache_lens, from_slots):
+        def commit_core(cache, cache_lens, from_slots):
             """cache[l,b,len+i] <- cache[l,b,len+from_slots[b,i]] for i < tree.
 
             from_slots is identity-padded beyond the accepted count; stale
@@ -216,6 +222,94 @@ class SpecEngine:
             v = cache.v.at[:, bidx, dst].set(gv)
             return KVCache(k=k, v=v)
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def commit_fn(cache, cache_lens, from_slots):
+            return commit_core(cache, cache_lens, from_slots)
+
+        # ---- FUSED speculative iteration: draft tree + verify + accept +
+        # commit as ONE XLA program (the whole reference serve_spec_infer
+        # inner loop, request_manager.cc:3123-3174, as a single trace) ----
+        dmax = self.depth
+        depths_vec = jnp.zeros((tree,), jnp.int32)
+        for _d in range(1, dmax + 1):
+            depths_vec = depths_vec.at[1 + (_d - 1) * w: 1 + _d * w].set(_d)
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def fused_step_fn(llm_params, ssm_params, llm_cache, ssm_cache,
+                          cache_lens, roots):
+            b = cache_lens.shape[0]
+
+            # --- draft: root + scan over depths, tree built on device ---
+            beam_tokens, beam_logp, ssm_cache = root_core(
+                ssm_params, ssm_cache, cache_lens, roots)
+            anc = jnp.zeros((b, w, tree), bool).at[:, :, 0].set(True)
+            tree_tokens = jnp.zeros((b, tree), jnp.int32).at[:, 0].set(roots)
+            tree_parents = jnp.full((b, tree), -1, jnp.int32)
+            abs_parents = jnp.zeros((b, w), jnp.int32)  # parents of cur beams
+
+            def draft_body(carry, d):
+                ssm_cache, bt, bl, anc, ap, tt, tp = carry
+                base = 1 + (d - 1) * w
+                tt = jax.lax.dynamic_update_slice(tt, bt, (0, base))
+                tp = jax.lax.dynamic_update_slice(tp, ap, (0, base))
+                nt, rel_par, nl, nanc, ssm_cache = expand_core(
+                    ssm_params, ssm_cache, cache_lens, bt, bl, anc, d)
+                new_ap = base + rel_par
+                return (ssm_cache, nt, nl, nanc, new_ap, tt, tp), None
+
+            carry = (ssm_cache, beam_tokens, beam_logp, anc, abs_parents,
+                     tree_tokens, tree_parents)
+            carry, _ = jax.lax.scan(
+                draft_body, carry, jnp.arange(1, dmax + 1, dtype=jnp.int32))
+            (ssm_cache, _, _, _, _, tree_tokens, tree_parents) = carry
+
+            # --- ancestor matrix from parents (static loop; parent < child) ---
+            anc_self = jnp.zeros((b, tree, tree), bool)
+            anc_self = anc_self.at[:, 0, 0].set(True)
+            for c in range(1, tree):
+                parent = tree_parents[:, c]  # [B], always < c
+                parent_row = jnp.take_along_axis(
+                    anc_self, parent[:, None, None].clip(0)
+                    * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
+                row = parent_row.at[:, c].set(True)
+                anc_self = anc_self.at[:, c].set(row)
+
+            # --- verify ---
+            expected, llm_cache = verify_core(
+                llm_params, llm_cache, cache_lens, tree_tokens,
+                jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self)
+
+            # --- greedy accept walk (vectorized over slots) ---
+            cur = jnp.zeros((b,), jnp.int32)
+            alive = jnp.ones((b,), bool)
+            n_acc = jnp.ones((b,), jnp.int32)
+            produced = jnp.zeros((b, dmax + 1), jnp.int32)
+            from_slots = jnp.broadcast_to(
+                jnp.arange(tree, dtype=jnp.int32)[None], (b, tree))
+            for i in range(dmax + 1):
+                exp = jnp.take_along_axis(expected, cur[:, None], axis=1)[:, 0]
+                produced = produced.at[:, i].set(exp)
+                if i == dmax:
+                    break
+                match = (tree_parents == cur[:, None]) & (
+                    tree_tokens == exp[:, None])
+                found = jnp.any(match, axis=-1) & alive
+                child = jnp.argmax(match, axis=-1).astype(jnp.int32)
+                from_slots = from_slots.at[:, i + 1].set(
+                    jnp.where(found, child, i + 1))
+                n_acc = n_acc + found.astype(jnp.int32)
+                cur = jnp.where(found, child, cur)
+                alive = found
+
+            # --- commit accepted KV in both caches ---
+            llm_cache = commit_core(llm_cache, cache_lens, from_slots)
+            ssm_cache = commit_core(ssm_cache, cache_lens, from_slots)
+
+            next_roots = jnp.take_along_axis(
+                produced, (n_acc - 1)[:, None], axis=1)[:, 0]
+            return produced, n_acc, next_roots, llm_cache, ssm_cache
+
+        self._fused_step = fused_step_fn
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._draft_root = draft_root_fn
@@ -326,3 +420,20 @@ class SpecEngine:
         fs = jnp.asarray(from_slots, jnp.int32)
         self.llm_cache = self._commit(self.llm_cache, lens, fs)
         self.ssm_cache = self._commit(self.ssm_cache, lens, fs)
+
+    def fused_step(
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One complete speculative iteration as a single dispatch.
+
+        Returns (produced [B, depth+1], n_acc [B]); both caches committed.
+        """
+        produced, n_acc, _roots, self.llm_cache, self.ssm_cache = (
+            self._fused_step(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                jnp.asarray(cache_lens, jnp.int32),
+                jnp.asarray(root_tokens, jnp.int32),
+            )
+        )
+        return jax.device_get(produced), jax.device_get(n_acc)

@@ -127,3 +127,33 @@ def test_spec_eos(llm_params, ssm_params):
     rm = SpecRequestManager(engine, eos_token_ids=[eos])
     [req] = rm.generate(prompts, GenerationConfig(max_new_tokens=12))
     assert req.output_tokens == full[: cut + 1]
+
+
+def test_fused_spec_equals_incremental(llm_params, ssm_params):
+    prompts = [[3, 17, 91, 5], [8, 13, 21], [2, 40, 41, 42, 43]]
+    want = incr_outputs(llm_params, prompts, 12)
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=4,
+        max_seq_len=128, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, fused=True)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=12))]
+    assert got == want
+    assert rm.mean_verified_tokens_per_step >= 1.0
+
+
+def test_fused_perfect_draft(llm_params):
+    prompts = [[3, 17, 91, 5]]
+    want = incr_outputs(llm_params, prompts, 12)
+    engine = SpecEngine(
+        LLM, llm_params, LLM, llm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=128, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, fused=True)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=12))]
+    assert got == want
+    assert rm.total_decoding_steps <= 4
