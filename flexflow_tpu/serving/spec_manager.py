@@ -41,13 +41,18 @@ class SpecRequestManager:
         *,
         eos_token_ids: Sequence[int] = (),
         fused: bool = False,
+        spec_horizon: int = 1,
         log_fn=None,
     ):
         """``fused=True`` runs each speculative iteration (draft tree ->
         verify -> accept -> KV commit) as ONE device dispatch — identical
-        outputs, one host round-trip per iteration."""
+        outputs, one host round-trip per iteration. ``spec_horizon`` > 1
+        chains that many fused iterations on device per dispatch (lens/roots
+        feed back on device; EOS/retire lag one horizon — same contract as
+        the incremental decode horizon)."""
         self.engine = engine
         self.fused = bool(fused)
+        self.spec_horizon = max(int(spec_horizon), 1)
         self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
         self._guid = itertools.count(2000000)
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -58,7 +63,8 @@ class SpecRequestManager:
         self._cache_lens = np.zeros(b, np.int32)
         self._root_tokens = np.zeros(b, np.int32)
         self._steps = 0
-        self._verified_tokens_total = 0  # accepted per step, for tokens/step
+        self._verified_tokens_total = 0  # accepted tokens across request-steps
+        self._verified_events = 0  # (request, iteration) pairs counted
         self._num_processed = 0
         self._log = log_fn or (lambda *a: None)
 
@@ -85,8 +91,9 @@ class SpecRequestManager:
         if len(req.output_tokens) >= req.config.max_new_tokens:
             return True
         total = len(req.prompt_tokens) + len(req.output_tokens)
-        # leave room for one full speculation tree
-        return total + self.engine.tree + 1 >= self.engine.max_seq_len
+        # leave room for a full horizon of speculation trees
+        margin = self.spec_horizon * (self.engine.tree + 1)
+        return total + margin >= self.engine.max_seq_len
 
     def _retire(self, slot: int) -> None:
         req = self._slots[slot]
@@ -129,26 +136,39 @@ class SpecRequestManager:
 
     def _step_fused(self, active) -> bool:
         lens_before = self._cache_lens.copy()
-        produced, n_acc = self.engine.fused_step(lens_before, self._root_tokens)
-        self._steps += 1
+        h = self.spec_horizon
+        if h == 1:
+            produced, n_acc = self.engine.fused_step(
+                lens_before, self._root_tokens)
+            produced, n_acc = produced[None], n_acc[None]
+        else:
+            produced, n_acc = self.engine.fused_step_n(
+                lens_before, self._root_tokens, h)
+        self._steps += h
         for slot in active:
             req = self._slots[slot]
-            n = int(n_acc[slot])
-            budget = req.config.max_new_tokens - len(req.output_tokens)
-            kept = []
-            for tok in produced[slot, :n][: max(budget, 0)]:
-                kept.append(int(tok))
-                if kept[-1] in self.eos_token_ids or kept[-1] in tuple(
-                    req.config.stop_token_ids
-                ):
+            done = False
+            for it in range(h):
+                if done:
                     break
-            req.output_tokens.extend(kept)
-            req.profile.llm_decoding_steps += 1
-            self._verified_tokens_total += n
-            self._cache_lens[slot] = lens_before[slot] + n
-            self._root_tokens[slot] = int(produced[slot, n - 1])
-            if self._finished(req, req.output_tokens[-1]):
-                self._retire(slot)
+                n = int(n_acc[it, slot])
+                budget = req.config.max_new_tokens - len(req.output_tokens)
+                kept = []
+                for tok in produced[it, slot, :n][: max(budget, 0)]:
+                    kept.append(int(tok))
+                    if kept[-1] in self.eos_token_ids or kept[-1] in tuple(
+                        req.config.stop_token_ids
+                    ):
+                        break
+                req.output_tokens.extend(kept)
+                req.profile.llm_decoding_steps += 1
+                self._verified_tokens_total += n
+                self._verified_events += 1
+                self._cache_lens[slot] += n
+                self._root_tokens[slot] = int(produced[it, slot, n - 1])
+                if self._finished(req, req.output_tokens[-1]):
+                    self._retire(slot)
+                    done = True
         return True
 
     def step(self) -> bool:
@@ -204,6 +224,7 @@ class SpecRequestManager:
             req.output_tokens.extend(kept)
             req.profile.llm_decoding_steps += 1
             self._verified_tokens_total += len(path)
+            self._verified_events += 1
 
             from_slots[slot, : len(path)] = path
             self._cache_lens[slot] = lens_before[slot] + len(path)
@@ -229,7 +250,9 @@ class SpecRequestManager:
 
     @property
     def mean_verified_tokens_per_step(self) -> float:
-        return self._verified_tokens_total / max(self._steps, 1)
+        """Mean accepted tokens per request per speculative iteration
+        (reference: decoding-steps reduction gate)."""
+        return self._verified_tokens_total / max(self._verified_events, 1)
 
     @property
     def total_decoding_steps(self) -> int:

@@ -234,9 +234,8 @@ class SpecEngine:
         for _d in range(1, dmax + 1):
             depths_vec = depths_vec.at[1 + (_d - 1) * w: 1 + _d * w].set(_d)
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def fused_step_fn(llm_params, ssm_params, llm_cache, ssm_cache,
-                          cache_lens, roots):
+        def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
+                            cache_lens, roots):
             b = cache_lens.shape[0]
 
             # --- draft: root + scan over depths, tree built on device ---
@@ -309,7 +308,37 @@ class SpecEngine:
                 produced, (n_acc - 1)[:, None], axis=1)[:, 0]
             return produced, n_acc, next_roots, llm_cache, ssm_cache
 
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def fused_step_fn(llm_params, ssm_params, llm_cache, ssm_cache,
+                          cache_lens, roots):
+            return fused_step_body(llm_params, ssm_params, llm_cache,
+                                   ssm_cache, cache_lens, roots)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(2, 3), static_argnames=("n",)
+        )
+        def fused_step_n_fn(llm_params, ssm_params, llm_cache, ssm_cache,
+                            cache_lens, roots, n):
+            """n fused speculative iterations as one device-resident scan
+            (spec horizon): lens/roots feed back on device; host fetches
+            [n, B, depth+1] produced tokens + [n, B] counts once."""
+
+            def body(carry, _):
+                llm_cache, ssm_cache, lens, roots = carry
+                produced, n_acc, next_roots, llm_cache, ssm_cache = (
+                    fused_step_body(llm_params, ssm_params, llm_cache,
+                                    ssm_cache, lens, roots)
+                )
+                return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
+                    produced, n_acc)
+
+            (llm_cache, ssm_cache, _, _), (produced, n_acc) = jax.lax.scan(
+                body, (llm_cache, ssm_cache, cache_lens, roots),
+                None, length=n)
+            return produced, n_acc, llm_cache, ssm_cache
+
         self._fused_step = fused_step_fn
+        self._fused_step_n = fused_step_n_fn
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._draft_root = draft_root_fn
@@ -435,5 +464,21 @@ class SpecEngine:
                 jnp.asarray(cache_lens, jnp.int32),
                 jnp.asarray(root_tokens, jnp.int32),
             )
+        )
+        return jax.device_get(produced), jax.device_get(n_acc)
+
+    def fused_step_n(
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray, n: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """n device-chained speculative iterations (spec horizon).
+
+        Returns (produced [n, B, depth+1], n_acc [n, B]).
+        """
+        produced, n_acc, self.llm_cache, self.ssm_cache = self._fused_step_n(
+            self.llm_params, self.ssm_params,
+            self.llm_cache, self.ssm_cache,
+            jnp.asarray(cache_lens, jnp.int32),
+            jnp.asarray(root_tokens, jnp.int32),
+            n,
         )
         return jax.device_get(produced), jax.device_get(n_acc)

@@ -157,3 +157,17 @@ def test_fused_perfect_draft(llm_params):
            for r in rm.generate(prompts, GenerationConfig(max_new_tokens=12))]
     assert got == want
     assert rm.total_decoding_steps <= 4
+
+
+def test_fused_spec_horizon(llm_params, ssm_params):
+    prompts = [[3, 17, 91, 5], [8, 13, 21]]
+    want = incr_outputs(llm_params, prompts, 12)
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=200, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, fused=True, spec_horizon=3)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=12))]
+    assert got == want
