@@ -127,3 +127,39 @@ def test_http_server(tiny_params, tmp_path):
             assert resp.read() == b"ok"
     finally:
         server.shutdown()
+
+
+def test_ffconfig_parse_args():
+    from flexflow_tpu.config import FFConfig
+
+    cfg = FFConfig.parse_args([
+        "-b", "32", "-e", "4", "-lr", "0.05",
+        "-tensor-parallelism-degree", "4",
+        "-pipeline-parallelism-degree", "2",
+        "--max-sequence-length", "512",
+        "-8bit-quantization", "--fusion", "--profiling",
+        "-ll:gpu", "4", "-ll:fsize", "14000",
+        "--only-data-parallel",
+    ])
+    assert cfg.batch_size == 32 and cfg.epochs == 4
+    assert cfg.learning_rate == 0.05
+    assert cfg.tensor_parallelism_degree == 4
+    assert cfg.pipeline_parallelism_degree == 2
+    assert cfg.max_sequence_length == 512
+    assert cfg.quantization == "int8"
+    assert cfg.profiling and cfg.fusion and cfg.only_data_parallel
+
+
+def test_step_timer():
+    from flexflow_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    with t.phase("decode"):
+        pass
+    with t.phase("decode"):
+        pass
+    with t.phase("prefill"):
+        pass
+    lines = t.report()
+    assert any("decode" in l and "count 2" in l for l in lines)
+    assert any("prefill" in l for l in lines)

@@ -74,3 +74,46 @@ def test_llm_with_ssm_matches_incremental(model_dir):
     )
     got = [r.output_tokens for r in spec.generate(["hello", "abc"], max_new_tokens=8)]
     assert got == want
+
+
+def test_incr_decoding_cli(model_dir, tmp_path, capsys):
+    import json as _json
+
+    from inference import incr_decoding
+
+    prompt_file = tmp_path / "prompts.json"
+    prompt_file.write_text(_json.dumps(["hello world", "abc"]))
+    rc = incr_decoding.main([
+        "-llm-model", model_dir,
+        "-prompt", str(prompt_file),
+        "--max-requests-per-batch", "2",
+        "--max-sequence-length", "64",
+        "--max-new-tokens", "6",
+        "--full-precision",
+        "--fusion",
+        "-ll:gpu", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("=== guid") == 2
+
+
+def test_spec_infer_cli(model_dir, tmp_path, capsys):
+    import json as _json
+
+    from inference import spec_infer
+
+    prompt_file = tmp_path / "prompts.json"
+    prompt_file.write_text(_json.dumps(["hello"]))
+    rc = spec_infer.main([
+        "-llm-model", model_dir,
+        "-ssm-model", model_dir,
+        "-prompt", str(prompt_file),
+        "--max-requests-per-batch", "2",
+        "--max-sequence-length", "64",
+        "--max-new-tokens", "6",
+        "--beam-width", "2", "--beam-depth", "2",
+        "--full-precision",
+    ])
+    assert rc == 0
+    assert "verified/step" in capsys.readouterr().out
