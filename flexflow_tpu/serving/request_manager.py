@@ -16,6 +16,7 @@ Device work is delegated to :class:`InferenceEngine`; the scheduler only moves
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import itertools
 import queue
@@ -113,7 +114,11 @@ class RequestManager:
         # max horizons in flight before the oldest is fetched (reference keeps
         # <= 4 batches in flight, request_manager.cc:3124)
         self.pipeline_depth = max(int(pipeline_depth), 1)
-        self._inflight_q = []  # [(out_dev [n, B], [(slot, req), ...]), ...]
+        self._inflight_q = []  # [(fetch future, [(slot, req), ...]), ...]
+        # device->host fetches run on a worker thread so the transfer overlaps
+        # the next horizon's dispatch + compute (the GIL releases inside the
+        # runtime's copy call)
+        self._fetcher = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._feedback = None  # device [B] tokens from the last dispatch
         self._feedback_overrides = []  # [(slot, token)] set at admit time
         self._pending_first = []  # [(slot, req, device first-token scalar)]
@@ -300,15 +305,16 @@ class RequestManager:
             for s in active:
                 self._cache_lens[s] += n
             self._feedback = out_dev[-1]
-            self._inflight_q.append((out_dev, entries))
+            fut = self._fetcher.submit(jax.device_get, out_dev)
+            self._inflight_q.append((fut, entries))
             self._steps += n
 
-        # fetch the oldest horizon once the pipeline is full (or draining)
+        # consume the oldest horizon once the pipeline is full (or draining)
         while self._inflight_q and (
             len(self._inflight_q) >= self.pipeline_depth or not active
         ):
-            out_dev, entries = self._inflight_q.pop(0)
-            self._process_horizon(jax.device_get(out_dev), entries)
+            fut, entries = self._inflight_q.pop(0)
+            self._process_horizon(fut.result(), entries)
             if active:
                 break  # drain at most one per step while running
 
