@@ -1,5 +1,13 @@
 """Speculative-decoding benchmark: tree-spec vs own incremental decoding.
 
+NOTE on this environment: with zero egress there are no trained (verifier,
+draft) weight pairs, and RANDOM weights produce near-uniform logits whose
+bf16 argmax near-ties both depress draft acceptance and flip tokens between
+differently-batched-but-equivalent computations. The speculative MACHINERY is
+proven lossless at fp32 in tests/test_speculative.py (spec == incremental
+exactly; perfect draft accepts depth+1 per step); the numbers below measure
+infrastructure overhead with an INT8 self-draft, not realistic acceptance.
+
 Headline gate (BASELINE.json / reference cpp_inference_tests.sh:131-183):
 speculative e2e tokens/s >= 1.5x incremental, with lossless outputs, plus
 mean verified tokens per step. With zero egress there are no real
@@ -41,7 +49,7 @@ def main():
     )
     batch, max_seq, max_new = 8, 512, 128
     params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
-    draft_params = quantize_params(spec, params, bits=4, group_size=128)
+    draft_params = quantize_params(spec, params, bits=8, group_size=128)
 
     rng = np.random.RandomState(0)
     prompts = [
