@@ -36,7 +36,7 @@ def main():
         max_position_embeddings=2048,
         norm_eps=1e-6,
     )
-    batch, max_seq, horizon = 16, 1024, 64
+    batch, max_seq, horizon = 128, 512, 64
     params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
     engine = InferenceEngine(
         spec,
