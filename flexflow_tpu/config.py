@@ -68,7 +68,7 @@ class FFConfig:
     profiling: bool = False
     inference_debugging: bool = False
     use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", False)
-    use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", False)
+    use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", True)
     verbose: bool = False
 
     @classmethod

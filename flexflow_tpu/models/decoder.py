@@ -84,6 +84,17 @@ def _use_pallas_decode_attention() -> bool:
         return False
 
 
+def _use_pallas_quant_matmul() -> bool:
+    from flexflow_tpu.config import config
+
+    if not config.use_pallas_quant_matmul:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class KVCache(NamedTuple):
     """Per-request-slot KV cache, stacked over layers.
 
@@ -125,11 +136,19 @@ def _norm(spec: ModelSpec, h, scale, bias):
 def _linear(x, w, b=None):
     """x [..., D] @ w [D, ...out] (+ b). Contracts the last axis of x.
 
-    ``w`` may be a QuantizedArray (INT8/INT4 weight-only); dequant fuses into
-    the matmul under XLA (Pallas fused kernel on the serving path).
+    ``w`` may be a QuantizedArray (INT8/INT4 weight-only): with
+    FFConfig.use_pallas_quant_matmul on TPU the Pallas fused dequant-matmul
+    kernel runs (packed weights stream HBM->VMEM and dequantize in-register);
+    otherwise XLA fuses the dequantize into the dot.
     """
-    w = as_array(w)
-    out = jnp.tensordot(x, w, axes=1)
+    from flexflow_tpu.quant.weight_only import QuantizedArray
+
+    if isinstance(w, QuantizedArray) and _use_pallas_quant_matmul():
+        from flexflow_tpu.ops.pallas.quant_matmul import quant_matmul
+
+        out = quant_matmul(x, w)
+    else:
+        out = jnp.tensordot(x, as_array(w), axes=1)
     if b is not None:
         out = out + b
     return out.astype(x.dtype)
