@@ -106,19 +106,27 @@ class LLM:
         self._load_tokenizer()
 
         if self._ssms:
-            ssm = self._ssms[0]  # multiple SSMs: first registered drives
-            ssm_spec, ssm_params = hf_weights.load_params(
-                ssm.model_dir, dtype=ssm.dtype, quantize_bits=ssm.quant_bits,
-                mesh=mesh,
-            )
-            engine = SpecEngine(
-                self.spec, self.params, ssm_spec, ssm_params,
-                beam_width=beam_width, beam_depth=beam_depth,
-                max_requests_per_batch=max_requests_per_batch,
-                max_seq_len=max_seq_length,
-                cache_dtype=self.dtype,
-            )
-            self.rm = SpecRequestManager(engine)
+            engines = []
+            for ssm in self._ssms:
+                ssm_spec, ssm_params = hf_weights.load_params(
+                    ssm.model_dir, dtype=ssm.dtype,
+                    quantize_bits=ssm.quant_bits, mesh=mesh,
+                )
+                engines.append(SpecEngine(
+                    self.spec, self.params, ssm_spec, ssm_params,
+                    beam_width=beam_width, beam_depth=beam_depth,
+                    max_requests_per_batch=max_requests_per_batch,
+                    max_seq_len=max_seq_length,
+                    cache_dtype=self.dtype,
+                ))
+            if len(engines) == 1:
+                self.rm = SpecRequestManager(engines[0])
+            else:
+                from flexflow_tpu.serving.spec_manager import (
+                    MultiSSMSpecManager,
+                )
+
+                self.rm = MultiSSMSpecManager(engines, fused=True)
         else:
             engine = InferenceEngine(
                 self.spec, self.params,

@@ -261,3 +261,95 @@ class SpecRequestManager:
     @property
     def num_processed_requests(self) -> int:
         return self._num_processed
+
+
+class MultiSSMSpecManager(SpecRequestManager):
+    """Multiple draft models against one verifier (reference
+    register_ssm_model loop, request_manager.cc:3148-3160).
+
+    SSMs rotate per iteration (round-robin); the LLM cache is shared across
+    the per-SSM engines, and before each SSM's turn its draft cache catches
+    up over the tokens committed during other SSMs' turns (the reference's
+    prepare_next_batch_init re-commit semantics).
+    """
+
+    def __init__(self, engines: Sequence[SpecEngine], **kw):
+        assert engines, "need at least one SpecEngine"
+        super().__init__(engines[0], **kw)
+        self.engines = list(engines)
+        b = engines[0].max_requests
+        self._ssm_lens = [np.zeros(b, np.int32) for _ in engines]
+        self._llm_cache = engines[0].llm_cache
+        self._rr = 0
+
+    def _admit(self) -> None:
+        before = [s for s in range(self.engine.max_requests)
+                  if self._slots[s] is None]
+        self.engine = self.engines[0]
+        # admission prefills into the SHARED llm cache (owned by the manager
+        # between steps; engines' copies go stale when another engine's
+        # donated step consumed them)
+        self.engines[0].llm_cache = self._llm_cache
+        super()._admit()
+        for slot in before:
+            req = self._slots[slot]
+            if req is None:
+                continue
+            n = len(req.prompt_tokens)
+            for i, eng in enumerate(self.engines):
+                if i > 0:
+                    eng.prefill_ssm_only(
+                        np.asarray(req.prompt_tokens, np.int32), slot)
+                self._ssm_lens[i][slot] = n
+        self._llm_cache = self.engines[0].llm_cache
+
+    def step(self) -> bool:
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+        if not active:
+            return False
+
+        i = self._rr % len(self.engines)
+        self._rr += 1
+        eng = self.engines[i]
+        eng.llm_cache = self._llm_cache
+
+        # draft-cache catch-up over tokens committed during other SSMs' turns
+        chunk = eng.tree + 2
+        while True:
+            lags = self._cache_lens - self._ssm_lens[i]
+            if not any(int(lags[s]) > 0 for s in active):
+                break
+            tokens = np.zeros((eng.max_requests, chunk), np.int32)
+            taken = np.zeros(eng.max_requests, np.int32)
+            for s in active:
+                lag = int(lags[s])
+                if lag <= 0:
+                    continue
+                take = min(lag, chunk)
+                start = int(self._ssm_lens[i][s])
+                hist = self._slots[s].tokens
+                tokens[s, :take] = hist[start:start + take]
+                taken[s] = take
+            eng.catchup(self._ssm_lens[i], tokens)
+            self._ssm_lens[i] = self._ssm_lens[i] + taken
+
+        self.engine = eng
+        lens_before = self._cache_lens.copy()
+        if self.fused:
+            ok = self._step_fused(active)
+        else:
+            ok = self._step_unfused(active, lens_before)
+        self._llm_cache = eng.llm_cache
+        # this SSM's cache advanced with the commit; others lag until their turn
+        self._ssm_lens[i] = self._cache_lens.copy()
+        for s in range(eng.max_requests):
+            if self._slots[s] is None:
+                for ln in self._ssm_lens:
+                    ln[s] = 0
+        return ok
+
+    def _step_unfused(self, active, lens_before) -> bool:
+        raise NotImplementedError(
+            "multi-SSM rotation currently uses the fused path (fused=True)"
+        )

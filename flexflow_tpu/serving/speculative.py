@@ -226,6 +226,16 @@ class SpecEngine:
         def commit_fn(cache, cache_lens, from_slots):
             return commit_core(cache, cache_lens, from_slots)
 
+        # ---- draft-cache catch-up (multi-SSM rotation): feed committed
+        # tokens this SSM has not yet processed (reference analog: each SSM
+        # re-initializes on committed tokens in prepare_next_batch_init) ----
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def catchup_fn(params, cache, ssm_lens, tokens):
+            _, cache = decoder.forward_cached(
+                self.ssm_spec, params, tokens, cache, ssm_lens
+            )
+            return cache
+
         # ---- FUSED speculative iteration: draft tree + verify + accept +
         # commit as ONE XLA program (the whole reference serve_spec_infer
         # inner loop, request_manager.cc:3123-3174, as a single trace) ----
@@ -337,6 +347,7 @@ class SpecEngine:
                 None, length=n)
             return produced, n_acc, llm_cache, ssm_cache
 
+        self._catchup = catchup_fn
         self._fused_step = fused_step_fn
         self._fused_step_n = fused_step_n_fn
         self._prefill = prefill_fn
@@ -369,6 +380,31 @@ class SpecEngine:
         _, kv_s = self._prefill(self.ssm_params, tokens, length, "ssm")
         self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
         return first
+
+    def prefill_ssm_only(self, prompt_tokens: np.ndarray, slot: int) -> None:
+        """Prefill only this engine's draft cache (multi-SSM admission)."""
+        n = len(prompt_tokens)
+        bucket = 16
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.max_seq_len)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt_tokens
+        _, kv_s = self._prefill(
+            self.ssm_params, jnp.asarray(padded), jnp.int32(n), "ssm"
+        )
+        self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
+
+    def catchup(self, ssm_lens: np.ndarray, tokens: np.ndarray) -> None:
+        """Advance the draft cache over already-committed tokens.
+
+        tokens [B, C] (zero-padded); rows with no lag pass harmless garbage
+        written beyond their valid region (never attended).
+        """
+        self.ssm_cache = self._catchup(
+            self.ssm_params, self.ssm_cache,
+            jnp.asarray(ssm_lens, jnp.int32), jnp.asarray(tokens, jnp.int32),
+        )
 
     def draft_tree(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray

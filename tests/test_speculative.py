@@ -171,3 +171,23 @@ def test_fused_spec_horizon(llm_params, ssm_params):
     got = [r.output_tokens
            for r in rm.generate(prompts, GenerationConfig(max_new_tokens=12))]
     assert got == want
+
+
+def test_multi_ssm_rotation(llm_params, ssm_params):
+    from flexflow_tpu.serving.spec_manager import MultiSSMSpecManager
+
+    prompts = [[3, 17, 91, 5], [8, 13, 21]]
+    want = incr_outputs(llm_params, prompts, 14)
+
+    ssm2_params = params_lib.init_params(SSM, jax.random.PRNGKey(7))
+    engines = [
+        SpecEngine(LLM, llm_params, SSM, p,
+                   beam_width=2, beam_depth=3, max_requests_per_batch=2,
+                   max_seq_len=160, cache_dtype=jnp.float32)
+        for p in (ssm_params, ssm2_params)
+    ]
+    rm = MultiSSMSpecManager(engines, fused=True)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=14))]
+    assert got == want
+    assert rm.num_processed_requests == 2
