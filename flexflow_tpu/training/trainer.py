@@ -39,15 +39,27 @@ class Trainer:
         optimizer,
         *,
         mesh: Optional[Mesh] = None,
+        pipeline_stages: int = 1,
+        num_microbatches: Optional[int] = None,
         loss: str = "sparse_categorical_crossentropy",
     ):
+        """``pipeline_stages`` > 1 runs the forward through the explicit
+        ppermute pipeline (parallel/pipeline.py) over the mesh's pipe axis
+        (layer params get stage-sliced); DP/TP stay under GSPMD."""
         self.spec = spec
         self.optimizer = optimizer
         self.mesh = mesh
+        self.pipeline_stages = pipeline_stages
         self.loss_name = loss
         self.loss_fn = loss_lib.LOSSES[loss]
 
-        if mesh is not None:
+        if pipeline_stages > 1:
+            assert mesh is not None and mesh.shape["pipe"] == pipeline_stages
+            from flexflow_tpu.parallel.pipeline import stage_params
+
+            params = {**params,
+                      "layers": stage_params(params["layers"], pipeline_stages)}
+        elif mesh is not None:
             pshard = sharding_lib.param_shardings(spec, params, mesh)
             params = jax.device_put(params, pshard)
         self.params = params
@@ -58,13 +70,24 @@ class Trainer:
             NamedSharding(mesh, P(DATA_AXIS, None)) if mesh is not None else None
         )
 
+        def forward_logits(p, tokens):
+            b, t = tokens.shape
+            positions = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32)[None], (b, t)
+            )
+            if pipeline_stages > 1:
+                from flexflow_tpu.parallel.pipeline import pipeline_forward
+
+                return pipeline_forward(
+                    self.spec, p, tokens, positions, mesh=mesh,
+                    num_microbatches=num_microbatches or pipeline_stages,
+                )
+            logits, _ = decoder.forward(self.spec, p, tokens, positions)
+            return logits
+
         def step(params, opt_state, tokens, labels):
             def loss_of(p):
-                b, t = tokens.shape
-                positions = jnp.broadcast_to(
-                    jnp.arange(t, dtype=jnp.int32)[None], (b, t)
-                )
-                logits, _ = decoder.forward(self.spec, p, tokens, positions)
+                logits = forward_logits(p, tokens)
                 return self.loss_fn(logits, labels), logits
 
             (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
@@ -73,9 +96,7 @@ class Trainer:
             return params, opt_state, loss, m
 
         def eval_step(params, tokens, labels):
-            b, t = tokens.shape
-            positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
-            logits, _ = decoder.forward(self.spec, params, tokens, positions)
+            logits = forward_logits(params, tokens)
             loss = self.loss_fn(logits, labels)
             return loss, metrics_lib.classification_metrics(logits, labels)
 

@@ -59,10 +59,10 @@ def test_optimize_layout_measured():
     labels = np.roll(toks, -1, axis=1)
 
     def step_factory(layout):
-        if layout.pipe > 1:
-            raise NotImplementedError("pp measured via pipeline_forward path")
-        mesh = make_mesh(data=layout.data, pipe=1, model=layout.model)
-        tr = Trainer(TINY, params, SGDOptimizer(lr=0.01), mesh=mesh)
+        mesh = make_mesh(data=layout.data, pipe=layout.pipe, model=layout.model)
+        tr = Trainer(TINY, params, SGDOptimizer(lr=0.01), mesh=mesh,
+                     pipeline_stages=layout.pipe,
+                     num_microbatches=layout.num_microbatches)
 
         def step():
             tr.train_step(toks, labels)

@@ -103,3 +103,22 @@ def test_pp_grad_matches(tiny_params):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-3
         )
+
+
+def test_trainer_with_pipeline(tiny_params):
+    import numpy as np
+
+    from flexflow_tpu.training import SGDOptimizer, Trainer
+
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, TINY.vocab_size, size=(8, 12)).astype(np.int32)
+    labels = np.roll(toks, -1, axis=1)
+
+    tr1 = Trainer(TINY, tiny_params, SGDOptimizer(lr=0.05))
+    mesh = make_mesh(data=2, pipe=2, model=2)
+    tr2 = Trainer(TINY, tiny_params, SGDOptimizer(lr=0.05), mesh=mesh,
+                  pipeline_stages=2, num_microbatches=2)
+    for _ in range(3):
+        l1 = tr1.train_step(toks, labels)
+        l2 = tr2.train_step(toks, labels)
+        np.testing.assert_allclose(l1, l2, atol=1e-4, rtol=1e-4)
