@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 def _env_flag(name: str, default: bool) -> bool:

@@ -27,7 +27,6 @@ leading ``[num_layers, ...]`` axis (see ``models/params.py``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

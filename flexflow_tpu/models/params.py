@@ -15,7 +15,7 @@ Weight layout notes: torch ``nn.Linear.weight`` is [out, in]; our layout is
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ the framework); tests skip when it is absent in the environment.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -11,8 +11,6 @@ with NO capacity-factor token dropping — every routed token is computed
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

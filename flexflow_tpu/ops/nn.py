@@ -11,7 +11,7 @@ tensors (cudnn default), letting XLA pick the internal layout.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ import time
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
-import numpy as np
 
 from flexflow_tpu.specs import ModelSpec
 

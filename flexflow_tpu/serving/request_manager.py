@@ -22,7 +22,7 @@ import itertools
 import queue
 import threading
 import time
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ copy).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence
 
 import jax
 import numpy as np

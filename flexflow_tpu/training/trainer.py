@@ -12,7 +12,6 @@ psum that the reference fuses into ``nccl_update_task``
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable, Iterable, Optional, Tuple
 
