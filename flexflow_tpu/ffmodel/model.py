@@ -709,3 +709,25 @@ class FFModel:
         xs = x if isinstance(x, (list, tuple)) else [x]
         return np.asarray(self._forward(self.params, self.state,
                                         [jnp.asarray(a) for a in xs]))
+
+    # ------------------------------------------------------------------
+    # graph export (reference export_strategy_task_graph_file / dot export,
+    # config.h:194-196, src/utils/dot/record_formatter.cc)
+    # ------------------------------------------------------------------
+
+    def export_dot(self, path: Optional[str] = None) -> str:
+        """Graphviz dot of the layer graph (op, name, output shapes)."""
+        lines = ["digraph ffmodel {", "  rankdir=TB;",
+                 '  node [shape=record, fontsize=10];']
+        for nid, node in enumerate(self._nodes):
+            shapes = ",".join(str(s) for s in node.out_shapes)
+            label = f"{node.name}|{node.op}|{shapes}".replace("(", "[").replace(")", "]")
+            lines.append(f'  n{nid} [label="{{{label}}}"];')
+            for t in node.inputs:
+                lines.append(f"  n{t.node} -> n{nid};")
+        lines.append("}")
+        dot = "\n".join(lines)
+        if path:
+            with open(path, "w") as f:
+                f.write(dot)
+        return dot

@@ -124,3 +124,16 @@ def test_embedding_and_reduce():
     ff.compile(optimizer=AdamOptimizer(lr=1e-2))
     hist = ff.fit(ids, y, batch_size=16, epochs=10)
     assert hist[-1]["loss"] < 0.7
+
+
+def test_export_dot(tmp_path):
+    ff = FFModel()
+    t = ff.create_tensor((4, 8))
+    t = ff.dense(t, 16, activation="relu", name="fc1")
+    t = ff.dense(t, 2, name="fc2")
+    p = str(tmp_path / "graph.dot")
+    dot = ff.export_dot(p)
+    assert "digraph" in dot and "fc1" in dot and "fc2" in dot
+    assert "->" in dot
+    import os
+    assert os.path.exists(p)
