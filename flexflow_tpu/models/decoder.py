@@ -97,17 +97,26 @@ def _use_pallas_quant_matmul() -> bool:
 class KVCache(NamedTuple):
     """Per-request-slot KV cache, stacked over layers.
 
-    Layout [L, B, S, KH, D]: request slots on axis 1 (the reference allocates
-    per-request contiguous KV regions inside the attention op's Meta struct,
+    Layout [L, B, KH, D, S] — chosen for TPU memory tiling: the minor dims
+    (D, S) align with the (8, 128) tile (head_dim is a multiple of 8, seq a
+    multiple of 128), so the multi-GB cache carries ZERO padding. The naive
+    [L, B, S, KH, D] layout pads (KH, D) planes up to 2.7x (measured: a
+    2.25 GiB cache ballooned to 6 GiB) and forces XLA compress/uncompress
+    copies. Decode attention also prefers it: per (request, head) the score
+    contraction is q [G, D] x k [D, S] — D on sublanes, S on lanes, exactly
+    what the MXU wants.
+
+    Request slots on axis 1 (the reference allocates per-request contiguous
+    KV regions inside the attention op's Meta struct,
     inc_multihead_self_attention.cu:1621+); sharded over KH (TP axis) on a mesh.
     """
 
-    k: jnp.ndarray  # [L, B, S, KH, D]
-    v: jnp.ndarray  # [L, B, S, KH, D]
+    k: jnp.ndarray  # [L, B, KH, D, S]
+    v: jnp.ndarray  # [L, B, KH, D, S]
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[4]
 
     @property
     def num_slots(self) -> int:
@@ -117,7 +126,7 @@ class KVCache(NamedTuple):
 def init_kv_cache(
     spec: ModelSpec, num_slots: int, max_seq_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (spec.num_layers, num_slots, max_seq_len, spec.num_kv_heads, spec.head_dim)
+    shape = (spec.num_layers, num_slots, spec.num_kv_heads, spec.head_dim, max_seq_len)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -387,31 +396,49 @@ def forward_cached(
     cache_lens: jnp.ndarray,  # [B] committed tokens per slot
     *,
     positions: Optional[jnp.ndarray] = None,  # [B, T]; default lens + arange(T)
-    tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] bool
-    kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] bool full mask override
-    write_pos: Optional[jnp.ndarray] = None,  # [B, T] absolute cache positions
+    tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] mask among in-flight tokens
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] mask over the EXISTING cache
+    write_start: Optional[jnp.ndarray] = None,  # [B] cache window start (default lens)
     lora: Optional[Params] = None,
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache)."""
+    """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache).
+
+    TPU-native memory structure: the KV cache is consumed READ-ONLY inside the
+    layer scan (sliced per layer as scan xs — no carried copy, so XLA never
+    double-buffers the multi-GB cache), attention runs against
+    (cache | in-register new KV) via :func:`attn_lib.split_cached_attention`,
+    and the new tokens' K/V for all layers are scattered into the cache in ONE
+    donated update after the scan. This replaces the reference's
+    update-then-attend kernel pair (inc_multihead_self_attention.cu:860,378)
+    without materializing a second cache copy.
+
+    Masks (reference BatchConfig::BitMask semantics, batch_config.h:122-136):
+    - ``tree_mask`` [B, T, T]: which in-flight tokens each in-flight token
+      attends (default: causal — the incremental-decode / chunked-prefill case;
+      identity for draft beams; ancestor matrix for tree verification).
+    - ``kv_mask`` [B, T, S]: which cache positions are visible (default: the
+      committed prefix ``< cache_lens``; the speculative draft adds
+      earlier-depth tree slots).
+    """
     b, t = tokens.shape
     slopes = _alibi_slopes(spec)
     if positions is None:
         positions = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     h = _embed(spec, params, tokens, positions)
 
-    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
-    if write_pos is None:
-        write_pos = cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-    # clamp: out-of-range writes land on the last slot position (never attended
-    # because the scheduler retires requests before the cache fills)
-    write_pos = jnp.minimum(write_pos, cache.max_seq_len - 1)
+    if write_start is None:
+        write_start = cache_lens
+    # clamp: out-of-range windows land in the cache's tail scratch region
+    # (never attended — the scheduler retires requests before the cache fills)
+    write_start = jnp.clip(
+        write_start.astype(jnp.int32), 0, cache.max_seq_len - t
+    )
 
-    def body(carry, xs):
-        h, ck, cv = carry
+    def body(h, xs):
         if lora is not None:
-            layer_params, l, lora_layer = xs
+            layer_params, ck_l, cv_l, lora_layer = xs
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -419,12 +446,14 @@ def forward_cached(
                 "_lora_scale": lora_scale,
             }
         else:
-            layer_params, l = xs
+            layer_params, ck_l, cv_l = xs
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)
-            nk = ck.at[l, batch_idx, write_pos].set(k.astype(ck.dtype))
-            nv = cv.at[l, batch_idx, write_pos].set(v.astype(cv.dtype))
+            # cast once to the cache dtype so in-register scores match a
+            # write-then-read of the cache bit-for-bit
+            kc = k.astype(ck_l.dtype)
+            vc = v.astype(cv_l.dtype)
             if (
                 t == 1
                 and tree_mask is None
@@ -438,32 +467,48 @@ def forward_cached(
                 )
 
                 out = decode_attention(
-                    q[:, 0], nk[l], nv[l], cache_lens
+                    q[:, 0], ck_l, cv_l, kc[:, 0], vc[:, 0], cache_lens
                 )[:, None]
-                return out, (nk, nv)
-            out = attn_lib.cached_attention(
+                return out, (kc, vc)
+            out = attn_lib.split_cached_attention(
                 q,
-                nk[l],
-                nv[l],
-                cache_lens=cache_lens,
-                tree_mask=tree_mask,
+                ck_l,
+                cv_l,
+                kc,
+                vc,
+                cache_lens,
+                new_mask=tree_mask,
                 kv_mask=kv_mask,
                 q_positions=positions,
                 slopes=slopes,
                 logit_softcap=spec.attn_logit_softcap,
             )
-            return out, (nk, nv)
+            return out, (kc, vc)
 
-        h, (ck, cv) = _layer(spec, layer_params, h, attend)
-        return (h, ck, cv), None
+        h, (kc, vc) = _layer(spec, layer_params, h, attend)
+        return h, (kc, vc)
 
-    layer_idx = jnp.arange(spec.num_layers, dtype=jnp.int32)
     xs = (
-        (params["layers"], layer_idx)
+        (params["layers"], cache.k, cache.v)
         if lora is None
-        else (params["layers"], layer_idx, lora)
+        else (params["layers"], cache.k, cache.v, lora)
     )
-    (h, ck, cv), _ = jax.lax.scan(body, (h, cache.k, cache.v), xs)
+    h, (k_new, v_new) = jax.lax.scan(body, h, xs)
+    # Cache write: an UNROLLED per-slot dynamic_update_slice chain, NOT a
+    # scatter. XLA's TPU scatter materializes the whole cache in a padded
+    # internal layout (measured 2.7x: a 2.25 GiB cache gained a 6 GiB temp
+    # copy — the batch-256 OOM); the DUS chain stays in the compact layout,
+    # runs fully in place (measured ~3 us/step for 512 updates at B=256),
+    # and works identically on every backend. Mirrors the reference's
+    # update_kv_cache_kernel (inc_multihead_self_attention.cu:860).
+    upd_k = k_new.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)  # [L,B,KH,D,T]
+    upd_v = v_new.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+    zero = jnp.int32(0)
+    ck, cv = cache.k, cache.v
+    for bb in range(b):
+        start = (zero, jnp.int32(bb), zero, zero, write_start[bb])
+        ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
+        cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
     logits = _unembed(spec, params, h)
     return logits, KVCache(k=ck, v=cv)
 
@@ -483,10 +528,9 @@ def insert_kv(
     """
     del length
     zero = jnp.int32(0)
-    k = jax.lax.dynamic_update_slice(
-        cache.k, k_new[:, None].astype(cache.k.dtype), (zero, slot, zero, zero, zero)
-    )
-    v = jax.lax.dynamic_update_slice(
-        cache.v, v_new[:, None].astype(cache.v.dtype), (zero, slot, zero, zero, zero)
-    )
+    # [L, T, KH, D] -> [L, 1, KH, D, T] (cache layout [L, B, KH, D, S])
+    k_t = k_new.transpose(0, 2, 3, 1)[:, None].astype(cache.k.dtype)
+    v_t = v_new.transpose(0, 2, 3, 1)[:, None].astype(cache.v.dtype)
+    k = jax.lax.dynamic_update_slice(cache.k, k_t, (zero, slot, zero, zero, zero))
+    v = jax.lax.dynamic_update_slice(cache.v, v_t, (zero, slot, zero, zero, zero))
     return KVCache(k=k, v=v)

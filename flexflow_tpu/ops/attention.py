@@ -98,6 +98,96 @@ def prefill_attention(
     return out.reshape(s, h, d).astype(q.dtype)
 
 
+def split_cached_attention(
+    q: jnp.ndarray,  # [B, T, H, D]
+    k_cache: jnp.ndarray,  # [B, KH, D, S] OLD cache (read-only, new tokens NOT written)
+    v_cache: jnp.ndarray,  # [B, KH, D, S]
+    k_new: jnp.ndarray,  # [B, T', KH, D] in-flight tokens' K (this step)
+    v_new: jnp.ndarray,  # [B, T', KH, D]
+    cache_lens: jnp.ndarray,  # [B] committed tokens per slot
+    *,
+    new_mask: Optional[jnp.ndarray] = None,  # [B, T, T'] bool; None => causal
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] mask over cache; None => committed prefix
+    q_positions: Optional[jnp.ndarray] = None,  # [B, T] absolute positions
+    new_positions: Optional[jnp.ndarray] = None,  # [B, T'] (alibi; default = q_positions)
+    slopes: Optional[jnp.ndarray] = None,  # [H]
+    logit_softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Attention of T in-flight tokens against (read-only cache) + (in-register new KV).
+
+    TPU-native restructuring of :func:`cached_attention`: instead of scattering
+    the new tokens' K/V into the cache *before* attending (which forces the
+    whole cache through the layer scan as a carried, double-buffered value),
+    the cache is consumed read-only and the in-flight tokens' K/V join the
+    softmax in-register. One joint fp32 softmax over [cache | new] columns —
+    numerically the same computation as the reference's fused
+    update-then-attend kernels (inc_multihead_self_attention.cu:860,378), with
+    the tree/causal structure expressed as the ``new_mask`` block
+    (tree_inc_multihead_self_attention.cu's BitMask over in-flight tokens).
+
+    The caller scatters ``k_new/v_new`` into the cache once per step *after*
+    the layer scan (see decoder.forward_cached). The cache layout is
+    [B, KH, D, S] (decoder.KVCache: zero-padding TPU tiling; D on sublanes /
+    S on lanes makes the score contraction MXU-native).
+    """
+    b, t, h, d = q.shape
+    s = k_cache.shape[3]
+    tn = k_new.shape[1]
+    kh = k_cache.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    qg = _group_query(q, kh).astype(jnp.float32)  # [B, T, KH, G, D]
+    sc = jnp.einsum("btkgd,bkds->bkgts", qg, k_cache.astype(jnp.float32)) * scale
+    sn = jnp.einsum("btkgd,bukd->bkgtu", qg, k_new.astype(jnp.float32)) * scale
+    if logit_softcap:
+        sc = jnp.tanh(sc / logit_softcap) * logit_softcap
+        sn = jnp.tanh(sn / logit_softcap) * logit_softcap
+    if slopes is not None:
+        if q_positions is None:
+            q_positions = cache_lens[:, None] + jnp.arange(t)[None, :]
+        if new_positions is None:
+            new_positions = q_positions
+        kv_pos = jnp.arange(s, dtype=jnp.int32)
+        rel_c = q_positions[:, :, None].astype(jnp.float32) - kv_pos[
+            None, None, :
+        ].astype(jnp.float32)  # [B, T, S]
+        rel_n = q_positions[:, :, None].astype(jnp.float32) - new_positions[
+            :, None, :
+        ].astype(jnp.float32)  # [B, T, T']
+        sl = slopes.reshape(kh, h // kh)[None, :, :, None, None]
+        sc = sc - sl * rel_c[:, None, None]
+        sn = sn - sl * rel_n[:, None, None]
+
+    if kv_mask is None:
+        kv_pos = jnp.arange(s)[None, None, :]
+        kv_mask = jnp.broadcast_to(
+            kv_pos < cache_lens[:, None, None], (b, t, s)
+        )
+    if new_mask is None:
+        new_mask = jnp.broadcast_to(
+            jnp.tril(jnp.ones((t, tn), dtype=bool))[None], (b, t, tn)
+        )
+
+    # joint masked softmax over [cache | new]
+    sc = jnp.where(kv_mask[:, None, None], sc, NEG_INF)
+    sn = jnp.where(new_mask[:, None, None], sn, NEG_INF)
+    m = jnp.maximum(
+        jnp.max(sc, axis=-1, keepdims=True), jnp.max(sn, axis=-1, keepdims=True)
+    )
+    m = jax.lax.stop_gradient(m)
+    ec = jnp.where(kv_mask[:, None, None], jnp.exp(sc - m), 0.0)
+    en = jnp.where(new_mask[:, None, None], jnp.exp(sn - m), 0.0)
+    denom = jnp.sum(ec, axis=-1, keepdims=True) + jnp.sum(
+        en, axis=-1, keepdims=True
+    )
+    oc = jnp.einsum("bkgts,bkds->btkgd", ec, v_cache.astype(jnp.float32))
+    on = jnp.einsum("bkgtu,bukd->btkgd", en, v_new.astype(jnp.float32))
+    # denom [B,KH,G,T,1] -> [B,T,KH,G,1] to divide the output layout
+    out = (oc + on) / jnp.maximum(denom.transpose(0, 3, 1, 2, 4), 1e-30)
+    return out.reshape(b, t, h, d).astype(q.dtype)
+
+
 def cached_attention(
     q: jnp.ndarray,  # [B, T, H, D]
     k_cache: jnp.ndarray,  # [B, S, KH, D] (already containing the new tokens)

@@ -1,13 +1,18 @@
-"""Pallas decode attention: one program per (request, KV head), KV from HBM.
+"""Pallas decode attention: one program per request, KV streamed from cache.
 
 TPU-native rebuild of the reference's decode-mode attention kernel
 (/root/reference/src/ops/inc_multihead_self_attention.cu:378
 ``compute_attention_kernel_generation_kernel`` — one CTA per head x request,
-KV streamed from the cache with online softmax). Grid (B, KH): each program
-loads one request's [S, D] K/V slice for one KV head into VMEM and attends
-its GQA query group with plain 2D MXU matmuls (q [G, D] x K^T, P x V).
+KV streamed from the cache with online softmax). Grid (B,): each program
+loads one request's [S, KH, D] K/V cache slice into VMEM and attends the GQA
+query groups with plain 2D MXU matmuls (q [G, D] x K^T, P x V).
 
-Numerics match ops/attention.cached_attention for the decode case (T=1,
+Split-cache form: the cache is READ-ONLY (the decode token's K/V arrive
+in-register as ``k_self``/``v_self`` and are folded into the same softmax);
+the caller scatters them into the cache afterwards — see
+decoder.forward_cached.
+
+Numerics match ops/attention.split_cached_attention for the decode case (T=1,
 causal, no alibi/softcap) — asserted in tests and selected at trace time by
 the decoder only for exactly that case.
 
@@ -32,38 +37,51 @@ from jax.experimental.pallas import tpu as pltpu
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(
     q: jnp.ndarray,  # [B, H, D] (single decode token per slot)
-    k_cache: jnp.ndarray,  # [B, S, KH, D] (new token already written at lens)
-    v_cache: jnp.ndarray,  # [B, S, KH, D]
+    k_cache: jnp.ndarray,  # [B, KH, D, S] committed cache (token NOT written)
+    v_cache: jnp.ndarray,  # [B, KH, D, S]
+    k_self: jnp.ndarray,  # [B, KH, D] this token's K (cache dtype)
+    v_self: jnp.ndarray,  # [B, KH, D]
     cache_lens: jnp.ndarray,  # [B] committed tokens BEFORE this step
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, d = q.shape
-    s, kh = k_cache.shape[1], k_cache.shape[2]
+    kh, s = k_cache.shape[1], k_cache.shape[3]
     g = h // kh
     scale = 1.0 / math.sqrt(d)
     qg = q.reshape(b, kh, g, d)
 
-    def kernel(lens_ref, q_ref, k_ref, v_ref, o_ref):
+    def kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
         i = pl.program_id(0)
-        # valid length INCLUDES the current token (KV written before the call)
-        l = lens_ref[i] + 1
+        l = lens_ref[i]  # committed length (self handled in-register)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
-        # static loop over KV heads: each iteration is plain 2D MXU work
+        # static loop over KV heads: each iteration is plain 2D MXU work.
+        # Cache layout [KH, D, S]: scores = q [G, D] x k [D, S] — D on
+        # sublanes, S on lanes (the natural MXU orientation).
         for j in range(kh):
             qb = q_ref[0, j].astype(jnp.float32)  # [G, D]
-            kb = k_ref[0, :, j, :].astype(jnp.float32)  # [S, D]
-            vb = v_ref[0, :, j, :].astype(jnp.float32)  # [S, D]
-            scores = jax.lax.dot_general(
-                qb, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            kb = k_ref[0, j].astype(jnp.float32)  # [D, S]
+            vb = v_ref[0, j].astype(jnp.float32)  # [D, S]
+            scores = jnp.dot(
+                qb, kb, preferred_element_type=jnp.float32
             ) * scale  # [G, S]
             scores = jnp.where(kv_pos < l, scores, -1e30)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            e = jnp.where(kv_pos < l, e, 0.0)
-            probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            out = jnp.dot(probs, vb, preferred_element_type=jnp.float32)
+            ks = ks_ref[0, j].astype(jnp.float32)  # [D]
+            vs = vs_ref[0, j].astype(jnp.float32)  # [D]
+            s_self = jnp.sum(qb * ks[None, :], axis=-1, keepdims=True) * scale
+            m = jnp.maximum(
+                jnp.max(scores, axis=-1, keepdims=True), s_self
+            )
+            e = jnp.where(kv_pos < l, jnp.exp(scores - m), 0.0)
+            e_self = jnp.exp(s_self - m)  # [G, 1]
+            denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+            out = (
+                jax.lax.dot_general(
+                    e, vb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + e_self * vs[None, :]
+            ) / jnp.maximum(denom, 1e-30)
             o_ref[0, j] = out.astype(o_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -72,9 +90,13 @@ def decode_attention(
         in_specs=[
             pl.BlockSpec((1, kh, g, d), lambda i, lens: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, kh, d), lambda i, lens: (i, 0, 0, 0),
+            pl.BlockSpec((1, kh, d, s), lambda i, lens: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, kh, d), lambda i, lens: (i, 0, 0, 0),
+            pl.BlockSpec((1, kh, d, s), lambda i, lens: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, d), lambda i, lens: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, d), lambda i, lens: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kh, g, d), lambda i, lens: (i, 0, 0, 0),
@@ -91,5 +113,5 @@ def decode_attention(
             transcendentals=b * h * s,
         ),
         interpret=interpret,
-    )(cache_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    )(cache_lens.astype(jnp.int32), qg, k_cache, v_cache, k_self, v_self)
     return out.reshape(b, h, d)

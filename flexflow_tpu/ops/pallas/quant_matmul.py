@@ -48,27 +48,39 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, *, group_size: int):
 
 def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
     x = x_ref[:]  # [B, D]
-    # Mosaic has no uint8 casts and no i8 shifts: bitcast to int8 for the
-    # low-nibble mask, widen to int32 for the (legal) arithmetic shift.
+    # Mosaic has no uint8 casts and no i8/i16 shifts: bitcast to int8, widen
+    # to int32 for the (legal) ops. The signed-high-nibble storage (see
+    # quant/weight_only.py) makes the high half a bare arithmetic shift — no
+    # second mask — and the planar halves avoid a concatenate relayout.
     packed = pltpu.bitcast(q_ref[:], jnp.int8)  # [D/2, BF] planar
     p32 = packed.astype(jnp.int32)
-    lo = (p32 & 0xF).astype(jnp.bfloat16)
-    hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
-    qv = jnp.concatenate([lo, hi], axis=0)  # [D, BF], values 0..15
+    lo = (p32 & 0xF).astype(jnp.bfloat16)  # rows 0..D/2, unsigned [0, 15]
+    hi = (p32 >> 4).astype(jnp.bfloat16)  # rows D/2..D, SIGNED [-8, 7]
     b = x.shape[0]
     g = s_ref.shape[0]
-    # per-group dots; scale applied after the dot, offset via group-sums of x:
-    # sum_{d in g} x_d * (q_d * s_g + off_g)
+    gh = g // 2
+    d2 = lo.shape[0]
+    s = s_ref[:]
+    off = off_ref[:]
+
+    # per-half, per-group dots; scale applied after the dot, offset via
+    # group-sums of x: sum_{d in g} x_d * (q_d * s_g + off_g)
     #   = s_g * dot(x_g, q_g) + off_g * sum(x_g)
-    qg = qv.reshape(g, group_size, -1)  # [G, gs, BF]
-    xg = x.reshape(b, g, group_size).transpose(1, 0, 2)  # [G, B, gs]
-    pg = jax.lax.dot_general(
-        xg, qg, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [G, B, BF]
-    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [G, B]
-    out = pg * s_ref[:][:, None, :] + xsum[:, :, None] * off_ref[:][:, None, :]
-    o_ref[:] = jnp.sum(out, axis=0).astype(o_ref.dtype)
+    def half(qv, xh, sh, oh):
+        qg = qv.reshape(gh, group_size, -1)  # [GH, gs, BF]
+        xg = xh.reshape(b, gh, group_size).transpose(1, 0, 2)  # [GH, B, gs]
+        pg = jax.lax.dot_general(
+            xg, qg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [GH, B, BF]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [GH, B]
+        out = pg * sh[:, None, :] + xsum[:, :, None] * oh[:, None, :]
+        return jnp.sum(out, axis=0)  # [B, BF]
+
+    out = half(lo, x[:, :d2], s[:gh], off[:gh]) + half(
+        hi, x[:, d2:], s[gh:], off[gh:]
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -126,6 +138,26 @@ def _qmm_2d(
     )(*args)
 
 
+def pallas_eligible(qa: QuantizedArray) -> bool:
+    """Whether the fused kernel handles this unit's shapes well.
+
+    Small/unaligned units (tiny test models, odd feature counts) either hit
+    Mosaic layout limits (lane-dim reshapes need 128-multiples) or simply
+    aren't worth a custom kernel — XLA's fused dequant-dot wins there. The
+    kernel targets the production shapes (>=1k contraction, 128-aligned).
+    """
+    d = qa.d_contract
+    f = qa.q.shape[-1]
+    if d < 1024 or d % 256 or f % 256:
+        return False
+    if qa.bits == 4:
+        # planar halves: x reshape [B, D/2] -> [B, GH, gs] splits the lane
+        # dim, legal only at 128-multiples
+        if qa.group_size % 128 or (d // 2) % qa.group_size:
+            return False
+    return True
+
+
 def quant_matmul(
     x: jnp.ndarray,  # [..., D_contract...]
     qa: QuantizedArray,
@@ -136,9 +168,19 @@ def quant_matmul(
 
     Supports unbatched QuantizedArrays (or scan-sliced per-layer units whose
     leading batch axes are gone). Contraction axes of ``x`` must match the
-    unit's contraction shape; output gets the unit's out shape.
+    unit's contraction shape; output gets the unit's out shape. Units the
+    kernel can't tile well fall back to XLA's dequant-fused dot.
     """
     assert qa.q.ndim == 2, "quant_matmul expects an unbatched (per-layer) unit"
+    if not interpret and not pallas_eligible(qa):
+        from flexflow_tpu.quant.weight_only import dequantize
+
+        return jnp.tensordot(
+            x.reshape(*x.shape[: x.ndim - qa.contract_dims], qa.d_contract),
+            dequantize(qa).reshape(qa.d_contract, -1),
+            axes=1,
+        ).reshape(*x.shape[: x.ndim - qa.contract_dims],
+                  *qa.shape[qa.batch_dims + qa.contract_dims:]).astype(x.dtype)
     unit = qa.shape[qa.batch_dims:]
     cdims = qa.contract_dims
     d = qa.d_contract

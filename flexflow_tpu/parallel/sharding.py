@@ -147,8 +147,8 @@ def param_shardings(
 
 
 def kv_cache_sharding(mesh: Mesh, cache: Optional[KVCache] = None):
-    """KV cache [L, B, S, KH, D]: slots on data axis, KV heads on model axis."""
-    ps = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    """KV cache [L, B, KH, D, S]: slots on data axis, KV heads on model axis."""
+    ps = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     if cache is not None:
         ps = _divisible(cache.k.shape, ps, mesh)
     return NamedSharding(mesh, ps)

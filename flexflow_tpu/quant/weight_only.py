@@ -35,12 +35,18 @@ class QuantizedArray:
     ``contract_dims`` axes of the unit are the contraction axes (flattened to
     D for grouping). Carriers:
 
-    q:      int8/uint8. INT8: [*B, D, R]. INT4: [*B, D//2, R] planar-packed
-            (byte r packs element r in the low nibble and element r + D//2 in
-            the high nibble — unpacking is two contiguous sublane blocks, the
-            layout the Pallas dequant-matmul kernel wants).
+    q:      int8/uint8. INT8: [*B, D, R]. INT4: [*B, D//2, R] planar-packed:
+            byte r packs element r (low nibble, UNSIGNED [0,15]) and element
+            r + D//2 (high nibble, SIGNED two's complement [-8,7] — stored as
+            ``(value+8) ^ 8``). The signed high nibble lets the Pallas kernel
+            unpack with ONE arithmetic shift (no mask — Mosaic only legalizes
+            int32 shifts, so every VPU op saved matters); the +8 bias is folded
+            into the high-half groups' offsets at quantize time. Planar halves
+            mean unpacking never needs a concatenate/relayout.
     scale:  [*B, D // group_size, R] f32 per-group scale.
-    offset: [*B, D // group_size, R] f32 per-group minimum (INT4 only).
+    offset: [*B, D // group_size, R] f32 per-group additive term (INT4 only;
+            low-half groups: the group minimum; high-half groups: minimum
+            + 8 * scale, absorbing the signed-nibble bias).
     """
 
     q: jnp.ndarray
@@ -135,10 +141,16 @@ def quantize(
         qv = jnp.clip(jnp.round((wf - lo) / scale), 0, 15).astype(jnp.uint8)
         qv = qv.reshape(b, d, rest)
         half = d // 2
-        q = (qv[:, :half] | (qv[:, half:] << 4)).astype(jnp.uint8)
+        # high nibble stored SIGNED (value - 8, two's complement = value ^ 8);
+        # the +8*scale bias is folded into the high-half groups' offsets below
+        q = (qv[:, :half] | ((qv[:, half:] ^ 8) << 4)).astype(jnp.uint8)
         q = q.reshape(shape[:batch_dims] + (d // 2, rest))
-        offset = lo[:, :, 0].reshape(shape[:batch_dims] + (d // g, rest))
-        scale = scale[:, :, 0].reshape(shape[:batch_dims] + (d // g, rest))
+        offset = lo[:, :, 0]
+        scale = scale[:, :, 0]
+        gh = (d // g) // 2
+        offset = offset.at[:, gh:].add(8.0 * scale[:, gh:])
+        offset = offset.reshape(shape[:batch_dims] + (d // g, rest))
+        scale = scale.reshape(shape[:batch_dims] + (d // g, rest))
 
     return QuantizedArray(
         q=q,
@@ -172,12 +184,14 @@ def dequantize(qa: QuantizedArray) -> jnp.ndarray:
         scale = qa.scale.reshape(b, d // g, 1, rest)
         w = q * scale
     else:
-        packed = qa.q.reshape(b, d // 2, rest)
-        qv = jnp.concatenate(
-            [(packed & 0xF), ((packed >> 4) & 0xF)], axis=1
-        ).astype(jnp.float32)
+        packed = jax.lax.bitcast_convert_type(
+            qa.q.reshape(b, d // 2, rest), jnp.int8
+        )
+        lo = (packed & 0xF).astype(jnp.float32)  # unsigned [0, 15]
+        hi = (packed >> 4).astype(jnp.float32)  # SIGNED [-8, 7] (arith shift)
+        qv = jnp.concatenate([lo, hi], axis=1)
         scale = qa.scale.reshape(b, d // g, 1, rest)
-        off = qa.offset.reshape(b, d // g, 1, rest)
+        off = qa.offset.reshape(b, d // g, 1, rest)  # hi-half groups pre-biased
         w = qv.reshape(b, d // g, g, rest) * scale + off
     return w.reshape(out_shape).astype(qa.dtype)
 

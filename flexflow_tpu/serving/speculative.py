@@ -130,26 +130,29 @@ class SpecEngine:
                 jnp.arange(tree)[None, None, :] == self_slots[None, :, None]
             )  # [B, W, tree] including self
 
-            # kv mask over absolute cache positions
+            # cache mask: committed prefix + ancestor tree slots (already
+            # written at earlier depths). Self is NOT in the cache under the
+            # split-attention design — it joins in-register via tree_mask.
             kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1,1,S]
             committed = kv_pos < cache_lens[:, None, None]  # [B,1,S]
             rel = kv_pos - cache_lens[:, None, None]  # [B,1,S]
             in_tree = (rel >= 0) & (rel < tree)
             rel_c = jnp.clip(rel, 0, tree - 1)
             tree_allowed = jnp.take_along_axis(
-                anc_self, jnp.broadcast_to(rel_c, (b, w, s)), axis=-1
+                anc, jnp.broadcast_to(rel_c, (b, w, s)), axis=-1
             ) & in_tree
             kv_mask = committed | tree_allowed  # [B, W, S]
+            # in-flight mask: each beam attends only itself among the W
+            # current tokens (siblings are never ancestors)
+            new_mask = jnp.broadcast_to(jnp.eye(w, dtype=bool)[None], (b, w, w))
 
-            write_pos = cache_lens[:, None] + slot_base + jnp.arange(
-                w, dtype=jnp.int32
-            )[None, :]
             positions = cache_lens[:, None] + d  # [B, 1] -> broadcast
             positions = jnp.broadcast_to(positions, (b, w)).astype(jnp.int32)
 
             logits, cache = decoder.forward_cached(
                 self.ssm_spec, params, beam_tokens, cache, cache_lens,
-                positions=positions, kv_mask=kv_mask, write_pos=write_pos,
+                positions=positions, kv_mask=kv_mask, tree_mask=new_mask,
+                write_start=cache_lens + slot_base,
             )  # [B, W, V]
 
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -177,23 +180,13 @@ class SpecEngine:
             """tree_tokens [B, T] in slot order; anc_self [B, T, T] incl. self."""
             b = tree_tokens.shape[0]
             positions = cache_lens[:, None] + tree_depths  # [B, T]
-            write_pos = cache_lens[:, None] + jnp.arange(tree, dtype=jnp.int32)[None]
-            s = cache.max_seq_len
-            kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-            committed = jnp.broadcast_to(
-                kv_pos < cache_lens[:, None, None], (b, tree, s)
-            )
-            rel = kv_pos - cache_lens[:, None, None]
-            in_tree = (rel >= 0) & (rel < tree)
-            rel_c = jnp.clip(rel, 0, tree - 1)
-            tree_allowed = jnp.take_along_axis(
-                anc_self, jnp.broadcast_to(rel_c, (b, tree, s)), axis=-1
-            ) & in_tree
-            kv_mask = committed | tree_allowed
+            # split-attention: committed prefix from the cache (default
+            # kv_mask) + the tree's ancestor matrix among the T in-flight
+            # tokens (the reference BitMask, batch_config.h:122-136); tree KV
+            # lands at window [lens, lens+tree) (default write_start)
             logits, cache = decoder.forward_cached(
                 self.llm_spec, params, tree_tokens, cache, cache_lens,
-                positions=positions.astype(jnp.int32), kv_mask=kv_mask,
-                write_pos=write_pos,
+                positions=positions.astype(jnp.int32), tree_mask=anc_self,
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
@@ -205,21 +198,23 @@ class SpecEngine:
 
         # ---- KV commit: compact accepted tree slots to contiguous positions ----
         def commit_core(cache, cache_lens, from_slots):
-            """cache[l,b,len+i] <- cache[l,b,len+from_slots[b,i]] for i < tree.
+            """cache[..., len+i] <- cache[..., len+from_slots[b,i]] for i < tree.
 
             from_slots is identity-padded beyond the accepted count; stale
             writes land in the scratch region which is never attended.
+            Cache layout [L, B, KH, D, S] (S minor — see decoder.KVCache).
             """
-            ll, b, s, kh, dh = cache.k.shape
+            ll, b, kh, dh, s = cache.k.shape
             src = jnp.minimum(cache_lens[:, None] + from_slots, s - 1)  # [B,T]
             dst = jnp.minimum(
                 cache_lens[:, None] + jnp.arange(tree, dtype=jnp.int32)[None], s - 1
             )
             bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            gk = cache.k[:, bidx, src]  # [L, B, T, KH, D]
-            gv = cache.v[:, bidx, src]
-            k = cache.k.at[:, bidx, dst].set(gk)
-            v = cache.v.at[:, bidx, dst].set(gv)
+            # advanced indices on axes (1, 4) -> gathered shape [B, T, L, KH, D]
+            gk = cache.k[:, bidx, :, :, src]
+            gv = cache.v[:, bidx, :, :, src]
+            k = cache.k.at[:, bidx, :, :, dst].set(gk)
+            v = cache.v.at[:, bidx, :, :, dst].set(gv)
             return KVCache(k=k, v=v)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
