@@ -39,10 +39,11 @@ class QuantizedArray:
             byte r packs element r (low nibble, UNSIGNED [0,15]) and element
             r + D//2 (high nibble, SIGNED two's complement [-8,7] — stored as
             ``(value+8) ^ 8``). The signed high nibble lets the Pallas kernel
-            unpack with ONE arithmetic shift (no mask — Mosaic only legalizes
-            int32 shifts, so every VPU op saved matters); the +8 bias is folded
-            into the high-half groups' offsets at quantize time. Planar halves
-            mean unpacking never needs a concatenate/relayout.
+            unpack both halves with int8 ANDs only (lo = v & 0x0F;
+            hi16 = v & 0xF0 == 16*hi, the /16 folding into the high-half
+            scales) — no shifts (Mosaic only legalizes int32 shifts) and no
+            int32 widening. The +8 bias is folded into the high-half groups'
+            offsets at quantize time.
     scale:  [*B, D // group_size, R] f32 per-group scale.
     offset: [*B, D // group_size, R] f32 per-group additive term (INT4 only;
             low-half groups: the group minimum; high-half groups: minimum
@@ -58,6 +59,10 @@ class QuantizedArray:
     batch_dims: int
     contract_dims: int
     dtype: Any
+    # zero columns appended to the carriers' out dim so the Pallas kernel can
+    # tile F in 512-wide blocks (the measured sweet spot); logical shape is
+    # unchanged — dequantize()/quant_matmul() slice the pad back off
+    rest_pad: int = 0
 
     def tree_flatten(self):
         children = (self.q, self.scale, self.offset)
@@ -68,6 +73,7 @@ class QuantizedArray:
             self.batch_dims,
             self.contract_dims,
             self.dtype,
+            self.rest_pad,
         )
         return children, aux
 
@@ -126,31 +132,37 @@ def quantize(
     b = int(np.prod(shape[:batch_dims])) if batch_dims else 1
 
     wf = jnp.reshape(w.astype(jnp.float32), (b, d // g, g, rest))
+    # pad the out dim to a 512-multiple for Pallas-eligible shapes (wide F
+    # blocks are the measured sweet spot; zero columns quantize to q=0)
+    rest_pad = (-rest) % 512 if (d >= 1024 and rest >= 512) else 0
+    if rest_pad:
+        wf = jnp.pad(wf, ((0, 0), (0, 0), (0, 0), (0, rest_pad)))
+    restp = rest + rest_pad
 
     if bits == 8:
-        amax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)  # [b, G, 1, rest]
+        amax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)  # [b, G, 1, restp]
         scale = jnp.maximum(amax / 127.0, 1e-12)
         q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-        q = q.reshape(shape[:batch_dims] + (d, rest))
-        scale = scale[:, :, 0].reshape(shape[:batch_dims] + (d // g, rest))
+        q = q.reshape(shape[:batch_dims] + (d, restp))
+        scale = scale[:, :, 0].reshape(shape[:batch_dims] + (d // g, restp))
         offset = None
     else:
         lo = jnp.min(wf, axis=2, keepdims=True)
         hi = jnp.max(wf, axis=2, keepdims=True)
         scale = jnp.maximum((hi - lo) / 15.0, 1e-12)
         qv = jnp.clip(jnp.round((wf - lo) / scale), 0, 15).astype(jnp.uint8)
-        qv = qv.reshape(b, d, rest)
+        qv = qv.reshape(b, d, restp)
         half = d // 2
         # high nibble stored SIGNED (value - 8, two's complement = value ^ 8);
         # the +8*scale bias is folded into the high-half groups' offsets below
         q = (qv[:, :half] | ((qv[:, half:] ^ 8) << 4)).astype(jnp.uint8)
-        q = q.reshape(shape[:batch_dims] + (d // 2, rest))
+        q = q.reshape(shape[:batch_dims] + (d // 2, restp))
         offset = lo[:, :, 0]
         scale = scale[:, :, 0]
         gh = (d // g) // 2
         offset = offset.at[:, gh:].add(8.0 * scale[:, gh:])
-        offset = offset.reshape(shape[:batch_dims] + (d // g, rest))
-        scale = scale.reshape(shape[:batch_dims] + (d // g, rest))
+        offset = offset.reshape(shape[:batch_dims] + (d // g, restp))
+        scale = scale.reshape(shape[:batch_dims] + (d // g, restp))
 
     return QuantizedArray(
         q=q,
@@ -162,6 +174,7 @@ def quantize(
         batch_dims=batch_dims,
         contract_dims=contract_dims,
         dtype=compute_dtype,
+        rest_pad=rest_pad,
     )
 
 
@@ -173,6 +186,7 @@ def dequantize(qa: QuantizedArray) -> jnp.ndarray:
     original shape): effective batch dims are inferred from ``q.ndim``.
     """
     d, rest, g = qa.d_contract, qa.d_rest, qa.group_size
+    restp = rest + qa.rest_pad
     eff_bd = qa.q.ndim - 2
     sliced = qa.batch_dims - eff_bd
     out_shape = qa.shape[sliced:]
@@ -180,19 +194,20 @@ def dequantize(qa: QuantizedArray) -> jnp.ndarray:
     b = int(np.prod(bshape)) if bshape else 1
 
     if qa.bits == 8:
-        q = qa.q.reshape(b, d // g, g, rest).astype(jnp.float32)
-        scale = qa.scale.reshape(b, d // g, 1, rest)
+        q = qa.q.reshape(b, d // g, g, restp).astype(jnp.float32)
+        scale = qa.scale.reshape(b, d // g, 1, restp)
         w = q * scale
     else:
         packed = jax.lax.bitcast_convert_type(
-            qa.q.reshape(b, d // 2, rest), jnp.int8
+            qa.q.reshape(b, d // 2, restp), jnp.int8
         )
         lo = (packed & 0xF).astype(jnp.float32)  # unsigned [0, 15]
         hi = (packed >> 4).astype(jnp.float32)  # SIGNED [-8, 7] (arith shift)
         qv = jnp.concatenate([lo, hi], axis=1)
-        scale = qa.scale.reshape(b, d // g, 1, rest)
-        off = qa.offset.reshape(b, d // g, 1, rest)  # hi-half groups pre-biased
-        w = qv.reshape(b, d // g, g, rest) * scale + off
+        scale = qa.scale.reshape(b, d // g, 1, restp)
+        off = qa.offset.reshape(b, d // g, 1, restp)  # hi-half pre-biased
+        w = qv.reshape(b, d // g, g, restp) * scale + off
+    w = w.reshape(b, d, restp)[:, :, :rest]
     return w.reshape(out_shape).astype(qa.dtype)
 
 
