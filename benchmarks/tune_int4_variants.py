@@ -177,6 +177,33 @@ def _i4_and_bigdot_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size):
     )
 
 
+def _i4_and_2dot_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size):
+    # Like and-bigdot but dots the two planar halves separately against
+    # x[:, :D/2] and x[:, D/2:] — skips the [D/2,BF]+[D/2,BF] -> [D,BF]
+    # concatenate (a full-tile sublane copy).
+    x = x_ref[:]
+    v = pltpu.bitcast(q_ref[:], jnp.int8)  # [D/2, BF]
+    lo = (v & jnp.int8(0x0F)).astype(jnp.float32)
+    hi16 = (v & jnp.int8(-16)).astype(jnp.float32)
+    g = s_ref.shape[0]
+    gh = g // 2
+    d2 = v.shape[0]
+    s = s_ref[:]
+    off = off_ref[:]
+
+    def rep(a):
+        gg, f = a.shape
+        return jnp.broadcast_to(a[:, None, :], (gg, group_size, f)).reshape(
+            gg * group_size, f
+        )
+
+    w_lo = (lo * rep(s[:gh]) + rep(off[:gh])).astype(x.dtype)
+    w_hi = (hi16 * rep(s[gh:] * 0.0625) + rep(off[gh:])).astype(x.dtype)
+    acc = jnp.dot(x[:, :d2], w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x[:, d2:], w_hi, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 def _call(kernel, x, qa, bf, extra_specs_args):
     b, d = x.shape
     f = qa.q.shape[-1]
@@ -224,8 +251,9 @@ def main():
     ref4 = jnp.dot(x, weight_only.dequantize(qa4))
 
     cases = []
+    fp = qa4.q.shape[-1]  # padded F (quantize pads to a 512-multiple)
     for bf in (256, 512, 1024):
-        if F % bf:
+        if fp % bf:
             continue
         cases += [
             (f"i8-group bf={bf}",
@@ -243,6 +271,9 @@ def main():
             (f"i4-and-bigdot bf={bf}",
              lambda xc, bf=bf: _call(_i4_and_bigdot_kernel, xc, qa4, bf, True),
              qa4.q.size, ref4),
+            (f"i4-and-2dot bf={bf}",
+             lambda xc, bf=bf: _call(_i4_and_2dot_kernel, xc, qa4, bf, True),
+             qa4.q.size, ref4),
         ]
     cases += [
         ("i8-prod", lambda xc: qmm.quant_matmul(xc, qa8), qa8.q.size, ref8),
@@ -258,6 +289,7 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
             continue
+        got = got[..., : ref.shape[-1]]  # raw _call outputs keep the F pad
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
         rel = err / float(jnp.max(jnp.abs(ref)) + 1e-9)
         t = diff_time(op, x)

@@ -42,11 +42,15 @@ def chained(make_op, x, chain):
     return run
 
 
-def diff_time(make_op, x, iters=5):
+def diff_time(make_op, x, iters=9):
     f1 = chained(make_op, x, N1)
     f2 = chained(make_op, x, N2)
     jax.block_until_ready(f1(x))
     jax.block_until_ready(f2(x))
+    # MIN envelope of each chain, then diff: the tunneled chip shows
+    # seconds-scale contention spikes (medians can exceed HBM peak or go
+    # negative); contention only ever ADDS time, so the minimum over many
+    # alternating repeats approaches the uncontended runtime of each chain
     t1s, t2s = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -55,9 +59,7 @@ def diff_time(make_op, x, iters=5):
         t0 = time.perf_counter()
         jax.block_until_ready(f2(x))
         t2s.append(time.perf_counter() - t0)
-    t1 = sorted(t1s)[len(t1s) // 2]
-    t2 = sorted(t2s)[len(t2s) // 2]
-    return (t2 - t1) / (N2 - N1)
+    return (min(t2s) - min(t1s)) / (N2 - N1)
 
 
 

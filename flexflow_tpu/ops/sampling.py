@@ -33,21 +33,12 @@ class SamplingConfig(NamedTuple):
         )
 
 
-def sample(
-    logits: jnp.ndarray,  # [B, V] f32
-    key: jax.Array,
-    cfg: SamplingConfig,
-    *,
-    greedy_only: bool = False,
-) -> jnp.ndarray:
-    """Sample one token per row; greedy rows (temperature<=0) take argmax.
+def filtered_logits(logits: jnp.ndarray, cfg: SamplingConfig) -> jnp.ndarray:
+    """Temperature-scaled logits with top-k/top-p filtering applied ([B, V]).
 
-    ``greedy_only=True`` (static) skips the vocab-sort machinery entirely —
-    the scheduler sets it when every active request is greedy, which is the
-    reference's ArgMax fast path (src/ops/argmax.cu) vs Sampling op split.
+    Filtered-out entries are -inf; greedy rows (temperature <= 0) pass
+    through at temperature 1 (callers special-case greedy via argmax).
     """
-    if greedy_only:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     b, v = logits.shape
     greedy = cfg.temperature <= 0.0
     temp = jnp.where(greedy, 1.0, cfg.temperature)
@@ -70,8 +61,42 @@ def sample(
     thresh = jnp.min(
         jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1, keepdims=True
     )
-    masked = jnp.where(scaled >= thresh, masked, -jnp.inf)
+    return jnp.where(scaled >= thresh, masked, -jnp.inf)
 
+
+def target_probs(logits: jnp.ndarray, cfg: SamplingConfig) -> jnp.ndarray:
+    """Per-row sampling distribution [B, V] (f32) under cfg.
+
+    Greedy rows get a one-hot at the argmax — under speculative stochastic
+    verification a delta target accepts exactly the argmax path and the
+    renormalized residual stays the same delta, so the sampling-mode walk
+    degrades to the lossless greedy walk with no special casing.
+    """
+    greedy = (cfg.temperature <= 0.0)[:, None]
+    soft = jax.nn.softmax(filtered_logits(logits.astype(jnp.float32), cfg), -1)
+    onehot = jax.nn.one_hot(
+        jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32
+    )
+    return jnp.where(greedy, onehot, soft)
+
+
+def sample(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    cfg: SamplingConfig,
+    *,
+    greedy_only: bool = False,
+) -> jnp.ndarray:
+    """Sample one token per row; greedy rows (temperature<=0) take argmax.
+
+    ``greedy_only=True`` (static) skips the vocab-sort machinery entirely —
+    the scheduler sets it when every active request is greedy, which is the
+    reference's ArgMax fast path (src/ops/argmax.cu) vs Sampling op split.
+    """
+    if greedy_only:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = cfg.temperature <= 0.0
+    masked = filtered_logits(logits, cfg)
     sampled = jax.random.categorical(key, masked, axis=-1)
     return jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled).astype(jnp.int32)
 

@@ -19,8 +19,10 @@ import queue
 import time
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import numpy as np
 
+from flexflow_tpu.ops.sampling import SamplingConfig
 from flexflow_tpu.serving.request_manager import (
     COMPLETED,
     GenerationConfig,
@@ -42,6 +44,7 @@ class SpecRequestManager:
         eos_token_ids: Sequence[int] = (),
         fused: bool = False,
         spec_horizon: int = 1,
+        seed: int = 0,
         log_fn=None,
     ):
         """``fused=True`` runs each speculative iteration (draft tree ->
@@ -62,6 +65,12 @@ class SpecRequestManager:
         self._slots: List[Optional[Request]] = [None] * b
         self._cache_lens = np.zeros(b, np.int32)
         self._root_tokens = np.zeros(b, np.int32)
+        # per-slot sampling params; any temperature > 0 routes the step
+        # through stochastic verification (spec_sampling.tree_sample_walk)
+        self._temperature = np.zeros(b, np.float32)
+        self._top_p = np.ones(b, np.float32)
+        self._top_k = np.zeros(b, np.int32)
+        self._key = jax.random.PRNGKey(seed)
         self._steps = 0
         self._verified_tokens_total = 0  # accepted tokens across request-steps
         self._verified_events = 0  # (request, iteration) pairs counted
@@ -95,12 +104,19 @@ class SpecRequestManager:
         margin = self.spec_horizon * (self.engine.tree + 1)
         return total + margin >= self.engine.max_seq_len
 
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def _retire(self, slot: int) -> None:
         req = self._slots[slot]
         req.state = COMPLETED
         req.profile.finish_time = time.monotonic()
         self._slots[slot] = None
         self._cache_lens[slot] = 0
+        self._temperature[slot] = 0.0
+        self._top_p[slot] = 1.0
+        self._top_k[slot] = 0
         self._num_processed += 1
         self._log(
             f"[Profile] guid({req.guid}) llm_decoding_steps("
@@ -120,9 +136,23 @@ class SpecRequestManager:
             req.state = RUNNING
             req.slot = slot
             req.profile.start_time = time.monotonic()
-            first = self.engine.prefill_both(
-                np.asarray(req.prompt_tokens, np.int32), slot
-            )
+            self._temperature[slot] = req.config.temperature
+            self._top_p[slot] = req.config.top_p
+            self._top_k[slot] = req.config.top_k
+            if req.config.temperature > 0.0:
+                scfg1 = SamplingConfig(
+                    temperature=np.array([req.config.temperature], np.float32),
+                    top_p=np.array([req.config.top_p], np.float32),
+                    top_k=np.array([req.config.top_k], np.int32),
+                )
+                first = self.engine.prefill_both(
+                    np.asarray(req.prompt_tokens, np.int32), slot,
+                    self._next_key(), scfg1,
+                )
+            else:
+                first = self.engine.prefill_both(
+                    np.asarray(req.prompt_tokens, np.int32), slot
+                )
             req.profile.first_token_time = time.monotonic()
             req.profile.llm_decoding_steps = 1
             req.output_tokens.append(first)
@@ -137,7 +167,20 @@ class SpecRequestManager:
     def _step_fused(self, active) -> bool:
         lens_before = self._cache_lens.copy()
         h = self.spec_horizon
-        if h == 1:
+        sampling = any(self._temperature[s] > 0.0 for s in active)
+        if sampling:
+            scfg = SamplingConfig(
+                temperature=self._temperature, top_p=self._top_p,
+                top_k=self._top_k,
+            )
+            if h == 1:
+                produced, n_acc = self.engine.fused_sample_step(
+                    lens_before, self._root_tokens, self._next_key(), scfg)
+                produced, n_acc = produced[None], n_acc[None]
+            else:
+                produced, n_acc = self.engine.fused_sample_step_n(
+                    lens_before, self._root_tokens, self._next_key(), scfg, h)
+        elif h == 1:
             produced, n_acc = self.engine.fused_step(
                 lens_before, self._root_tokens)
             produced, n_acc = produced[None], n_acc[None]

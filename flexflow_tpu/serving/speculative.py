@@ -40,6 +40,8 @@ import numpy as np
 
 from flexflow_tpu.models import decoder
 from flexflow_tpu.models.decoder import KVCache
+from flexflow_tpu.ops import sampling as sampling_lib
+from flexflow_tpu.serving.spec_sampling import tree_sample_walk
 from flexflow_tpu.specs import ModelSpec
 
 # Reference caps: beam width <= 3, depth <= 8, tree <= 64 tokens
@@ -111,9 +113,11 @@ class SpecEngine:
             logits, cache = decoder.forward_cached(
                 self.ssm_spec, params, root_tokens[:, None], cache, cache_lens
             )
-            logp = jax.nn.log_softmax(logits[:, 0], axis=-1)  # [B, V]
-            probs, toks = jax.lax.top_k(logp, w)  # [B, W]
-            return toks.astype(jnp.int32), probs, cache
+            logp = jax.nn.log_softmax(
+                logits[:, 0].astype(jnp.float32), axis=-1
+            )  # [B, V]
+            beam_logp, toks = jax.lax.top_k(logp, w)  # [B, W]
+            return toks.astype(jnp.int32), beam_logp, cache
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def draft_root_fn(params, cache, cache_lens, root_tokens):
@@ -155,7 +159,7 @@ class SpecEngine:
                 write_start=cache_lens + slot_base,
             )  # [B, W, V]
 
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             cand_logp, cand_tok = jax.lax.top_k(logp, w)  # [B, W, W]
             total = beam_logp[:, :, None] + cand_logp  # [B, W, W]
             flat = total.reshape(b, w * w)
@@ -176,7 +180,9 @@ class SpecEngine:
                                beam_logp, anc, d)
 
         # ---- LLM tree verification ----
-        def verify_core(params, cache, cache_lens, tree_tokens, tree_depths, anc_self):
+        def verify_logits_core(
+            params, cache, cache_lens, tree_tokens, tree_depths, anc_self
+        ):
             """tree_tokens [B, T] in slot order; anc_self [B, T, T] incl. self."""
             b = tree_tokens.shape[0]
             positions = cache_lens[:, None] + tree_depths  # [B, T]
@@ -187,6 +193,12 @@ class SpecEngine:
             logits, cache = decoder.forward_cached(
                 self.llm_spec, params, tree_tokens, cache, cache_lens,
                 positions=positions.astype(jnp.int32), tree_mask=anc_self,
+            )
+            return logits, cache  # [B, T, V]
+
+        def verify_core(params, cache, cache_lens, tree_tokens, tree_depths, anc_self):
+            logits, cache = verify_logits_core(
+                params, cache, cache_lens, tree_tokens, tree_depths, anc_self
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
@@ -239,11 +251,13 @@ class SpecEngine:
         for _d in range(1, dmax + 1):
             depths_vec = depths_vec.at[1 + (_d - 1) * w: 1 + _d * w].set(_d)
 
-        def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
-                            cache_lens, roots):
+        def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
+            """Device-resident tree build: returns the flattened tree
+            (tokens/parents) and its ancestor matrix (the reference BitMask,
+            batch_config.h:122-136). The stochastic verifier needs no draft
+            dists: beam proposals are deterministic, so its accept rule uses
+            delta proposals (see spec_sampling.tree_sample_walk)."""
             b = cache_lens.shape[0]
-
-            # --- draft: root + scan over depths, tree built on device ---
             beam_tokens, beam_logp, ssm_cache = root_core(
                 ssm_params, ssm_cache, cache_lens, roots)
             anc = jnp.zeros((b, w, tree), bool).at[:, :, 0].set(True)
@@ -277,6 +291,13 @@ class SpecEngine:
                     * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
                 row = parent_row.at[:, c].set(True)
                 anc_self = anc_self.at[:, c].set(row)
+            return tree_tokens, tree_parents, anc_self, ssm_cache
+
+        def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
+                            cache_lens, roots):
+            b = cache_lens.shape[0]
+            tree_tokens, tree_parents, anc_self, ssm_cache = draft_phase(
+                ssm_params, ssm_cache, cache_lens, roots)
 
             # --- verify ---
             expected, llm_cache = verify_core(
@@ -342,9 +363,68 @@ class SpecEngine:
                 None, length=n)
             return produced, n_acc, llm_cache, ssm_cache
 
+        # ---- SAMPLING-mode fused iteration: stochastic multi-round
+        # verification (spec_sampling.tree_sample_walk) instead of the
+        # greedy argmax gate — every emitted token is distributed exactly
+        # per the request's temperature/top-p/top-k target ----
+        def fused_sample_step_body(llm_params, ssm_params, llm_cache,
+                                   ssm_cache, cache_lens, roots, key, scfg):
+            b = cache_lens.shape[0]
+            tree_tokens, tree_parents, anc_self, ssm_cache = draft_phase(
+                ssm_params, ssm_cache, cache_lens, roots)
+            logits, llm_cache = verify_logits_core(
+                llm_params, llm_cache, cache_lens, tree_tokens,
+                jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self)
+            v = logits.shape[-1]
+            scfg_t = sampling_lib.SamplingConfig(
+                temperature=jnp.repeat(scfg.temperature, tree),
+                top_p=jnp.repeat(scfg.top_p, tree),
+                top_k=jnp.repeat(scfg.top_k, tree),
+            )
+            p_tree = sampling_lib.target_probs(
+                logits.reshape(b * tree, v), scfg_t
+            ).reshape(b, tree, v)
+            produced, n_acc, from_slots = tree_sample_walk(
+                p_tree, tree_tokens, tree_parents, key, width=w, depth=dmax,
+            )
+            llm_cache = commit_core(llm_cache, cache_lens, from_slots)
+            ssm_cache = commit_core(ssm_cache, cache_lens, from_slots)
+            next_roots = jnp.take_along_axis(
+                produced, (n_acc - 1)[:, None], axis=1)[:, 0]
+            return produced, n_acc, next_roots, llm_cache, ssm_cache
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def fused_sample_step_fn(llm_params, ssm_params, llm_cache, ssm_cache,
+                                 cache_lens, roots, key, scfg):
+            return fused_sample_step_body(llm_params, ssm_params, llm_cache,
+                                          ssm_cache, cache_lens, roots, key,
+                                          scfg)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(2, 3), static_argnames=("n",)
+        )
+        def fused_sample_step_n_fn(llm_params, ssm_params, llm_cache,
+                                   ssm_cache, cache_lens, roots, key, scfg, n):
+            def body(carry, key_i):
+                llm_cache, ssm_cache, lens, roots = carry
+                produced, n_acc, next_roots, llm_cache, ssm_cache = (
+                    fused_sample_step_body(llm_params, ssm_params, llm_cache,
+                                           ssm_cache, lens, roots, key_i,
+                                           scfg)
+                )
+                return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
+                    produced, n_acc)
+
+            (llm_cache, ssm_cache, _, _), (produced, n_acc) = jax.lax.scan(
+                body, (llm_cache, ssm_cache, cache_lens, roots),
+                jax.random.split(key, n))
+            return produced, n_acc, llm_cache, ssm_cache
+
         self._catchup = catchup_fn
         self._fused_step = fused_step_fn
         self._fused_step_n = fused_step_n_fn
+        self._fused_sample_step = fused_sample_step_fn
+        self._fused_sample_step_n = fused_sample_step_n_fn
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._draft_root = draft_root_fn
@@ -356,8 +436,14 @@ class SpecEngine:
     # host-facing helpers
     # ------------------------------------------------------------------
 
-    def prefill_both(self, prompt_tokens: np.ndarray, slot: int) -> int:
-        """Prefill LLM + SSM caches for a new request; returns first token."""
+    def prefill_both(
+        self, prompt_tokens: np.ndarray, slot: int, key=None, scfg1=None
+    ) -> int:
+        """Prefill LLM + SSM caches for a new request; returns first token.
+
+        With (key, scfg1 [1]-shaped SamplingConfig) the first token is
+        sampled per the request's config instead of argmax.
+        """
         n = len(prompt_tokens)
         bucket = 16
         while bucket < n:
@@ -370,7 +456,11 @@ class SpecEngine:
 
         last_logits, kv = self._prefill(self.llm_params, tokens, length, "llm")
         self.llm_cache = self._insert(self.llm_cache, *kv, jnp.int32(slot))
-        first = int(jnp.argmax(last_logits))
+        if key is not None and scfg1 is not None:
+            first = int(sampling_lib.sample(
+                last_logits[None].astype(jnp.float32), key, scfg1)[0])
+        else:
+            first = int(jnp.argmax(last_logits))
 
         _, kv_s = self._prefill(self.ssm_params, tokens, length, "ssm")
         self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
@@ -511,5 +601,41 @@ class SpecEngine:
             jnp.asarray(cache_lens, jnp.int32),
             jnp.asarray(root_tokens, jnp.int32),
             n,
+        )
+        return jax.device_get(produced), jax.device_get(n_acc)
+
+    def fused_sample_step(
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray,
+        key: jax.Array, scfg,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One speculative iteration with stochastic (sampling) verification.
+
+        scfg: ops.sampling.SamplingConfig with per-slot [B] fields. Greedy
+        slots (temperature <= 0) behave exactly like the greedy walk.
+        """
+        produced, n_acc, _roots, self.llm_cache, self.ssm_cache = (
+            self._fused_sample_step(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                jnp.asarray(cache_lens, jnp.int32),
+                jnp.asarray(root_tokens, jnp.int32),
+                key, scfg,
+            )
+        )
+        return jax.device_get(produced), jax.device_get(n_acc)
+
+    def fused_sample_step_n(
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray,
+        key: jax.Array, scfg, n: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """n device-chained sampling-verified speculative iterations."""
+        produced, n_acc, self.llm_cache, self.ssm_cache = (
+            self._fused_sample_step_n(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                jnp.asarray(cache_lens, jnp.int32),
+                jnp.asarray(root_tokens, jnp.int32),
+                key, scfg, n,
+            )
         )
         return jax.device_get(produced), jax.device_get(n_acc)

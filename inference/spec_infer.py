@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens-per-batch", type=int, default=128)
     p.add_argument("--max-sequence-length", type=int, default=256)
     p.add_argument("--max-new-tokens", type=int, default=128)
+    # reference flags (incr_decoding.cc:89-95): temperature <= 0 -> greedy
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--topp", "--top-p", dest="topp", type=float, default=1.0)
+    p.add_argument("--topk", "--top-k", dest="topk", type=int, default=0)
     p.add_argument("--beam-width", type=int, default=3,
                    help="reference BeamSearchBatchConfig MAX_BEAM_WIDTH")
     p.add_argument("--beam-depth", type=int, default=4)
@@ -69,7 +73,10 @@ def main(argv=None):
         with open(args.prompt) as f:
             prompts = json.load(f)
 
-    results = llm.generate(prompts, max_new_tokens=args.max_new_tokens)
+    results = llm.generate(
+        prompts, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature, top_p=args.topp, top_k=args.topk,
+    )
     for r in results:
         print(f"=== guid {r.guid} (steps {r.decoding_steps}, "
               f"latency {r.latency_ms:.1f}ms, "
