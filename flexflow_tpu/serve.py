@@ -86,6 +86,7 @@ class LLM:
         beam_width: int = 3,
         beam_depth: int = 4,
         ssms: Sequence["SSM"] = (),
+        merge_ssm_trees: bool = False,
     ) -> None:
         """Load weights, build the engine (+ optional speculative pipeline)."""
         for s in ssms:
@@ -126,7 +127,13 @@ class LLM:
                     MultiSSMSpecManager,
                 )
 
-                self.rm = MultiSSMSpecManager(engines, fused=True)
+                # merged = all drafts verified in ONE LLM pass per iteration
+                # (reference merge_dfs_trees); default = fused round-robin
+                # rotation (one device dispatch per iteration)
+                self.rm = MultiSSMSpecManager(
+                    engines, merged=merge_ssm_trees,
+                    fused=not merge_ssm_trees,
+                )
         else:
             engine = InferenceEngine(
                 self.spec, self.params,

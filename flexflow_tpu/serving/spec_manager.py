@@ -31,7 +31,8 @@ from flexflow_tpu.serving.request_manager import (
     Request,
     RUNNING,
 )
-from flexflow_tpu.serving.speculative import SpecEngine
+from flexflow_tpu.serving.speculative import MAX_SPEC_TREE_TOKEN_NUM, SpecEngine
+from flexflow_tpu.serving.tree_merge import merge_batch
 
 
 class SpecRequestManager:
@@ -75,6 +76,7 @@ class SpecRequestManager:
         self._verified_tokens_total = 0  # accepted tokens across request-steps
         self._verified_events = 0  # (request, iteration) pairs counted
         self._num_processed = 0
+        self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._log = log_fn or (lambda *a: None)
 
     # ------------------------------------------------------------------
@@ -101,7 +103,7 @@ class SpecRequestManager:
             return True
         total = len(req.prompt_tokens) + len(req.output_tokens)
         # leave room for a full horizon of speculation trees
-        margin = self.spec_horizon * (self.engine.tree + 1)
+        margin = self.spec_horizon * (self._tree_margin + 1)
         return total + margin >= self.engine.max_seq_len
 
     def _next_key(self) -> jax.Array:
@@ -231,8 +233,18 @@ class SpecRequestManager:
         argmax = self.engine.verify(
             lens_before, tree_tokens, tree_parents, tree_depths
         )
-        self._steps += 1
+        from_slots = self._greedy_walk_accept(
+            active, lens_before, tree_tokens, tree_parents, argmax, t
+        )
+        self.engine.commit(lens_before, from_slots)
+        return True
 
+    def _greedy_walk_accept(
+        self, active, lens_before, tree_tokens, tree_parents, argmax, t
+    ) -> np.ndarray:
+        """Walk each request's verified tree along the LLM argmaxes, extend
+        outputs, advance cache lens; returns the KV-commit from_slots."""
+        self._steps += 1
         from_slots = np.tile(np.arange(t, dtype=np.int32), (len(lens_before), 1))
         for slot in active:
             req = self._slots[slot]
@@ -274,9 +286,7 @@ class SpecRequestManager:
             self._root_tokens[slot] = produced[-1] if produced else 0
             if self._finished(req, req.output_tokens[-1]):
                 self._retire(slot)
-
-        self.engine.commit(lens_before, from_slots)
-        return True
+        return from_slots
 
     def run_until_idle(self) -> None:
         while self.step() or not self._pending.empty():
@@ -316,7 +326,12 @@ class MultiSSMSpecManager(SpecRequestManager):
     prepare_next_batch_init re-commit semantics).
     """
 
-    def __init__(self, engines: Sequence[SpecEngine], **kw):
+    def __init__(self, engines: Sequence[SpecEngine], merged: bool = False,
+                 **kw):
+        """``merged=True`` verifies ALL SSMs' trees in ONE LLM pass per
+        iteration (reference merge_dfs_trees) instead of rotating; draft
+        trees are merged host-side with shared-prefix dedup, capped at
+        MAX_SPEC_TREE_TOKEN_NUM."""
         assert engines, "need at least one SpecEngine"
         super().__init__(engines[0], **kw)
         self.engines = list(engines)
@@ -324,6 +339,14 @@ class MultiSSMSpecManager(SpecRequestManager):
         self._ssm_lens = [np.zeros(b, np.int32) for _ in engines]
         self._llm_cache = engines[0].llm_cache
         self._rr = 0
+        self.merged = bool(merged)
+        if merged:
+            assert not self.fused, "merged verification uses the host path"
+            self._merged_t = min(
+                MAX_SPEC_TREE_TOKEN_NUM,
+                1 + sum(e.tree - 1 for e in engines),
+            )
+            self._tree_margin = self._merged_t
 
     def _admit(self) -> None:
         before = [s for s in range(self.engine.max_requests)
@@ -346,18 +369,10 @@ class MultiSSMSpecManager(SpecRequestManager):
                 self._ssm_lens[i][slot] = n
         self._llm_cache = self.engines[0].llm_cache
 
-    def step(self) -> bool:
-        self._admit()
-        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
-        if not active:
-            return False
-
-        i = self._rr % len(self.engines)
-        self._rr += 1
+    def _catchup_engine(self, i: int, active) -> None:
+        """Advance SSM i's draft cache over tokens committed since its last
+        turn (the reference's prepare_next_batch_init re-commit semantics)."""
         eng = self.engines[i]
-        eng.llm_cache = self._llm_cache
-
-        # draft-cache catch-up over tokens committed during other SSMs' turns
         chunk = eng.tree + 2
         while True:
             lags = self._cache_lens - self._ssm_lens[i]
@@ -376,6 +391,22 @@ class MultiSSMSpecManager(SpecRequestManager):
                 taken[s] = take
             eng.catchup(self._ssm_lens[i], tokens)
             self._ssm_lens[i] = self._ssm_lens[i] + taken
+
+    def step(self) -> bool:
+        if self.merged:
+            return self._step_merged()
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+        if not active:
+            return False
+
+        i = self._rr % len(self.engines)
+        self._rr += 1
+        eng = self.engines[i]
+        eng.llm_cache = self._llm_cache
+
+        # draft-cache catch-up over tokens committed during other SSMs' turns
+        self._catchup_engine(i, active)
 
         self.engine = eng
         lens_before = self._cache_lens.copy()
@@ -396,3 +427,42 @@ class MultiSSMSpecManager(SpecRequestManager):
         raise NotImplementedError(
             "multi-SSM rotation currently uses the fused path (fused=True)"
         )
+
+    def _step_merged(self) -> bool:
+        """One iteration verifying every SSM's tree in a single LLM pass.
+
+        Reference analog: the per-SSM beam loops feed merge_dfs_trees and one
+        TreeVerify batch (request_manager.cc:3148-3174, ~1990-2350). Draft
+        caches are NOT committed from the merged tree (its layout matches no
+        single engine's slot grid); they resync via catch-up next iteration.
+        """
+        self._admit()
+        active = [s for s in range(self.engine.max_requests) if self._slots[s]]
+        if not active:
+            return False
+
+        lens_before = self._cache_lens.copy()
+        trees = []
+        for i, eng in enumerate(self.engines):
+            self._catchup_engine(i, active)
+            tt, tp, _td = eng.draft_tree(lens_before, self._root_tokens)
+            trees.append((tt, tp))
+
+        mt, mp, md = merge_batch(trees, self._merged_t, self._merged_t)
+        eng0 = self.engines[0]
+        eng0.llm_cache = self._llm_cache
+        argmax = eng0.verify(lens_before, mt, mp, md)
+        from_slots = self._greedy_walk_accept(
+            active, lens_before, mt, mp, argmax, self._merged_t
+        )
+        eng0.commit_llm_only(lens_before, from_slots)
+        self._llm_cache = eng0.llm_cache
+        # draft caches are stale past lens_before: leave _ssm_lens at the
+        # pre-draft committed lengths so catch-up replays accepted tokens
+        for i in range(len(self.engines)):
+            np.minimum(self._ssm_lens[i], lens_before, out=self._ssm_lens[i])
+        for s in range(eng0.max_requests):
+            if self._slots[s] is None:
+                for ln in self._ssm_lens:
+                    ln[s] = 0
+        return True

@@ -217,9 +217,10 @@ class SpecEngine:
             Cache layout [L, B, KH, D, S] (S minor — see decoder.KVCache).
             """
             ll, b, kh, dh, s = cache.k.shape
+            t = from_slots.shape[1]  # tree size (merged trees may differ)
             src = jnp.minimum(cache_lens[:, None] + from_slots, s - 1)  # [B,T]
             dst = jnp.minimum(
-                cache_lens[:, None] + jnp.arange(tree, dtype=jnp.int32)[None], s - 1
+                cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None], s - 1
             )
             bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
             # advanced indices on axes (1, 4) -> gathered shape [B, T, L, KH, D]
@@ -555,12 +556,15 @@ class SpecEngine:
             p = tree_parents[:, s]  # [B]
             valid = p >= 0
             anc[valid, s] |= anc[valid, p[valid]]
+        depths = np.asarray(tree_depths)
+        if depths.ndim == 1:  # shared layout; merged trees pass [B, T]
+            depths = depths[None, :].repeat(b, 0)
         out, self.llm_cache = self._verify(
             self.llm_params,
             self.llm_cache,
             jnp.asarray(cache_lens, jnp.int32),
             jnp.asarray(tree_tokens),
-            jnp.asarray(tree_depths)[None, :].repeat(b, 0),
+            jnp.asarray(depths),
             jnp.asarray(anc),
         )
         return np.asarray(out)
@@ -570,6 +574,17 @@ class SpecEngine:
         fs = jnp.asarray(from_slots, jnp.int32)
         self.llm_cache = self._commit(self.llm_cache, lens, fs)
         self.ssm_cache = self._commit(self.ssm_cache, lens, fs)
+
+    def commit_llm_only(
+        self, cache_lens: np.ndarray, from_slots: np.ndarray
+    ) -> None:
+        """Compact accepted KV in the LLM cache only (merged multi-SSM
+        verification: draft caches resync via catch-up over committed
+        tokens instead — their tree layouts differ from the merged tree)."""
+        self.llm_cache = self._commit(
+            self.llm_cache, jnp.asarray(cache_lens, jnp.int32),
+            jnp.asarray(from_slots, jnp.int32),
+        )
 
     def fused_step(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray

@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-width", type=int, default=3,
                    help="reference BeamSearchBatchConfig MAX_BEAM_WIDTH")
     p.add_argument("--beam-depth", type=int, default=4)
+    p.add_argument("--merge-ssm-trees", action="store_true",
+                   help="verify all SSMs' trees in one LLM pass per "
+                        "iteration (reference merge_dfs_trees)")
     p.add_argument("-tensor-parallelism-degree", "--tensor-parallelism-degree",
                    dest="tp", type=int, default=1)
     p.add_argument("-pipeline-parallelism-degree", "--pipeline-parallelism-degree",
@@ -66,6 +69,7 @@ def main(argv=None):
         beam_width=args.beam_width,
         beam_depth=args.beam_depth,
         ssms=ssms,
+        merge_ssm_trees=args.merge_ssm_trees,
     )
 
     prompts = ["Three tips for staying healthy are: "]
