@@ -69,6 +69,10 @@ class FFConfig:
     inference_debugging: bool = False
     use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", False)
     use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", True)
+    # flash prefill kernel (ops/pallas/flash_prefill.py): beats the XLA
+    # masked-softmax path at every measured shape (1.4x at S=512 up to 60x at
+    # S=8192 on v5e), so ON by default; inference prefill only (no VJP)
+    use_pallas_prefill: bool = _env_flag("FF_PALLAS_PREFILL", True)
     verbose: bool = False
 
     @classmethod

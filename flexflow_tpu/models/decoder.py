@@ -83,6 +83,17 @@ def _use_pallas_decode_attention() -> bool:
         return False
 
 
+def _use_pallas_prefill() -> bool:
+    from flexflow_tpu.config import config
+
+    if not config.use_pallas_prefill:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _use_pallas_quant_matmul() -> bool:
     from flexflow_tpu.config import config
 
@@ -338,15 +349,32 @@ def forward(
     lora: Optional[Params] = None,  # {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
+    flash: bool = False,  # caller asserts positions == arange (prefill path)
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Self-attention forward (training / prefill).
 
     Returns ``(logits [B, T, V] fp32, kv)`` where ``kv`` is
     ``(k [L, B, T, KH, D], v [L, B, T, KH, D])`` when ``return_kv`` else None.
+
+    ``flash=True`` routes attention through the Pallas flash-prefill kernel
+    (ops/pallas/flash_prefill.py) when eligible. Only valid when positions
+    are the standard ``arange(T)`` causal layout (the serving prefill path —
+    the caller vouches); ineligible specs (alibi, softcap) or backends fall
+    back to the XLA path transparently. Inference-only (no VJP).
     """
     b, t = tokens.shape
     slopes = _alibi_slopes(spec)
     h = _embed(spec, params, tokens, positions)
+
+    use_flash = (
+        flash
+        and slopes is None
+        and spec.attn_logit_softcap is None
+        # B=1 admission crossover vs XLA is ~S=512 on v5e (smaller buckets
+        # are fixed-overhead-dominated); batched/longer prefill wins up to 60x
+        and t >= 512
+        and _use_pallas_prefill()
+    )
 
     qi = positions[:, :, None]  # [B, T, 1]
     ki = positions[:, None, :]  # [B, 1, T]
@@ -356,6 +384,16 @@ def forward(
 
     def attend(q, k, v):
         q, k = _maybe_rope(spec, q, k, positions)
+        if use_flash:
+            from flexflow_tpu.ops.pallas.flash_prefill import flash_prefill
+
+            flens = (
+                lengths
+                if lengths is not None
+                else jnp.full((b,), t, jnp.int32)
+            )
+            out = flash_prefill(q, k, v.astype(q.dtype), flens)
+            return out, ((k, v) if return_kv else 0)
         out = attn_lib.cached_attention(
             q,
             k,

@@ -92,7 +92,7 @@ class InferenceEngine:
             positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
             logits, kv = decoder.forward(
                 self.spec, params, tokens, positions,
-                lengths=length[None], return_kv=True,
+                lengths=length[None], return_kv=True, flash=True,
             )
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
@@ -117,7 +117,7 @@ class InferenceEngine:
             positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
             logits, kv = decoder.forward(
                 self.spec, params, tokens, positions,
-                lengths=length[None], return_kv=True,
+                lengths=length[None], return_kv=True, flash=True,
                 lora=lora, adapter_onehot=onehot1,
                 lora_scale=self.lora_scale,
             )

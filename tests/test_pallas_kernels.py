@@ -126,3 +126,24 @@ def test_split_cached_attention_matches_write_then_attend():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kh", [4, 1, 8])  # GQA, MQA, MHA (h=8)
+def test_flash_prefill_matches_reference(kh):
+    from flexflow_tpu.ops.attention import prefill_attention
+    from flexflow_tpu.ops.pallas.flash_prefill import flash_prefill
+
+    b, s, h, d = 2, 256, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, kh, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, kh, d), jnp.float32)
+    lens = jnp.asarray([s, 100], jnp.int32)
+
+    got = flash_prefill(q, k, v, lens, block_q=64, block_k=128, interpret=True)
+    want = jnp.stack(
+        [prefill_attention(q[i], k[i], v[i], length=lens[i]) for i in range(b)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
