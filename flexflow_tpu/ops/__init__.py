@@ -1,1 +1,7 @@
-from flexflow_tpu.ops import activations, attention, norms, rotary  # noqa: F401
+from flexflow_tpu.ops import (  # noqa: F401
+    activations,
+    attention,
+    norms,
+    ring_attention,
+    rotary,
+)

@@ -3,6 +3,7 @@ from flexflow_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     PIPE_AXIS,
+    SEQ_AXIS,
     make_mesh,
     single_device_mesh,
 )

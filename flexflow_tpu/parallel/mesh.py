@@ -18,30 +18,35 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
-AXES = (DATA_AXIS, PIPE_AXIS, MODEL_AXIS)
+SEQ_AXIS = "seq"
+AXES = (DATA_AXIS, PIPE_AXIS, MODEL_AXIS, SEQ_AXIS)
 
 
 def make_mesh(
     data: int = 1,
     pipe: int = 1,
     model: int = 1,
+    seq: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ("data", "pipe", "model") mesh over the given devices.
+    """Build a ("data", "pipe", "model", "seq") mesh over the given devices.
 
     Degrees mirror the reference flags ``-data-parallelism-degree``,
     ``-pipeline-parallelism-degree``, ``-tensor-parallelism-degree``
-    (reference config.h:186-188).
+    (reference config.h:186-188). The ``seq`` axis is context parallelism
+    (ring attention over ICI) — ABSENT in the reference (SURVEY.md §5.7:
+    "no ring attention, no blockwise/context parallelism"); sequences longer
+    than one chip's KV budget shard over it (ops/ring_attention.py).
     """
     devices = list(devices if devices is not None else jax.devices())
-    need = data * pipe * model
+    need = data * pipe * model * seq
     if need > len(devices):
         raise ValueError(
-            f"mesh {data}x{pipe}x{model} needs {need} devices, "
+            f"mesh {data}x{pipe}x{model}x{seq} needs {need} devices, "
             f"have {len(devices)}"
         )
-    dev_array = np.asarray(devices[:need]).reshape(data, pipe, model)
+    dev_array = np.asarray(devices[:need]).reshape(data, pipe, model, seq)
     return Mesh(dev_array, AXES)
 
 
