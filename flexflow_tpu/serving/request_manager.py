@@ -111,6 +111,13 @@ class RequestManager:
         self.engine = engine
         self.decode_horizon = max(int(decode_horizon), 1)
         self.pipelined = bool(pipelined)
+        # --profiling (reference per-op cudaEvent timing,
+        # linear_kernels.cu:144-178): accumulate per-phase wall times and
+        # print a [Profile] report when the workload drains
+        from flexflow_tpu.config import config as _ffconfig
+        from flexflow_tpu.utils.profiling import StepTimer
+
+        self.timer = StepTimer() if _ffconfig.profiling else None
         # max horizons in flight before the oldest is fetched (reference keeps
         # <= 4 batches in flight, request_manager.cc:3124)
         self.pipeline_depth = max(int(pipeline_depth), 1)
@@ -277,9 +284,17 @@ class RequestManager:
             if self._finished(req, tok):
                 self._retire(slot)
 
+    def _phase(self, name: str):
+        if self.timer is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.timer.phase(name)
+
     def _step_pipelined(self) -> bool:
-        self._flush_pending_first()
-        self._admit()
+        with self._phase("admit"):
+            self._flush_pending_first()
+            self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
 
         if active:
@@ -297,10 +312,11 @@ class RequestManager:
                 tokens_in = tokens_in.at[slot].set(tok)
             self._feedback_overrides = []
             lens = self._cache_lens.copy()
-            out_dev = self.engine.decode_horizon_async(
-                lens, tokens_in, self._next_key(), scfg, n,
-                adapter_ids=self._adapter,
-            )
+            with self._phase("decode_dispatch"):
+                out_dev = self.engine.decode_horizon_async(
+                    lens, tokens_in, self._next_key(), scfg, n,
+                    adapter_ids=self._adapter,
+                )
             entries = [(s, self._slots[s]) for s in active]
             for s in active:
                 self._cache_lens[s] += n
@@ -314,7 +330,9 @@ class RequestManager:
             len(self._inflight_q) >= self.pipeline_depth or not active
         ):
             fut, entries = self._inflight_q.pop(0)
-            self._process_horizon(fut.result(), entries)
+            with self._phase("horizon_fetch"):
+                out = fut.result()
+            self._process_horizon(out, entries)
             if active:
                 break  # drain at most one per step while running
 
@@ -324,7 +342,8 @@ class RequestManager:
         """One scheduling iteration; returns True if any request is in flight."""
         if self.pipelined and self.decode_horizon > 1:
             return self._step_pipelined()
-        self._admit()
+        with self._phase("admit"):
+            self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
             return False
@@ -332,16 +351,17 @@ class RequestManager:
             temperature=self._temperature, top_p=self._top_p, top_k=self._top_k
         )
         n = self.decode_horizon
-        if n == 1:
-            horizon_tokens = self.engine.decode(
-                self._cache_lens, self._tokens, self._next_key(), scfg,
-                adapter_ids=self._adapter,
-            )[None, :]
-        else:
-            horizon_tokens = self.engine.decode_horizon(
-                self._cache_lens, self._tokens, self._next_key(), scfg, n,
-                adapter_ids=self._adapter,
-            )  # [n, B]
+        with self._phase("decode"):
+            if n == 1:
+                horizon_tokens = self.engine.decode(
+                    self._cache_lens, self._tokens, self._next_key(), scfg,
+                    adapter_ids=self._adapter,
+                )[None, :]
+            else:
+                horizon_tokens = self.engine.decode_horizon(
+                    self._cache_lens, self._tokens, self._next_key(), scfg, n,
+                    adapter_ids=self._adapter,
+                )  # [n, B]
         self._steps += n
         for slot in active:
             req = self._slots[slot]
@@ -383,6 +403,9 @@ class RequestManager:
             busy |= self._finetune_tick()
             if not busy and self._pending.empty():
                 break
+        if self.timer is not None:
+            for line in self.timer.report():
+                print(line)
 
     def generate(
         self,

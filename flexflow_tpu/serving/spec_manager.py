@@ -78,6 +78,18 @@ class SpecRequestManager:
         self._num_processed = 0
         self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._log = log_fn or (lambda *a: None)
+        # --profiling: per-phase wall-time accumulation (see RequestManager)
+        from flexflow_tpu.config import config as _ffconfig
+        from flexflow_tpu.utils.profiling import StepTimer
+
+        self.timer = StepTimer() if _ffconfig.profiling else None
+
+    def _phase(self, name: str):
+        if self.timer is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.timer.phase(name)
 
     # ------------------------------------------------------------------
 
@@ -218,21 +230,25 @@ class SpecRequestManager:
 
     def step(self) -> bool:
         """One speculation iteration (draft tree -> verify -> accept/commit)."""
-        self._admit()
+        with self._phase("admit"):
+            self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
             return False
         if self.fused:
-            return self._step_fused(active)
+            with self._phase("spec_fused"):
+                return self._step_fused(active)
 
         t = self.engine.tree
         lens_before = self._cache_lens.copy()
-        tree_tokens, tree_parents, tree_depths = self.engine.draft_tree(
-            lens_before, self._root_tokens
-        )
-        argmax = self.engine.verify(
-            lens_before, tree_tokens, tree_parents, tree_depths
-        )
+        with self._phase("draft"):
+            tree_tokens, tree_parents, tree_depths = self.engine.draft_tree(
+                lens_before, self._root_tokens
+            )
+        with self._phase("verify"):
+            argmax = self.engine.verify(
+                lens_before, tree_tokens, tree_parents, tree_depths
+            )
         from_slots = self._greedy_walk_accept(
             active, lens_before, tree_tokens, tree_parents, argmax, t
         )
@@ -291,6 +307,9 @@ class SpecRequestManager:
     def run_until_idle(self) -> None:
         while self.step() or not self._pending.empty():
             pass
+        if self.timer is not None:
+            for line in self.timer.report():
+                print(line)
 
     def generate(self, prompts, config: Optional[GenerationConfig] = None):
         if prompts and isinstance(prompts[0], int):

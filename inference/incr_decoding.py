@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="int8", action="store_true")
     p.add_argument("--full-precision", action="store_true",
                    help="fp32 weights (default bf16)")
+    p.add_argument("--profiling", action="store_true",
+                   help="per-phase wall-time report (reference --profiling)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -49,7 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args, _legion_flags = build_parser().parse_known_args(argv)
 
+    from flexflow_tpu.config import config
     from flexflow_tpu.serve import LLM
+
+    if args.profiling:
+        config.profiling = True
 
     quant = "int4" if args.int4 else ("int8" if args.int8 else None)
     llm = LLM(

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-8bit-quantization", "--8bit-quantization",
                    dest="int8", action="store_true")
     p.add_argument("--full-precision", action="store_true")
+    p.add_argument("--profiling", action="store_true",
+                   help="per-phase wall-time report (reference --profiling)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -53,7 +55,11 @@ def main(argv=None):
         print("error: at least one -ssm-model required", file=sys.stderr)
         return 2
 
+    from flexflow_tpu.config import config
     from flexflow_tpu.serve import LLM, SSM
+
+    if args.profiling:
+        config.profiling = True
 
     quant = "int4" if args.int4 else ("int8" if args.int8 else None)
     dtype = "float32" if args.full_precision else "bfloat16"
