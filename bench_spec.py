@@ -1,19 +1,23 @@
 """Speculative-decoding benchmark: tree-spec vs own incremental decoding.
 
-NOTE on this environment: with zero egress there are no trained (verifier,
-draft) weight pairs, and RANDOM weights produce near-uniform logits whose
-bf16 argmax near-ties both depress draft acceptance and flip tokens between
-differently-batched-but-equivalent computations. The speculative MACHINERY is
-proven lossless at fp32 in tests/test_speculative.py (spec == incremental
-exactly; perfect draft accepts depth+1 per step); the numbers below measure
-infrastructure overhead with an INT8 self-draft, not realistic acceptance.
-
 Headline gate (BASELINE.json / reference cpp_inference_tests.sh:131-183):
-speculative e2e tokens/s >= 1.5x incremental, with lossless outputs, plus
-mean verified tokens per step. With zero egress there are no real
-(7B, 160M) weight pairs, so the draft is the verifier itself quantized to
-INT8 (self-speculation with an approximate draft — a standard draft
-construction) running the FUSED one-dispatch spec iteration.
+speculative e2e tokens/s >= 1.5x incremental on the SAME verifier, lossless
+outputs, plus mean verified tokens per step.
+
+Model pair: this environment has zero egress, so instead of (LLaMA-2-7B,
+llama-160m) the bench builds the synthetic pair from benchmarks/spec_pair.py —
+a 1.8B-class verifier that block-embeds a 160M-class draft (verifier cost is
+fully real: every weight byte streams, every MXU pass runs; measured
+7.7 ms/decode-step vs the draft's 1.4 ms at B=8), with the draft
+noise-perturbed so per-token agreement is calibrated into the regime of real
+published pairs (~0.8/token; benchmarks/calibrate_spec_pair.py). Acceptance is
+measured, not assumed.
+
+Losslessness policy mirrors the reference: exact token equality is gated at
+FULL precision (fp32 sub-run); the bf16 perf runs gate a 20-token prefix
+(cpp_inference_tests.sh:249-255) — random-init logit margins make bf16
+near-tie argmax flips between differently-batched-but-equal computations far
+more common than for trained weights.
 
 Prints one JSON line per metric.
 """
@@ -26,57 +30,78 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from flexflow_tpu import specs
-from flexflow_tpu.models import params as params_lib
-from flexflow_tpu.quant import quantize_params
+from benchmarks.calibrate_spec_pair import DRAFT, VERIFIER, build_pair
+from benchmarks.spec_pair import perturb_params
 from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
 from flexflow_tpu.serving.spec_manager import SpecRequestManager
 from flexflow_tpu.serving.speculative import SpecEngine
 
+# Calibrated so teacher-forced draft-vs-verifier argmax agreement ~= 0.8
+# (benchmarks/calibrate_spec_pair.py on the v5e).
+DRAFT_NOISE_EPS = 0.02
+
+
+def _lossless_fp32():
+    """Reference full-precision gate: spec output == incremental EXACTLY."""
+    dparams, vparams = build_pair(dtype=jnp.float32)
+    draft = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
+    del dparams
+    batch, max_seq, max_new = 4, 256, 24
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(1, 32000, size=20).tolist() for _ in range(batch)]
+    cfg = GenerationConfig(max_new_tokens=max_new)
+
+    eng = InferenceEngine(VERIFIER, vparams, max_requests_per_batch=batch,
+                          max_seq_len=max_seq, cache_dtype=jnp.float32)
+    incr = RequestManager(eng).generate(prompts, cfg)
+    del eng
+
+    seng = SpecEngine(VERIFIER, vparams, DRAFT, draft, beam_width=2,
+                      beam_depth=4, max_requests_per_batch=batch,
+                      max_seq_len=max_seq, cache_dtype=jnp.float32)
+    spec = SpecRequestManager(seng, fused=True).generate(prompts, cfg)
+    ok = all(a.output_tokens == b.output_tokens for a, b in zip(incr, spec))
+    del seng
+    return ok
+
 
 def main():
-    spec = specs.ModelSpec(
-        arch="LlamaForCausalLM",
-        vocab_size=32000,
-        hidden_size=768,
-        num_layers=12,
-        num_heads=12,
-        num_kv_heads=12,
-        head_dim=64,
-        intermediate_size=3072,
-        max_position_embeddings=2048,
-        norm_eps=1e-6,
-    )
+    lossless_fp32 = _lossless_fp32()
+
     batch, max_seq, max_new = 8, 512, 128
-    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
-    draft_params = quantize_params(spec, params, bits=8, group_size=128)
+    dparams, vparams = build_pair()
+    draft_params = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
+    del dparams
 
     rng = np.random.RandomState(0)
     prompts = [
-        rng.randint(1, spec.vocab_size, size=48).tolist() for _ in range(batch)
+        rng.randint(1, VERIFIER.vocab_size, size=24).tolist()
+        for _ in range(batch)
     ]
+    warm_prompt = rng.randint(1, 32000, size=24).tolist()  # same bucket (32)
     cfg = GenerationConfig(max_new_tokens=max_new)
 
-    # --- incremental baseline (pipelined horizon decoding) ---
+    # --- incremental baseline (pipelined horizon decoding, same verifier) ---
     incr_engine = InferenceEngine(
-        spec, params, max_requests_per_batch=batch, max_seq_len=max_seq,
+        VERIFIER, vparams, max_requests_per_batch=batch, max_seq_len=max_seq,
     )
-    rm = RequestManager(incr_engine, decode_horizon=32, pipelined=True)
-    rm.generate([prompts[0][:20]], GenerationConfig(max_new_tokens=32))  # warm
+    rm = RequestManager(incr_engine, decode_horizon=64, pipelined=True)
+    rm.generate([warm_prompt], GenerationConfig(max_new_tokens=64))  # warm
     t0 = time.perf_counter()
     incr_reqs = rm.generate(prompts, cfg)
     incr_dt = time.perf_counter() - t0
     incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
     incr_tps = incr_tokens / incr_dt
+    del incr_engine, rm  # free the baseline KV cache before the spec engines
 
-    # --- fused tree-speculative ---
+    # --- fused tree-speculative (reference defaults: width 3, depth 8) ---
     spec_engine = SpecEngine(
-        spec, params, spec, draft_params,
-        beam_width=2, beam_depth=4,
+        VERIFIER, vparams, DRAFT, draft_params,
+        beam_width=3, beam_depth=8,
         max_requests_per_batch=batch, max_seq_len=max_seq,
     )
     srm = SpecRequestManager(spec_engine, fused=True, spec_horizon=4)
-    srm.generate([prompts[0][:20]], GenerationConfig(max_new_tokens=16))  # warm
+    srm.generate([warm_prompt], GenerationConfig(max_new_tokens=16))  # warm
     t0 = time.perf_counter()
     spec_reqs = srm.generate(prompts, cfg)
     spec_dt = time.perf_counter() - t0
@@ -87,7 +112,7 @@ def main():
     # reference gates half precision at a 20-token prefix match
     # (cpp_inference_tests.sh:249-255) — same policy here.
     prefix = 20
-    lossless = all(
+    prefix_match = all(
         a.output_tokens[:prefix] == b.output_tokens[:prefix]
         for a, b in zip(incr_reqs, spec_reqs)
     )
@@ -104,13 +129,21 @@ def main():
         "vs_baseline": round(spec_tps / incr_tps, 3),
     }))
     print(json.dumps({
+        "metric": "incr_decode_output_tokens_per_sec_chip_1p8B",
+        "value": round(incr_tps, 2), "unit": "tokens/s", "vs_baseline": 1.0,
+    }))
+    print(json.dumps({
         "metric": "mean_verified_tokens_per_step",
         "value": round(srm.mean_verified_tokens_per_step, 3),
         "unit": "tokens/step",
         "vs_baseline": 1.0,
     }))
     print(json.dumps({
-        "metric": "spec_outputs_lossless", "value": int(lossless),
+        "metric": "spec_outputs_lossless_fp32", "value": int(lossless_fp32),
+        "unit": "bool", "vs_baseline": 1.0,
+    }))
+    print(json.dumps({
+        "metric": "spec_outputs_bf16_prefix20_match", "value": int(prefix_match),
         "unit": "bool", "vs_baseline": 1.0,
     }))
 

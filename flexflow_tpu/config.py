@@ -145,5 +145,25 @@ class FFConfig:
         return cfg
 
 
+def ensure_cpu_devices(n: int) -> None:
+    """Give the CPU backend >= n virtual devices (reference -ll:cpu analog).
+
+    Only effective before the first backend use; on the TPU backend it is a
+    no-op (device count is physical). The ambient site hook imports jax at
+    interpreter startup, so env vars like XLA_FLAGS are too late — the config
+    update below is the reliable path (same trick as tests/conftest.py).
+    """
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" or n <= 1:
+        return
+    try:
+        # the site hook may have re-pinned the platform after reading env
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+    except RuntimeError:
+        pass  # backend already initialized; caller's mesh build will report
+
+
 # module-level default config (mutable runtime toggles live here)
 config = FFConfig.from_env()

@@ -119,6 +119,7 @@ class LLM:
                     max_requests_per_batch=max_requests_per_batch,
                     max_seq_len=max_seq_length,
                     cache_dtype=self.dtype,
+                    mesh=mesh,
                 ))
             if len(engines) == 1:
                 self.rm = SpecRequestManager(engines[0])
@@ -145,6 +146,7 @@ class LLM:
                     else 0
                 ),
                 cache_dtype=self.dtype,
+                mesh=mesh,
             )
             self.rm = RequestManager(engine)
 

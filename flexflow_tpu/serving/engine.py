@@ -60,8 +60,24 @@ class InferenceEngine:
         donate_cache: bool = True,
         lora=None,
         lora_config=None,
+        mesh=None,
     ):
+        """``mesh``: a ("data","pipe","model","seq") jax.sharding.Mesh for
+        multi-chip serving — params get Megatron TP shardings, the KV cache
+        shards slots over "data" and KV heads over "model"
+        (parallel/sharding.py), host inputs are replicated, and XLA/GSPMD
+        inserts the per-block psums the reference materializes as AllReduce
+        ops (model.cc:3526-3551). Single-process multi-device AND
+        multi-process (jax.distributed) global meshes both work — in the
+        latter case every process must construct the engine and issue the
+        same calls with identical host values (controller broadcast:
+        parallel/distributed.py)."""
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from flexflow_tpu.parallel.sharding import shard_params
+
+            params = shard_params(spec, params, mesh)
         self.params = params
         # LoRA adapter stacks (reference LoraLinear registry,
         # peft_weight_allocator.cc): {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
@@ -83,6 +99,21 @@ class InferenceEngine:
         self.cache = decoder.init_kv_cache(
             spec, max_requests_per_batch, max_seq_len, cache_dtype
         )
+        if mesh is not None:
+            from flexflow_tpu.parallel.sharding import (
+                kv_cache_sharding, replicated,
+            )
+
+            cshard = kv_cache_sharding(mesh, self.cache)
+            self.cache = KVCache(
+                k=jax.device_put(self.cache.k, cshard),
+                v=jax.device_put(self.cache.v, cshard),
+            )
+            self._replicated = replicated(mesh)
+            if self.lora is not None:
+                self.lora = jax.device_put(self.lora, self._replicated)
+        else:
+            self._replicated = None
 
         del donate_cache  # cache args below are always donated
 
@@ -230,6 +261,22 @@ class InferenceEngine:
     # host-facing API (used by the RequestManager)
     # ------------------------------------------------------------------
 
+    def _h(self, x):
+        """Host value -> device array; replicated over the mesh if any.
+
+        Multi-chip: every host-side input (tokens, lens, keys, sampling
+        params) must carry a mesh sharding or jit rejects the mixed-device
+        argument set; replication is the BatchConfig-broadcast analog
+        (reference ships BatchConfig by-value to every shard,
+        request_manager.cu:81)."""
+        arr = x if isinstance(x, jax.Array) else jnp.asarray(x)
+        if self._replicated is not None:
+            arr = jax.device_put(arr, self._replicated)
+        return arr
+
+    def _htree(self, tree):
+        return jax.tree_util.tree_map(self._h, tree)
+
     def prefill_bucket(self, prompt_len: int) -> int:
         return min(
             _round_up_pow2(max(prompt_len, 1), self.min_prefill_bucket),
@@ -249,9 +296,9 @@ class InferenceEngine:
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt_tokens
         last_logits, kv = self._prefill(
-            self.params, jnp.asarray(padded), jnp.int32(n)
+            self.params, self._h(padded), self._h(jnp.int32(n))
         )
-        tok = self._sample(last_logits, key, scfg1)
+        tok = self._sample(last_logits, self._h(key), self._htree(scfg1))
         return int(tok), kv, last_logits
 
     def prefill_async(
@@ -268,14 +315,15 @@ class InferenceEngine:
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt_tokens
         last_logits, kv = self._prefill(
-            self.params, jnp.asarray(padded), jnp.int32(n)
+            self.params, self._h(padded), self._h(jnp.int32(n))
         )
-        tok = self._sample(last_logits, key, scfg1)
+        tok = self._sample(last_logits, self._h(key), self._htree(scfg1))
         return tok, kv, last_logits
 
     def insert(self, kv, slot: int) -> None:
         k_new, v_new = kv
-        self.cache = self._insert(self.cache, k_new, v_new, jnp.int32(slot))
+        self.cache = self._insert(self.cache, k_new, v_new,
+                                  self._h(jnp.int32(slot)))
 
     def prefill_to_slot_async(
         self,
@@ -302,11 +350,11 @@ class InferenceEngine:
         tok, self.cache = self._prefill_insert(
             self.params,
             self.cache,
-            jnp.asarray(padded),
-            jnp.int32(n),
-            jnp.int32(slot),
-            key,
-            scfg1,
+            self._h(padded),
+            self._h(jnp.int32(n)),
+            self._h(jnp.int32(slot)),
+            self._h(key),
+            self._htree(scfg1),
             self.lora,
             self._onehot([adapter_id]) if self.lora is not None else None,
             greedy_only=self._greedy_only(scfg1),
@@ -321,7 +369,7 @@ class InferenceEngine:
         against a single-slot cache view (reference chunked prefill,
         request_manager.cc:860-940). Returns the first token (device)."""
         c = self.max_tokens_per_batch
-        ck, cv = self._read_slot(self.cache, jnp.int32(slot))
+        ck, cv = self._read_slot(self.cache, self._h(jnp.int32(slot)))
         onehot1 = self._onehot([adapter_id]) if self.lora is not None else None
         n = len(prompt_tokens)
         logits = None
@@ -335,13 +383,15 @@ class InferenceEngine:
             # positions)
             logits, ck, cv = self._chunk_prefill(
                 self.params, ck, cv,
-                jnp.full((1,), done, jnp.int32), jnp.asarray(padded),
+                self._h(jnp.full((1,), done, jnp.int32)), self._h(padded),
                 self.lora, onehot1,
             )
             last_valid = m - 1
             done += m
-        self.cache = self._write_slot(self.cache, ck, cv, jnp.int32(slot))
-        tok = self._sample(logits[0, last_valid], key, scfg1)
+        self.cache = self._write_slot(self.cache, ck, cv,
+                                      self._h(jnp.int32(slot)))
+        tok = self._sample(logits[0, last_valid], self._h(key),
+                           self._htree(scfg1))
         return tok
 
     def prefill_to_slot(
@@ -373,7 +423,7 @@ class InferenceEngine:
         for i, a in enumerate(ids):
             if a >= 0:
                 oh[i, int(a)] = 1.0
-        return jnp.asarray(oh)
+        return self._h(oh)
 
     def decode(
         self,
@@ -386,10 +436,10 @@ class InferenceEngine:
         next_tokens, self.cache = self._decode(
             self.params,
             self.cache,
-            jnp.asarray(cache_lens, jnp.int32),
-            jnp.asarray(tokens, jnp.int32),
-            key,
-            scfg,
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(np.asarray(tokens, np.int32)),
+            self._h(key),
+            self._htree(scfg),
             self.lora,
             self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
@@ -429,10 +479,11 @@ class InferenceEngine:
         out, self.cache = self._decode_n(
             self.params,
             self.cache,
-            jnp.asarray(cache_lens, jnp.int32),
-            jnp.asarray(tokens, jnp.int32),
-            key,
-            scfg,
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(np.asarray(tokens, np.int32) if not isinstance(
+                tokens, jax.Array) else tokens),
+            self._h(key),
+            self._htree(scfg),
             n,
             self.lora,
             self._onehot(adapter_ids),

@@ -68,13 +68,26 @@ class SpecEngine:
         max_requests_per_batch: int = 8,
         max_seq_len: int = 256,
         cache_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: multi-chip serving — LLM and SSM params get TP
+        shardings, both KV caches shard slots/"data" x heads/"model", host
+        inputs replicate (see InferenceEngine.__doc__)."""
         assert llm_spec.vocab_size == ssm_spec.vocab_size, "vocab mismatch"
         t = tree_size(beam_width, beam_depth)
         assert t <= MAX_SPEC_TREE_TOKEN_NUM, (
             f"tree {t} exceeds cap {MAX_SPEC_TREE_TOKEN_NUM}"
         )
         self.llm_spec, self.ssm_spec = llm_spec, ssm_spec
+        self.mesh = mesh
+        if mesh is not None:
+            from flexflow_tpu.parallel.sharding import replicated, shard_params
+
+            llm_params = shard_params(llm_spec, llm_params, mesh)
+            ssm_params = shard_params(ssm_spec, ssm_params, mesh)
+            self._replicated = replicated(mesh)
+        else:
+            self._replicated = None
         self.llm_params, self.ssm_params = llm_params, ssm_params
         self.width, self.depth, self.tree = beam_width, beam_depth, t
         self.max_requests = max_requests_per_batch
@@ -86,6 +99,14 @@ class SpecEngine:
         self.ssm_cache = decoder.init_kv_cache(
             ssm_spec, max_requests_per_batch, max_seq_len, cache_dtype
         )
+        if mesh is not None:
+            from flexflow_tpu.parallel.sharding import kv_cache_sharding
+
+            for attr in ("llm_cache", "ssm_cache"):
+                c = getattr(self, attr)
+                cs = kv_cache_sharding(mesh, c)
+                setattr(self, attr, KVCache(
+                    k=jax.device_put(c.k, cs), v=jax.device_put(c.v, cs)))
 
         w, d_max, tree = self.width, self.depth, self.tree
 
@@ -215,20 +236,33 @@ class SpecEngine:
             from_slots is identity-padded beyond the accepted count; stale
             writes land in the scratch region which is never attended.
             Cache layout [L, B, KH, D, S] (S minor — see decoder.KVCache).
+
+            Structure: small GATHER of the [B, T] accepted columns, then a
+            per-slot dynamic_update_slice chain at the contiguous
+            [len, len+T) window. An at[...].set scatter here makes XLA
+            rewrite the ENTIRE cache through a padded internal layout
+            (measured ~300 ms/iteration on a 1.6 GiB verifier cache — the
+            same pathology decoder.forward_cached documents); the DUS chain
+            stays in place. Reference analog: committed_tokens KV compaction,
+            batch_config.h:156-163.
             """
             ll, b, kh, dh, s = cache.k.shape
             t = from_slots.shape[1]  # tree size (merged trees may differ)
             src = jnp.minimum(cache_lens[:, None] + from_slots, s - 1)  # [B,T]
-            dst = jnp.minimum(
-                cache_lens[:, None] + jnp.arange(t, dtype=jnp.int32)[None], s - 1
-            )
             bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            # advanced indices on axes (1, 4) -> gathered shape [B, T, L, KH, D]
-            gk = cache.k[:, bidx, :, :, src]
-            gv = cache.v[:, bidx, :, :, src]
-            k = cache.k.at[:, bidx, :, :, dst].set(gk)
-            v = cache.v.at[:, bidx, :, :, dst].set(gv)
-            return KVCache(k=k, v=v)
+            # advanced indices on non-adjacent axes (1, 4) move the [B, T]
+            # index block to the front: gathered shape [B, T, L, KH, D]
+            gk = cache.k[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
+            gv = cache.v[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
+            # -> [L, B, KH, D, T]
+            zero = jnp.int32(0)
+            ck, cv = cache.k, cache.v
+            for bb in range(b):
+                dst = jnp.minimum(cache_lens[bb], s - t).astype(jnp.int32)
+                start = (zero, jnp.int32(bb), zero, zero, dst)
+                ck = jax.lax.dynamic_update_slice(ck, gk[:, bb:bb + 1], start)
+                cv = jax.lax.dynamic_update_slice(cv, gv[:, bb:bb + 1], start)
+            return KVCache(k=ck, v=cv)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def commit_fn(cache, cache_lens, from_slots):
@@ -437,6 +471,14 @@ class SpecEngine:
     # host-facing helpers
     # ------------------------------------------------------------------
 
+    def _h(self, x):
+        """Host value -> device array, replicated over the mesh if any
+        (see InferenceEngine._h)."""
+        arr = x if isinstance(x, jax.Array) else jnp.asarray(x)
+        if self._replicated is not None:
+            arr = jax.device_put(arr, self._replicated)
+        return arr
+
     def prefill_both(
         self, prompt_tokens: np.ndarray, slot: int, key=None, scfg1=None
     ) -> int:
@@ -452,11 +494,12 @@ class SpecEngine:
         bucket = min(bucket, self.max_seq_len)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt_tokens
-        tokens = jnp.asarray(padded)
-        length = jnp.int32(n)
+        tokens = self._h(padded)
+        length = self._h(jnp.int32(n))
 
         last_logits, kv = self._prefill(self.llm_params, tokens, length, "llm")
-        self.llm_cache = self._insert(self.llm_cache, *kv, jnp.int32(slot))
+        self.llm_cache = self._insert(self.llm_cache, *kv,
+                                      self._h(jnp.int32(slot)))
         if key is not None and scfg1 is not None:
             first = int(sampling_lib.sample(
                 last_logits[None].astype(jnp.float32), key, scfg1)[0])
@@ -464,7 +507,8 @@ class SpecEngine:
             first = int(jnp.argmax(last_logits))
 
         _, kv_s = self._prefill(self.ssm_params, tokens, length, "ssm")
-        self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
+        self.ssm_cache = self._insert(self.ssm_cache, *kv_s,
+                                      self._h(jnp.int32(slot)))
         return first
 
     def prefill_ssm_only(self, prompt_tokens: np.ndarray, slot: int) -> None:
@@ -477,9 +521,10 @@ class SpecEngine:
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt_tokens
         _, kv_s = self._prefill(
-            self.ssm_params, jnp.asarray(padded), jnp.int32(n), "ssm"
+            self.ssm_params, self._h(padded), self._h(jnp.int32(n)), "ssm"
         )
-        self.ssm_cache = self._insert(self.ssm_cache, *kv_s, jnp.int32(slot))
+        self.ssm_cache = self._insert(self.ssm_cache, *kv_s,
+                                      self._h(jnp.int32(slot)))
 
     def catchup(self, ssm_lens: np.ndarray, tokens: np.ndarray) -> None:
         """Advance the draft cache over already-committed tokens.
@@ -489,7 +534,8 @@ class SpecEngine:
         """
         self.ssm_cache = self._catchup(
             self.ssm_params, self.ssm_cache,
-            jnp.asarray(ssm_lens, jnp.int32), jnp.asarray(tokens, jnp.int32),
+            self._h(np.asarray(ssm_lens, np.int32)),
+            self._h(np.asarray(tokens, np.int32)),
         )
 
     def draft_tree(
@@ -502,14 +548,15 @@ class SpecEngine:
         is -1.
         """
         b, w, dmax, t = len(cache_lens), self.width, self.depth, self.tree
-        lens = jnp.asarray(cache_lens, jnp.int32)
+        lens = self._h(np.asarray(cache_lens, np.int32))
 
         tree_tokens = np.zeros((b, t), np.int32)
         tree_parents = np.full((b, t), -1, np.int32)
         tree_tokens[:, 0] = root_tokens
 
         beam_tokens, beam_logp, self.ssm_cache = self._draft_root(
-            self.ssm_params, self.ssm_cache, lens, jnp.asarray(root_tokens, jnp.int32)
+            self.ssm_params, self.ssm_cache, lens,
+            self._h(np.asarray(root_tokens, np.int32))
         )
         anc = jnp.zeros((b, w, t), dtype=bool).at[:, :, 0].set(True)
 
@@ -562,16 +609,16 @@ class SpecEngine:
         out, self.llm_cache = self._verify(
             self.llm_params,
             self.llm_cache,
-            jnp.asarray(cache_lens, jnp.int32),
-            jnp.asarray(tree_tokens),
-            jnp.asarray(depths),
-            jnp.asarray(anc),
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(tree_tokens),
+            self._h(depths),
+            self._h(anc),
         )
         return np.asarray(out)
 
     def commit(self, cache_lens: np.ndarray, from_slots: np.ndarray) -> None:
-        lens = jnp.asarray(cache_lens, jnp.int32)
-        fs = jnp.asarray(from_slots, jnp.int32)
+        lens = self._h(np.asarray(cache_lens, np.int32))
+        fs = self._h(np.asarray(from_slots, np.int32))
         self.llm_cache = self._commit(self.llm_cache, lens, fs)
         self.ssm_cache = self._commit(self.ssm_cache, lens, fs)
 
@@ -582,8 +629,8 @@ class SpecEngine:
         verification: draft caches resync via catch-up over committed
         tokens instead — their tree layouts differ from the merged tree)."""
         self.llm_cache = self._commit(
-            self.llm_cache, jnp.asarray(cache_lens, jnp.int32),
-            jnp.asarray(from_slots, jnp.int32),
+            self.llm_cache, self._h(np.asarray(cache_lens, np.int32)),
+            self._h(np.asarray(from_slots, np.int32)),
         )
 
     def fused_step(
@@ -597,8 +644,8 @@ class SpecEngine:
             self._fused_step(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,
-                jnp.asarray(cache_lens, jnp.int32),
-                jnp.asarray(root_tokens, jnp.int32),
+                self._h(np.asarray(cache_lens, np.int32)),
+                self._h(np.asarray(root_tokens, np.int32)),
             )
         )
         return jax.device_get(produced), jax.device_get(n_acc)
@@ -613,8 +660,8 @@ class SpecEngine:
         produced, n_acc, self.llm_cache, self.ssm_cache = self._fused_step_n(
             self.llm_params, self.ssm_params,
             self.llm_cache, self.ssm_cache,
-            jnp.asarray(cache_lens, jnp.int32),
-            jnp.asarray(root_tokens, jnp.int32),
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(np.asarray(root_tokens, np.int32)),
             n,
         )
         return jax.device_get(produced), jax.device_get(n_acc)
@@ -632,9 +679,9 @@ class SpecEngine:
             self._fused_sample_step(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,
-                jnp.asarray(cache_lens, jnp.int32),
-                jnp.asarray(root_tokens, jnp.int32),
-                key, scfg,
+                self._h(np.asarray(cache_lens, np.int32)),
+                self._h(np.asarray(root_tokens, np.int32)),
+                self._h(key), jax.tree_util.tree_map(self._h, scfg),
             )
         )
         return jax.device_get(produced), jax.device_get(n_acc)
@@ -648,9 +695,9 @@ class SpecEngine:
             self._fused_sample_step_n(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,
-                jnp.asarray(cache_lens, jnp.int32),
-                jnp.asarray(root_tokens, jnp.int32),
-                key, scfg, n,
+                self._h(np.asarray(cache_lens, np.int32)),
+                self._h(np.asarray(root_tokens, np.int32)),
+                self._h(key), jax.tree_util.tree_map(self._h, scfg), n,
             )
         )
         return jax.device_get(produced), jax.device_get(n_acc)

@@ -56,6 +56,10 @@ def main(argv=None):
 
     if args.profiling:
         config.profiling = True
+    from flexflow_tpu.config import ensure_cpu_devices
+
+    ensure_cpu_devices(args.tp * args.dp * args.pp
+                       if hasattr(args, "dp") else args.tp * args.pp)
 
     quant = "int4" if args.int4 else ("int8" if args.int8 else None)
     llm = LLM(
