@@ -112,8 +112,19 @@ class InferenceEngine:
             self._replicated = replicated(mesh)
             if self.lora is not None:
                 self.lora = jax.device_put(self.lora, self._replicated)
+            # multi-process (jax.distributed) mesh: token outputs may come
+            # back sharded over non-addressable devices; an all-gather to
+            # replicated makes them fetchable (parallel/distributed.py)
+            self._mesh_local = all(
+                d.process_index == jax.process_index()
+                for d in mesh.devices.flat
+            )
+            self._to_replicated = jax.jit(
+                lambda x: x, out_shardings=self._replicated
+            )
         else:
             self._replicated = None
+            self._mesh_local = True
 
         del donate_cache  # cache args below are always donated
 
@@ -277,6 +288,16 @@ class InferenceEngine:
     def _htree(self, tree):
         return jax.tree_util.tree_map(self._h, tree)
 
+    def fetch(self, x):
+        """Device -> host for possibly-multi-process-sharded outputs.
+
+        On a jax.distributed global mesh, jit outputs may be sharded over
+        devices this process can't address; an all-gather to replicated
+        (jitted identity) makes them fetchable. Single-process: plain get."""
+        if not self._mesh_local:
+            x = self._to_replicated(x)
+        return jax.device_get(x)
+
     def prefill_bucket(self, prompt_len: int) -> int:
         return min(
             _round_up_pow2(max(prompt_len, 1), self.min_prefill_bucket),
@@ -399,7 +420,7 @@ class InferenceEngine:
         scfg1: SamplingConfig, adapter_id: int = -1,
     ) -> int:
         return int(
-            jax.device_get(
+            self.fetch(
                 self.prefill_to_slot_async(
                     prompt_tokens, slot, key, scfg1, adapter_id
                 )
@@ -444,7 +465,7 @@ class InferenceEngine:
             self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
         )
-        return jax.device_get(next_tokens)
+        return self.fetch(next_tokens)
 
     def decode_horizon(
         self,
@@ -456,7 +477,7 @@ class InferenceEngine:
         adapter_ids=None,
     ) -> np.ndarray:
         """Run n device-resident decode steps; returns [n, B] tokens."""
-        return jax.device_get(
+        return self.fetch(
             self.decode_horizon_async(
                 cache_lens, tokens, key, scfg, n, adapter_ids
             )

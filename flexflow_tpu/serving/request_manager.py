@@ -274,7 +274,7 @@ class RequestManager:
         if not self._pending_first:
             return
         pend, self._pending_first = self._pending_first, []
-        vals = jax.device_get(jnp.stack([t for _, _, t in pend]))
+        vals = self.engine.fetch(jnp.stack([t for _, _, t in pend]))
         now = time.monotonic()
         for (slot, req, _), tok in zip(pend, vals):
             tok = int(tok)
@@ -321,7 +321,7 @@ class RequestManager:
             for s in active:
                 self._cache_lens[s] += n
             self._feedback = out_dev[-1]
-            fut = self._fetcher.submit(jax.device_get, out_dev)
+            fut = self._fetcher.submit(self.engine.fetch, out_dev)
             self._inflight_q.append((fut, entries))
             self._steps += n
 

@@ -86,8 +86,16 @@ class SpecEngine:
             llm_params = shard_params(llm_spec, llm_params, mesh)
             ssm_params = shard_params(ssm_spec, ssm_params, mesh)
             self._replicated = replicated(mesh)
+            self._mesh_local = all(
+                d.process_index == jax.process_index()
+                for d in mesh.devices.flat
+            )
+            self._to_replicated = jax.jit(
+                lambda x: x, out_shardings=self._replicated
+            )
         else:
             self._replicated = None
+            self._mesh_local = True
         self.llm_params, self.ssm_params = llm_params, ssm_params
         self.width, self.depth, self.tree = beam_width, beam_depth, t
         self.max_requests = max_requests_per_batch
@@ -479,6 +487,13 @@ class SpecEngine:
             arr = jax.device_put(arr, self._replicated)
         return arr
 
+    def fetch(self, x):
+        """Device -> host (all-gathers multi-process-sharded outputs first;
+        see InferenceEngine.fetch)."""
+        if not self._mesh_local:
+            x = self._to_replicated(x)
+        return jax.device_get(x)
+
     def prefill_both(
         self, prompt_tokens: np.ndarray, slot: int, key=None, scfg1=None
     ) -> int:
@@ -648,7 +663,7 @@ class SpecEngine:
                 self._h(np.asarray(root_tokens, np.int32)),
             )
         )
-        return jax.device_get(produced), jax.device_get(n_acc)
+        return self.fetch(produced), self.fetch(n_acc)
 
     def fused_step_n(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray, n: int
@@ -664,7 +679,7 @@ class SpecEngine:
             self._h(np.asarray(root_tokens, np.int32)),
             n,
         )
-        return jax.device_get(produced), jax.device_get(n_acc)
+        return self.fetch(produced), self.fetch(n_acc)
 
     def fused_sample_step(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray,
@@ -684,7 +699,7 @@ class SpecEngine:
                 self._h(key), jax.tree_util.tree_map(self._h, scfg),
             )
         )
-        return jax.device_get(produced), jax.device_get(n_acc)
+        return self.fetch(produced), self.fetch(n_acc)
 
     def fused_sample_step_n(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray,
@@ -700,4 +715,4 @@ class SpecEngine:
                 self._h(key), jax.tree_util.tree_map(self._h, scfg), n,
             )
         )
-        return jax.device_get(produced), jax.device_get(n_acc)
+        return self.fetch(produced), self.fetch(n_acc)
