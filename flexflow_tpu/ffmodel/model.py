@@ -165,6 +165,36 @@ class FFModel:
         )
         return t
 
+    def conv2d_transpose(self, x, out_channels: int, kernel_h: int,
+                         kernel_w: int, stride_h: int = 1, stride_w: int = 1,
+                         padding_h: int = 0, padding_w: int = 0,
+                         output_padding_h: int = 0, output_padding_w: int = 0,
+                         activation: Optional[str] = None,
+                         use_bias: bool = True, name: str = ""):
+        """Transposed conv (deconvolution); exceeds the reference op set
+        (needed for Keras Conv2DTranspose / torch ConvTranspose2d parity)."""
+        n, c, h, w = x.shape
+        oh = (h - 1) * stride_h - 2 * padding_h + kernel_h + output_padding_h
+        ow = (w - 1) * stride_w - 2 * padding_w + kernel_w + output_padding_w
+        [t] = self._add(
+            "conv2d_transpose", [x],
+            dict(out_channels=out_channels, kernel=(kernel_h, kernel_w),
+                 stride=(stride_h, stride_w), padding=(padding_h, padding_w),
+                 output_padding=(output_padding_h, output_padding_w),
+                 activation=activation, use_bias=use_bias),
+            [(n, out_channels, oh, ow)], [x.dtype], name,
+        )
+        return t
+
+    def group_norm(self, x, num_groups: int, eps: float = 1e-5,
+                   affine: bool = True, name: str = ""):
+        """GroupNorm over [N, C, ...] channels split into num_groups."""
+        assert x.shape[1] % num_groups == 0, "C must divide into groups"
+        [t] = self._add("group_norm", [x],
+                        dict(num_groups=num_groups, eps=eps, affine=affine),
+                        [x.shape], [x.dtype], name)
+        return t
+
     def pool2d(self, x, kernel_h: int, kernel_w: int, stride_h: int = 1,
                stride_w: int = 1, padding_h: int = 0, padding_w: int = 0,
                pool_type: str = "max", name: str = ""):
@@ -371,6 +401,19 @@ class FFModel:
             if a["use_bias"]:
                 p["b"] = jnp.zeros((a["out_channels"],))
             return p, {}
+        if node.op == "conv2d_transpose":
+            c_in = node.inputs[0].shape[1]
+            kh, kw = a["kernel"]
+            p = {"w": glorot((c_in, a["out_channels"], kh, kw),
+                             c_in * kh * kw, a["out_channels"], key)}
+            if a["use_bias"]:
+                p["b"] = jnp.zeros((a["out_channels"],))
+            return p, {}
+        if node.op == "group_norm":
+            c = node.inputs[0].shape[1]
+            if a.get("affine", True):
+                return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}, {}
+            return {}, {}
         if node.op == "batch_norm":
             c = node.inputs[0].shape[1]
             return (
@@ -454,6 +497,14 @@ class FFModel:
                               a["padding"], a["groups"])
             act = _ACT[a["activation"]]
             return [act(y) if act else y], s
+        if op == "conv2d_transpose":
+            y = nn_ops.conv2d_transpose(xs[0], p["w"], p.get("b"), a["stride"],
+                                        a["padding"], a["output_padding"])
+            act = _ACT[a["activation"]]
+            return [act(y) if act else y], s
+        if op == "group_norm":
+            return [nn_ops.group_norm(xs[0], a["num_groups"], p.get("scale"),
+                                      p.get("bias"), a["eps"])], s
         if op == "pool2d":
             return [nn_ops.pool2d(xs[0], a["kernel"], a["stride"],
                                   a["padding"], a["pool_type"])], s

@@ -14,11 +14,14 @@ from flexflow_tpu.keras.layers import (  # noqa: F401
     BatchNormalization,
     Concatenate,
     Conv2D,
+    Conv2DTranspose,
     Dense,
     Dropout,
     Embedding,
     Flatten,
+    GroupNormalization,
     Input,
+    LayerNormalization,
     MaxPooling2D,
 )
 from flexflow_tpu.keras.models import Model, Sequential  # noqa: F401

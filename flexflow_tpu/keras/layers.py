@@ -84,6 +84,59 @@ class Conv2D(Layer):
                          use_bias=self.use_bias, name=self.name)
 
 
+class Conv2DTranspose(Layer):
+    """NCHW transposed convolution (keras.layers.Conv2DTranspose)."""
+
+    def __init__(self, filters: int, kernel_size, strides=1, padding="valid",
+                 output_padding=0, activation: Optional[str] = None,
+                 use_bias: bool = True, name: str = ""):
+        self.filters = filters
+        self.kernel = _pair(kernel_size)
+        self.strides = _pair(strides)
+        self.padding = padding
+        self.output_padding = _pair(output_padding)
+        self.activation = activation
+        self.use_bias = use_bias
+        self.name = name
+
+    def build(self, ff, x):
+        if self.padding == "same":
+            ph, pw = self.kernel[0] // 2, self.kernel[1] // 2
+        elif self.padding == "valid":
+            ph = pw = 0
+        else:
+            ph, pw = _pair(self.padding)
+        return ff.conv2d_transpose(
+            x, self.filters, self.kernel[0], self.kernel[1],
+            self.strides[0], self.strides[1], ph, pw,
+            self.output_padding[0], self.output_padding[1],
+            activation=self.activation, use_bias=self.use_bias,
+            name=self.name)
+
+
+class LayerNormalization(Layer):
+    def __init__(self, epsilon: float = 1e-3, center: bool = True,
+                 scale: bool = True, name: str = ""):
+        self.epsilon, self.center, self.scale_ = epsilon, center, scale
+        self.name = name
+
+    def build(self, ff, x):
+        return ff.layer_norm(x, elementwise_affine=self.scale_,
+                             eps=self.epsilon, use_bias=self.center,
+                             name=self.name)
+
+
+class GroupNormalization(Layer):
+    """keras.layers.GroupNormalization (channels_first)."""
+
+    def __init__(self, groups: int = 32, epsilon: float = 1e-3,
+                 name: str = ""):
+        self.groups, self.epsilon, self.name = groups, epsilon, name
+
+    def build(self, ff, x):
+        return ff.group_norm(x, self.groups, eps=self.epsilon, name=self.name)
+
+
 class _Pool2D(Layer):
     kind = "max"
 

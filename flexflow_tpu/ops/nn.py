@@ -43,6 +43,64 @@ def conv2d(
     return out
 
 
+def conv2d_transpose(
+    x: jnp.ndarray,  # [N, C, H, W]
+    w: jnp.ndarray,  # [I, O, KH, KW] (torch ConvTranspose2d layout)
+    b: Optional[jnp.ndarray],  # [O]
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+    output_padding: Tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """Fractionally-strided (transposed) convolution, torch semantics:
+    out = (in - 1) * stride - 2 * pad + kernel + output_pad.
+
+    Implemented as a regular conv with lhs_dilation=stride over the
+    spatially-flipped, IO-swapped kernel — the construction XLA fuses best.
+    Extends the reference's conv coverage (its zoo has no deconv op; Keras
+    frontend parity requires Conv2DTranspose).
+    """
+    kh, kw = w.shape[2], w.shape[3]
+    w_f = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # [O, I, KH, KW]
+    pads = (
+        (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
+        (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
+    )
+    out = jax.lax.conv_general_dilated(
+        x, w_f,
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=stride,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if b is not None:
+        out = out + b[None, :, None, None]
+    return out
+
+
+def group_norm(
+    x: jnp.ndarray,  # [N, C, *spatial]
+    num_groups: int,
+    scale: Optional[jnp.ndarray],  # [C]
+    bias: Optional[jnp.ndarray],  # [C]
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm (torch nn.GroupNorm / keras GroupNormalization semantics):
+    normalize over (C/G, *spatial) within each of G channel groups."""
+    n, c = x.shape[0], x.shape[1]
+    spatial = x.shape[2:]
+    g = num_groups
+    xg = x.reshape(n, g, c // g, *spatial).astype(jnp.float32)
+    axes = tuple(range(2, xg.ndim))
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    if scale is not None:
+        y = y * scale.reshape(1, c, *([1] * len(spatial)))
+    if bias is not None:
+        y = y + bias.reshape(1, c, *([1] * len(spatial)))
+    return y.astype(x.dtype)
+
+
 def pool2d(
     x: jnp.ndarray,  # [N, C, H, W]
     kernel: Tuple[int, int],

@@ -463,6 +463,11 @@ class SpecEngine:
                 jax.random.split(key, n))
             return produced, n_acc, llm_cache, ssm_cache
 
+        # uncompiled building blocks (perf probes / custom fusions)
+        self._draft_phase_core = draft_phase
+        self._verify_core = verify_core
+        self._commit_core = commit_core
+        self._depths_vec = depths_vec
         self._catchup = catchup_fn
         self._fused_step = fused_step_fn
         self._fused_step_n = fused_step_n_fn

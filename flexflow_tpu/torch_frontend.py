@@ -80,6 +80,36 @@ def from_torch_module(
                                 use_bias=sub.bias is not None, name=node.name)
                 if transfer_weights:
                     weight_loads.append((node.name, _conv_loader(sub)))
+            elif isinstance(sub, tnn.ConvTranspose2d):
+                assert sub.groups == 1, "grouped deconv unsupported"
+                ph, pw = _pair(sub.padding)
+                sh, sw = _pair(sub.stride)
+                kh, kw = _pair(sub.kernel_size)
+                oph, opw = _pair(sub.output_padding)
+                out = ff.conv2d_transpose(
+                    x, sub.out_channels, kh, kw, sh, sw, ph, pw, oph, opw,
+                    use_bias=sub.bias is not None, name=node.name)
+                if transfer_weights:
+                    # torch ConvTranspose2d weight [I, O, KH, KW] == ours
+                    weight_loads.append((node.name, _conv_loader(sub)))
+            elif isinstance(sub, tnn.GroupNorm):
+                out = ff.group_norm(x, sub.num_groups, eps=sub.eps,
+                                    affine=sub.affine, name=node.name)
+                if transfer_weights and sub.affine:
+                    weight_loads.append((node.name, _gn_loader(sub)))
+            elif isinstance(sub, tnn.MultiheadAttention):
+                assert sub.batch_first, "trace with batch_first=True"
+                q_in = x
+                k_in = t(node.args[1]) if len(node.args) > 1 else q_in
+                v_in = t(node.args[2]) if len(node.args) > 2 else k_in
+                out_t = ff.multihead_attention(
+                    q_in, k_in, v_in, sub.embed_dim, sub.num_heads,
+                    name=node.name)
+                if transfer_weights:
+                    weight_loads.append((node.name, _mha_loader(sub)))
+                # torch MHA returns (output, attn_weights): mirror the tuple
+                # so downstream getitem nodes resolve
+                out = (out_t, None)
             elif isinstance(sub, tnn.MaxPool2d):
                 kh, kw = _pair(sub.kernel_size)
                 sh, sw = _pair(sub.stride or sub.kernel_size)
@@ -165,6 +195,8 @@ def from_torch_module(
                 out = ff.concat([t(a) for a in node.args[0]], axis=dim)
             elif fn is torch.exp:
                 out = ff.exp(args[0])
+            elif fn is operator.getitem:
+                out = args[0][node.args[1]]
             elif fn is torch.matmul:
                 out = ff.batch_matmul(args[0], args[1])
             else:
@@ -241,6 +273,36 @@ def _bn_loader(sub):
                 "mean": jnp.asarray(sub.running_mean.detach().numpy()),
                 "var": jnp.asarray(sub.running_var.detach().numpy()),
             },
+        }
+    return load
+
+
+def _gn_loader(sub):
+    def load():
+        return {
+            "scale": jnp.asarray(sub.weight.detach().numpy()),
+            "bias": jnp.asarray(sub.bias.detach().numpy()),
+        }
+    return load
+
+
+def _mha_loader(sub):
+    """torch MultiheadAttention -> DSL mha params (bias-free projections)."""
+    assert sub.in_proj_bias is None or not sub.in_proj_bias.abs().any(), \
+        "DSL mha is bias-free: construct MultiheadAttention(bias=False)"
+    def load():
+        e = sub.embed_dim
+        if sub.in_proj_weight is not None:
+            w = sub.in_proj_weight.detach().numpy()  # [3e, d]
+            wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
+        else:
+            wq = sub.q_proj_weight.detach().numpy()
+            wk = sub.k_proj_weight.detach().numpy()
+            wv = sub.v_proj_weight.detach().numpy()
+        return {
+            "wq": jnp.asarray(wq.T), "wk": jnp.asarray(wk.T),
+            "wv": jnp.asarray(wv.T),
+            "wo": jnp.asarray(sub.out_proj.weight.detach().numpy().T),
         }
     return load
 
