@@ -437,11 +437,21 @@ def forward_cached(
     tree_mask: Optional[jnp.ndarray] = None,  # [B, T, T] mask among in-flight tokens
     kv_mask: Optional[jnp.ndarray] = None,  # [B, T, S] mask over the EXISTING cache
     write_start: Optional[jnp.ndarray] = None,  # [B] cache window start (default lens)
+    write_cache: bool = True,  # False: return the new KV instead of writing it
+    extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L,B,E,KH,D] x2
+    extra_mask: Optional[jnp.ndarray] = None,  # [B, T, E] mask over extra_kv
     lora: Optional[Params] = None,
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
-) -> Tuple[jnp.ndarray, KVCache]:
+):
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache).
+
+    ``write_cache=False`` skips the cache update and instead returns
+    ``(logits, (k_new, v_new))`` with the new tokens' per-layer KV stacked
+    [L, B, T, KH, D] — the in-register tree-KV flow of the fused speculative
+    iteration (tree KV never touches the multi-GB cache until acceptance).
+    ``extra_kv``/``extra_mask`` append additional in-register KV columns to
+    the attention (earlier tree depths during draft expansion).
 
     TPU-native memory structure: the KV cache is consumed READ-ONLY inside the
     layer scan (sliced per layer as scan xs — no carried copy, so XLA never
@@ -474,9 +484,23 @@ def forward_cached(
         write_start.astype(jnp.int32), 0, cache.max_seq_len - t
     )
 
+    # explicit joint mask over [extra | in-flight] when extra KV is appended
+    if extra_kv is not None:
+        base_mask = (
+            tree_mask
+            if tree_mask is not None
+            else jnp.broadcast_to(
+                jnp.tril(jnp.ones((t, t), dtype=bool))[None], (b, t, t)
+            )
+        )
+        assert extra_mask is not None, "extra_kv requires extra_mask"
+        joint_mask = jnp.concatenate([extra_mask, base_mask], axis=-1)
+    else:
+        joint_mask = tree_mask
+
     def body(h, xs):
         if lora is not None:
-            layer_params, ck_l, cv_l, lora_layer = xs
+            layer_params, ck_l, cv_l, ex, lora_layer = xs
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -484,7 +508,7 @@ def forward_cached(
                 "_lora_scale": lora_scale,
             }
         else:
-            layer_params, ck_l, cv_l = xs
+            layer_params, ck_l, cv_l, ex = xs
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)
@@ -496,6 +520,7 @@ def forward_cached(
                 t == 1
                 and tree_mask is None
                 and kv_mask is None
+                and extra_kv is None
                 and slopes is None
                 and spec.attn_logit_softcap is None
                 and _use_pallas_decode_attention()
@@ -508,14 +533,20 @@ def forward_cached(
                     q[:, 0], ck_l, cv_l, kc[:, 0], vc[:, 0], cache_lens
                 )[:, None]
                 return out, (kc, vc)
+            if ex is not None:
+                ek_l, ev_l = ex  # [B, E, KH, D]
+                kn = jnp.concatenate([ek_l, kc], axis=1)
+                vn = jnp.concatenate([ev_l, vc], axis=1)
+            else:
+                kn, vn = kc, vc
             out = attn_lib.split_cached_attention(
                 q,
                 ck_l,
                 cv_l,
-                kc,
-                vc,
+                kn,
+                vn,
                 cache_lens,
-                new_mask=tree_mask,
+                new_mask=joint_mask,
                 kv_mask=kv_mask,
                 q_positions=positions,
                 slopes=slopes,
@@ -526,12 +557,17 @@ def forward_cached(
         h, (kc, vc) = _layer(spec, layer_params, h, attend)
         return h, (kc, vc)
 
+    ex_xs = extra_kv if extra_kv is not None else None
     xs = (
-        (params["layers"], cache.k, cache.v)
+        (params["layers"], cache.k, cache.v, ex_xs)
         if lora is None
-        else (params["layers"], cache.k, cache.v, lora)
+        else (params["layers"], cache.k, cache.v, ex_xs, lora)
     )
     h, (k_new, v_new) = jax.lax.scan(body, h, xs)
+    if not write_cache:
+        # in-register tree flow: hand the [L, B, T, KH, D] new KV back to the
+        # caller (fused speculative iteration commits accepted columns only)
+        return _unembed(spec, params, h), (k_new, v_new)
     # Cache write: an UNROLLED per-slot dynamic_update_slice chain, NOT a
     # scatter. XLA's TPU scatter materializes the whole cache in a padded
     # internal layout (measured 2.7x: a 2.25 GiB cache gained a 6 GiB temp

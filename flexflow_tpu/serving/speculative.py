@@ -262,7 +262,11 @@ class SpecEngine:
             # index block to the front: gathered shape [B, T, L, KH, D]
             gk = cache.k[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
             gv = cache.v[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
-            # -> [L, B, KH, D, T]
+            # -> [L, B, KH, D, T]. Materialize the gathers BEFORE the update
+            # chain: without the barrier XLA defers them into the consumers,
+            # keeping the cache live across the first write and copying the
+            # whole multi-GB buffer (cost analysis: 3.2 GB accessed vs 0.3).
+            gk, gv = jax.lax.optimization_barrier((gk, gv))
             zero = jnp.int32(0)
             ck, cv = cache.k, cache.v
             for bb in range(b):
@@ -289,6 +293,15 @@ class SpecEngine:
         # ---- FUSED speculative iteration: draft tree + verify + accept +
         # commit as ONE XLA program (the whole reference serve_spec_infer
         # inner loop, request_manager.cc:3123-3174, as a single trace) ----
+        #
+        # In-register tree KV: neither the draft nor the verifier writes tree
+        # tokens into its multi-GB cache. Tree KV lives in small
+        # [L, B, tree, KH, D] buffers (draft) / the forward's returned new-KV
+        # stack (verifier); acceptance commits ONLY the accepted <=depth+1
+        # columns. This removes every dynamic multi-column cache write except
+        # the one commit — the writes were rewriting the whole cache through
+        # XLA's misaligned-lane DUS path (measured ~45 ms/iteration on a
+        # 1.8B verifier before; the caches are donated and stay in place now).
         dmax = self.depth
         depths_vec = jnp.zeros((tree,), jnp.int32)
         for _d in range(1, dmax + 1):
@@ -296,33 +309,62 @@ class SpecEngine:
 
         def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
             """Device-resident tree build: returns the flattened tree
-            (tokens/parents) and its ancestor matrix (the reference BitMask,
-            batch_config.h:122-136). The stochastic verifier needs no draft
-            dists: beam proposals are deterministic, so its accept rule uses
-            delta proposals (see spec_sampling.tree_sample_walk)."""
+            (tokens/parents), its ancestor matrix (the reference BitMask,
+            batch_config.h:122-136), and the draft's in-register tree KV
+            buffers. The depth loop is STATICALLY unrolled (depth <= 8) so
+            tree-buffer writes are static-index updates."""
             b = cache_lens.shape[0]
-            beam_tokens, beam_logp, ssm_cache = root_core(
-                ssm_params, ssm_cache, cache_lens, roots)
+            sl, skh, sd = (self.ssm_spec.num_layers,
+                           self.ssm_spec.num_kv_heads, self.ssm_spec.head_dim)
+            cdt = ssm_cache.k.dtype
+            logits, (k0, v0) = decoder.forward_cached(
+                self.ssm_spec, ssm_params, roots[:, None], ssm_cache,
+                cache_lens, write_cache=False)
+            buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
+            buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
+            buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
+            buf_v = buf_v.at[:, :, 0:1].set(v0.astype(cdt))
+            logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+            beam_logp, beam_tokens = jax.lax.top_k(logp, w)
+            beam_tokens = beam_tokens.astype(jnp.int32)
+
             anc = jnp.zeros((b, w, tree), bool).at[:, :, 0].set(True)
             tree_tokens = jnp.zeros((b, tree), jnp.int32).at[:, 0].set(roots)
             tree_parents = jnp.full((b, tree), -1, jnp.int32)
             abs_parents = jnp.zeros((b, w), jnp.int32)  # parents of cur beams
+            eye_w = jnp.broadcast_to(jnp.eye(w, dtype=bool)[None], (b, w, w))
 
-            def draft_body(carry, d):
-                ssm_cache, bt, bl, anc, ap, tt, tp = carry
+            for d in range(1, dmax + 1):
                 base = 1 + (d - 1) * w
-                tt = jax.lax.dynamic_update_slice(tt, bt, (0, base))
-                tp = jax.lax.dynamic_update_slice(tp, ap, (0, base))
-                nt, rel_par, nl, nanc, ssm_cache = expand_core(
-                    ssm_params, ssm_cache, cache_lens, bt, bl, anc, d)
-                new_ap = base + rel_par
-                return (ssm_cache, nt, nl, nanc, new_ap, tt, tp), None
-
-            carry = (ssm_cache, beam_tokens, beam_logp, anc, abs_parents,
-                     tree_tokens, tree_parents)
-            carry, _ = jax.lax.scan(
-                draft_body, carry, jnp.arange(1, dmax + 1, dtype=jnp.int32))
-            (ssm_cache, _, _, _, _, tree_tokens, tree_parents) = carry
+                tree_tokens = tree_tokens.at[:, base:base + w].set(beam_tokens)
+                tree_parents = tree_parents.at[:, base:base + w].set(
+                    abs_parents if d > 1 else jnp.zeros((b, w), jnp.int32))
+                positions = jnp.broadcast_to(
+                    (cache_lens + d)[:, None], (b, w)).astype(jnp.int32)
+                logits, (kd, vd) = decoder.forward_cached(
+                    self.ssm_spec, ssm_params, beam_tokens, ssm_cache,
+                    cache_lens, positions=positions, tree_mask=eye_w,
+                    extra_kv=(buf_k, buf_v), extra_mask=anc,
+                    write_cache=False)
+                buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
+                buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
+                if d == dmax:
+                    break
+                self_slots = base + jnp.arange(w, dtype=jnp.int32)
+                anc_self = anc | (
+                    jnp.arange(tree)[None, None, :] == self_slots[None, :, None]
+                )
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                cand_logp, cand_tok = jax.lax.top_k(logp, w)  # [B, W, W]
+                total = beam_logp[:, :, None] + cand_logp
+                new_logp, flat_idx = jax.lax.top_k(total.reshape(b, w * w), w)
+                parents = (flat_idx // w).astype(jnp.int32)
+                beam_tokens = jnp.take_along_axis(
+                    cand_tok.reshape(b, w * w), flat_idx, axis=-1
+                ).astype(jnp.int32)
+                beam_logp = new_logp
+                anc = jnp.take_along_axis(anc_self, parents[:, :, None], axis=1)
+                abs_parents = base + parents
 
             # --- ancestor matrix from parents (static loop; parent < child) ---
             anc_self = jnp.zeros((b, tree, tree), bool)
@@ -334,18 +376,53 @@ class SpecEngine:
                     * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
                 row = parent_row.at[:, c].set(True)
                 anc_self = anc_self.at[:, c].set(row)
-            return tree_tokens, tree_parents, anc_self, ssm_cache
+            return tree_tokens, tree_parents, anc_self, (buf_k, buf_v)
+
+        def commit_from_buffer(cache, cache_lens, buf_k, buf_v, path_slots):
+            """Write the accepted tree columns from the in-register buffers
+            into the cache at [lens, lens+n) — ONE small dynamic window write
+            per slot (n = depth+1 static; junk beyond n_acc is overwritten by
+            the next iteration before it can ever be attended)."""
+            s = cache.max_seq_len
+            n = path_slots.shape[1]
+            idx = path_slots[None, :, :, None, None]  # [1, B, n, 1, 1]
+            gk = jnp.take_along_axis(buf_k, idx, axis=2)  # [L, B, n, KH, D]
+            gv = jnp.take_along_axis(buf_v, idx, axis=2)
+            upd_k = gk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
+            upd_v = gv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+            upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
+            zero = jnp.int32(0)
+            ck, cv = cache.k, cache.v
+            b = path_slots.shape[0]
+            for bb in range(b):
+                dst = jnp.minimum(cache_lens[bb], s - n).astype(jnp.int32)
+                start = (zero, jnp.int32(bb), zero, zero, dst)
+                ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
+                cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
+            return KVCache(k=ck, v=cv)
+
+        def verify_logits_reg(params, cache, cache_lens, tree_tokens,
+                              tree_depths, anc_self):
+            """Tree verification WITHOUT cache writes: returns the logits and
+            the tree tokens' per-layer KV stack [L, B, T, KH, D]."""
+            b = tree_tokens.shape[0]
+            positions = cache_lens[:, None] + tree_depths
+            return decoder.forward_cached(
+                self.llm_spec, params, tree_tokens, cache, cache_lens,
+                positions=positions.astype(jnp.int32), tree_mask=anc_self,
+                write_cache=False)
 
         def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
                             cache_lens, roots):
             b = cache_lens.shape[0]
-            tree_tokens, tree_parents, anc_self, ssm_cache = draft_phase(
+            tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
                 ssm_params, ssm_cache, cache_lens, roots)
 
-            # --- verify ---
-            expected, llm_cache = verify_core(
+            # --- verify (in-register tree KV) ---
+            logits, llm_buf = verify_logits_reg(
                 llm_params, llm_cache, cache_lens, tree_tokens,
                 jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self)
+            expected = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             # --- greedy accept walk (vectorized over slots) ---
             cur = jnp.zeros((b,), jnp.int32)
@@ -369,9 +446,12 @@ class SpecEngine:
                 cur = jnp.where(found, child, cur)
                 alive = found
 
-            # --- commit accepted KV in both caches ---
-            llm_cache = commit_core(llm_cache, cache_lens, from_slots)
-            ssm_cache = commit_core(ssm_cache, cache_lens, from_slots)
+            # --- commit accepted KV from the in-register buffers ---
+            path = from_slots[:, :dmax + 1]
+            llm_cache = commit_from_buffer(
+                llm_cache, cache_lens, *llm_buf, path)
+            ssm_cache = commit_from_buffer(
+                ssm_cache, cache_lens, *ssm_buf, path)
 
             next_roots = jnp.take_along_axis(
                 produced, (n_acc - 1)[:, None], axis=1)[:, 0]
@@ -413,9 +493,9 @@ class SpecEngine:
         def fused_sample_step_body(llm_params, ssm_params, llm_cache,
                                    ssm_cache, cache_lens, roots, key, scfg):
             b = cache_lens.shape[0]
-            tree_tokens, tree_parents, anc_self, ssm_cache = draft_phase(
+            tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
                 ssm_params, ssm_cache, cache_lens, roots)
-            logits, llm_cache = verify_logits_core(
+            logits, llm_buf = verify_logits_reg(
                 llm_params, llm_cache, cache_lens, tree_tokens,
                 jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self)
             v = logits.shape[-1]
@@ -430,8 +510,11 @@ class SpecEngine:
             produced, n_acc, from_slots = tree_sample_walk(
                 p_tree, tree_tokens, tree_parents, key, width=w, depth=dmax,
             )
-            llm_cache = commit_core(llm_cache, cache_lens, from_slots)
-            ssm_cache = commit_core(ssm_cache, cache_lens, from_slots)
+            path = from_slots[:, :dmax + 1]
+            llm_cache = commit_from_buffer(
+                llm_cache, cache_lens, *llm_buf, path)
+            ssm_cache = commit_from_buffer(
+                ssm_cache, cache_lens, *ssm_buf, path)
             next_roots = jnp.take_along_axis(
                 produced, (n_acc - 1)[:, None], axis=1)[:, 0]
             return produced, n_acc, next_roots, llm_cache, ssm_cache
