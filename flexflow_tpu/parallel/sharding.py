@@ -147,8 +147,15 @@ def param_shardings(
 
 
 def kv_cache_sharding(mesh: Mesh, cache: Optional[KVCache] = None):
-    """KV cache [L, B, KH, D, S]: slots on data axis, KV heads on model axis."""
-    ps = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    """KV cache [L, B, KH, D, S]: slots on "data", KV heads on "model", and
+    sequence on "seq" (context parallelism — EXCEEDS the reference, which has
+    no CP at all, SURVEY.md §5.7). With seq > 1 GSPMD turns the decode
+    attention into a seq-sharded flash-decoding pattern (sharded scores +
+    collective softmax reductions); the overlapped ppermute ring for long
+    prefill lives in ops/ring_attention.py."""
+    from flexflow_tpu.parallel.mesh import SEQ_AXIS
+
+    ps = P(None, DATA_AXIS, MODEL_AXIS, None, SEQ_AXIS)
     if cache is not None:
         ps = _divisible(cache.k.shape, ps, mesh)
     return NamedSharding(mesh, ps)

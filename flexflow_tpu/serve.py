@@ -83,6 +83,7 @@ class LLM:
         tensor_parallelism_degree: int = 1,
         data_parallelism_degree: int = 1,
         pipeline_parallelism_degree: int = 1,
+        context_parallel_degree: int = 1,  # EXCEEDS reference: seq-axis CP
         beam_width: int = 3,
         beam_depth: int = 4,
         ssms: Sequence["SSM"] = (),
@@ -93,12 +94,14 @@ class LLM:
             self.register_ssm(s)
 
         mesh = None
-        degree = tensor_parallelism_degree * data_parallelism_degree
+        degree = (tensor_parallelism_degree * data_parallelism_degree
+                  * context_parallel_degree)
         if degree > 1 or pipeline_parallelism_degree > 1:
             mesh = make_mesh(
                 data=data_parallelism_degree,
                 pipe=pipeline_parallelism_degree,
                 model=tensor_parallelism_degree,
+                seq=context_parallel_degree,
             )
         _, self.params = hf_weights.load_params(
             self.model_dir, self.spec, dtype=self.dtype,

@@ -128,24 +128,6 @@ class InferenceEngine:
 
         del donate_cache  # cache args below are always donated
 
-        @jax.jit
-        def prefill_fn(params, tokens, length):
-            # tokens [1, S_bucket]; length scalar
-            positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
-            logits, kv = decoder.forward(
-                self.spec, params, tokens, positions,
-                lengths=length[None], return_kv=True, flash=True,
-            )
-            last = jnp.take_along_axis(
-                logits, (length - 1)[None, None, None], axis=1
-            )[:, 0]  # [1, V]
-            k, v = kv  # [L, 1, S_bucket, KH, D]
-            return last[0], (k[:, 0], v[:, 0])
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert_fn(cache: KVCache, k_new, v_new, slot):
-            return decoder.insert_kv(cache, k_new, v_new, slot, jnp.int32(0))
-
         @functools.partial(
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
@@ -258,8 +240,6 @@ class InferenceEngine:
                 jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
             )
 
-        self._prefill = prefill_fn
-        self._insert = insert_fn
         self._prefill_insert = prefill_insert_fn
         self._decode = decode_fn
         self._decode_n = decode_n_fn
@@ -303,48 +283,6 @@ class InferenceEngine:
             _round_up_pow2(max(prompt_len, 1), self.min_prefill_bucket),
             self.max_seq_len,
         )
-
-    def prefill(
-        self, prompt_tokens: np.ndarray, key: jax.Array, scfg1: SamplingConfig
-    ) -> Tuple[int, Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-        """Run prompt prefill; returns (first_token, kv, last_logits)."""
-        n = len(prompt_tokens)
-        bucket = self.prefill_bucket(n)
-        if n > self.max_seq_len:
-            raise ValueError(
-                f"prompt length {n} exceeds max_seq_len {self.max_seq_len}"
-            )
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, :n] = prompt_tokens
-        last_logits, kv = self._prefill(
-            self.params, self._h(padded), self._h(jnp.int32(n))
-        )
-        tok = self._sample(last_logits, self._h(key), self._htree(scfg1))
-        return int(tok), kv, last_logits
-
-    def prefill_async(
-        self, prompt_tokens: np.ndarray, key: jax.Array, scfg1: SamplingConfig
-    ):
-        """Like prefill but returns the first token as a DEVICE scalar (no
-        blocking device->host fetch; the pipelined scheduler batches these)."""
-        n = len(prompt_tokens)
-        bucket = self.prefill_bucket(n)
-        if n > self.max_seq_len:
-            raise ValueError(
-                f"prompt length {n} exceeds max_seq_len {self.max_seq_len}"
-            )
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, :n] = prompt_tokens
-        last_logits, kv = self._prefill(
-            self.params, self._h(padded), self._h(jnp.int32(n))
-        )
-        tok = self._sample(last_logits, self._h(key), self._htree(scfg1))
-        return tok, kv, last_logits
-
-    def insert(self, kv, slot: int) -> None:
-        k_new, v_new = kv
-        self.cache = self._insert(self.cache, k_new, v_new,
-                                  self._h(jnp.int32(slot)))
 
     def prefill_to_slot_async(
         self,

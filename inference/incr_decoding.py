@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="pp", type=int, default=1)
     p.add_argument("-data-parallelism-degree", "--data-parallelism-degree",
                    dest="dp", type=int, default=1)
+    p.add_argument("-context-parallel-degree", "--context-parallel-degree",
+                   dest="cp", type=int, default=1,
+                   help="sequence/context parallelism (exceeds reference)")
     p.add_argument("--fusion", action="store_true",
                    help="accepted for parity; XLA always fuses")
     p.add_argument("-4bit-quantization", "--4bit-quantization",
@@ -58,8 +61,7 @@ def main(argv=None):
         config.profiling = True
     from flexflow_tpu.config import ensure_cpu_devices
 
-    ensure_cpu_devices(args.tp * args.dp * args.pp
-                       if hasattr(args, "dp") else args.tp * args.pp)
+    ensure_cpu_devices(args.tp * args.dp * args.pp * args.cp)
 
     quant = "int4" if args.int4 else ("int8" if args.int8 else None)
     llm = LLM(
@@ -75,6 +77,7 @@ def main(argv=None):
         tensor_parallelism_degree=args.tp,
         pipeline_parallelism_degree=args.pp,
         data_parallelism_degree=args.dp,
+        context_parallel_degree=args.cp,
     )
 
     prompts = ["Three tips for staying healthy are: "]

@@ -87,3 +87,22 @@ def test_tp_spec_serving_matches_single_device():
         return [r.output_tokens for r in reqs]
 
     assert run(make_mesh(data=2, model=4)) == run(None)
+
+
+def test_cp_serving_matches_single_device():
+    """Context-parallel serving (seq axis on the KV cache) through the real
+    engine — EXCEEDS the reference (no CP there, SURVEY.md §5.7)."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(4), jnp.float32)
+    prompts = _prompts(4)
+    ref = _gen(
+        InferenceEngine(SPEC, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32),
+        prompts, decode_horizon=4,
+    )
+    mesh = make_mesh(model=2, seq=4)
+    out = _gen(
+        InferenceEngine(SPEC, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32, mesh=mesh),
+        prompts, decode_horizon=4,
+    )
+    assert out == ref
