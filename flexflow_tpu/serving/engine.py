@@ -158,6 +158,39 @@ class InferenceEngine:
         @functools.partial(
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
+        def prefill_batch_fn(
+            params, cache: KVCache, tokens, lengths, slots, key, scfg,
+            lora=None, onehot=None, greedy_only=False,
+        ):
+            """Batched admission: ALL pending prompts prefilled, inserted and
+            first-sampled in ONE dispatch (the reference's prompt phase runs
+            batched inside the BatchConfig too; per-request dispatches were
+            paying the full host/tunnel latency each)."""
+            nb, bucket = tokens.shape
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None], (nb, bucket))
+            logits, kv = decoder.forward(
+                self.spec, params, tokens, positions, lengths=lengths,
+                return_kv=True, flash=True,
+                lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
+            )
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1)[:, 0]  # [NB, V]
+            k, v = kv  # [L, NB, bucket, KH, D]
+            k_t = k.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
+            v_t = v.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+            zero = jnp.int32(0)
+            ck, cv = cache.k, cache.v
+            for i in range(nb):  # static NB: one window write per admission
+                start = (zero, slots[i], zero, zero, zero)
+                ck = jax.lax.dynamic_update_slice(ck, k_t[:, i:i + 1], start)
+                cv = jax.lax.dynamic_update_slice(cv, v_t[:, i:i + 1], start)
+            toks = sampling_lib.sample(last, key, scfg, greedy_only=greedy_only)
+            return toks, KVCache(k=ck, v=cv)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
         def decode_fn(
             params, cache: KVCache, cache_lens, tokens, key, scfg,
             lora=None, onehot=None, greedy_only=False,
@@ -241,6 +274,7 @@ class InferenceEngine:
             )
 
         self._prefill_insert = prefill_insert_fn
+        self._prefill_batch = prefill_batch_fn
         self._decode = decode_fn
         self._decode_n = decode_n_fn
         self._sample = sample_fn
@@ -319,6 +353,37 @@ class InferenceEngine:
             greedy_only=self._greedy_only(scfg1),
         )
         return tok
+
+    def prefill_batch_to_slots_async(
+        self, prompts, slots, key: jax.Array, scfg, adapter_ids=None,
+    ):
+        """Admit several requests in ONE dispatch; returns a [NB] device
+        token array (first token per admission). Prompts longer than the
+        chunked-prefill budget are rejected here (caller routes them through
+        prefill_to_slot_async individually)."""
+        nb = len(prompts)
+        bucket = max(self.prefill_bucket(len(p)) for p in prompts)
+        padded = np.zeros((nb, bucket), np.int32)
+        lengths = np.zeros((nb,), np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, :len(p)] = p
+            lengths[i] = len(p)
+        onehot = (
+            self._onehot(list(adapter_ids)) if self.lora is not None else None
+        )
+        toks, self.cache = self._prefill_batch(
+            self.params,
+            self.cache,
+            self._h(padded),
+            self._h(lengths),
+            self._h(np.asarray(slots, np.int32)),
+            self._h(key),
+            self._htree(scfg),
+            self.lora,
+            onehot,
+            greedy_only=self._greedy_only(scfg),
+        )
+        return toks
 
     def _chunked_prefill_to_slot(
         self, prompt_tokens: np.ndarray, slot: int, key: jax.Array,

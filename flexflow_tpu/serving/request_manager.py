@@ -184,40 +184,23 @@ class RequestManager:
         return sub
 
     def _admit(self) -> None:
-        """Fill free slots from the pending queue (prefill + insert)."""
+        """Fill free slots from the pending queue (batched prefill + insert).
+
+        All admissions of a scheduling step prefill in ONE dispatch
+        (engine.prefill_batch_to_slots_async — the reference's batched prompt
+        phase); prompts above the chunked-prefill token budget go through the
+        token-budgeted path individually."""
+        admits = []  # (slot, req)
         for slot in range(self.engine.max_requests):
             if self._slots[slot] is not None:
                 continue
             try:
                 req = self._pending.get_nowait()
             except queue.Empty:
-                return
+                break
             req.state = RUNNING
             req.slot = slot
             req.profile.start_time = time.monotonic()
-            scfg1 = SamplingConfig(
-                temperature=np.array([req.config.temperature], np.float32),
-                top_p=np.array([req.config.top_p], np.float32),
-                top_k=np.array([req.config.top_k], np.int32),
-            )
-            prompt = np.asarray(req.prompt_tokens, np.int32)
-            if self.pipelined:
-                tok_dev = self.engine.prefill_to_slot_async(
-                    prompt, slot, self._next_key(), scfg1,
-                    adapter_id=req.config.adapter_id,
-                )
-                self._pending_first.append((slot, req, tok_dev))
-                self._feedback_overrides.append((slot, tok_dev))
-            else:
-                first_tok = self.engine.prefill_to_slot(
-                    prompt, slot, self._next_key(), scfg1,
-                    adapter_id=req.config.adapter_id,
-                )
-                req.profile.first_token_time = time.monotonic()
-                req.profile.llm_decoding_steps = 1
-                req.output_tokens.append(first_tok)
-                self._tokens[slot] = first_tok
-                self._feedback_overrides.append((slot, first_tok))
             self._slots[slot] = req
             self._cache_lens[slot] = len(req.prompt_tokens)
             self._temperature[slot] = req.config.temperature
@@ -226,8 +209,60 @@ class RequestManager:
             self._adapter[slot] = req.config.adapter_id
             self._log(f"[RM] admit guid={req.guid} slot={slot} "
                       f"prompt_len={len(req.prompt_tokens)}")
-            if not self.pipelined and self._finished(req, first_tok):
-                self._retire(slot)
+            admits.append((slot, req))
+        if not admits:
+            return
+
+        budget = self.engine.max_tokens_per_batch
+        chunked = [
+            (s, r) for s, r in admits
+            if budget and len(r.prompt_tokens) > budget
+        ]
+        batched = [(s, r) for s, r in admits if (s, r) not in chunked]
+
+        results = []  # (slot, req, device-or-int token)
+        if batched:
+            scfg = SamplingConfig(
+                temperature=np.array(
+                    [r.config.temperature for _, r in batched], np.float32),
+                top_p=np.array([r.config.top_p for _, r in batched], np.float32),
+                top_k=np.array([r.config.top_k for _, r in batched], np.int32),
+            )
+            toks = self.engine.prefill_batch_to_slots_async(
+                [np.asarray(r.prompt_tokens, np.int32) for _, r in batched],
+                [s for s, _ in batched],
+                self._next_key(), scfg,
+                adapter_ids=[r.config.adapter_id for _, r in batched],
+            )
+            results.extend(
+                (s, r, toks[i]) for i, (s, r) in enumerate(batched))
+        for slot, req in chunked:
+            scfg1 = SamplingConfig(
+                temperature=np.array([req.config.temperature], np.float32),
+                top_p=np.array([req.config.top_p], np.float32),
+                top_k=np.array([req.config.top_k], np.int32),
+            )
+            tok_dev = self.engine.prefill_to_slot_async(
+                np.asarray(req.prompt_tokens, np.int32), slot,
+                self._next_key(), scfg1, adapter_id=req.config.adapter_id,
+            )
+            results.append((slot, req, tok_dev))
+
+        if self.pipelined:
+            for slot, req, tok_dev in results:
+                self._pending_first.append((slot, req, tok_dev))
+                self._feedback_overrides.append((slot, tok_dev))
+        else:
+            fetched = self.engine.fetch(jnp.stack([t for _, _, t in results]))
+            for (slot, req, _), tok in zip(results, fetched):
+                first_tok = int(tok)
+                req.profile.first_token_time = time.monotonic()
+                req.profile.llm_decoding_steps = 1
+                req.output_tokens.append(first_tok)
+                self._tokens[slot] = first_tok
+                self._feedback_overrides.append((slot, first_tok))
+                if self._finished(req, first_tok):
+                    self._retire(slot)
 
     def _finished(self, req: Request, last_token: int) -> bool:
         if last_token in self.eos_token_ids or last_token in tuple(

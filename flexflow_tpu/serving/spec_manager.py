@@ -140,38 +140,46 @@ class SpecRequestManager:
         req.done.set()
 
     def _admit(self) -> None:
+        """Batched admission: every pending request's LLM+SSM prefill runs in
+        ONE dispatch (engine.prefill_both_batch)."""
+        admits = []
         for slot in range(self.engine.max_requests):
             if self._slots[slot] is not None:
                 continue
             try:
                 req = self._pending.get_nowait()
             except queue.Empty:
-                return
+                break
             req.state = RUNNING
             req.slot = slot
             req.profile.start_time = time.monotonic()
             self._temperature[slot] = req.config.temperature
             self._top_p[slot] = req.config.top_p
             self._top_k[slot] = req.config.top_k
-            if req.config.temperature > 0.0:
-                scfg1 = SamplingConfig(
-                    temperature=np.array([req.config.temperature], np.float32),
-                    top_p=np.array([req.config.top_p], np.float32),
-                    top_k=np.array([req.config.top_k], np.int32),
-                )
-                first = self.engine.prefill_both(
-                    np.asarray(req.prompt_tokens, np.int32), slot,
-                    self._next_key(), scfg1,
-                )
-            else:
-                first = self.engine.prefill_both(
-                    np.asarray(req.prompt_tokens, np.int32), slot
-                )
-            req.profile.first_token_time = time.monotonic()
-            req.profile.llm_decoding_steps = 1
-            req.output_tokens.append(first)
             self._slots[slot] = req
             self._cache_lens[slot] = len(req.prompt_tokens)
+            admits.append((slot, req))
+        if not admits:
+            return
+        sampling = any(r.config.temperature > 0.0 for _, r in admits)
+        scfg = None
+        if sampling:
+            scfg = SamplingConfig(
+                temperature=np.array(
+                    [r.config.temperature for _, r in admits], np.float32),
+                top_p=np.array([r.config.top_p for _, r in admits], np.float32),
+                top_k=np.array([r.config.top_k for _, r in admits], np.int32),
+            )
+        firsts = self.engine.prefill_both_batch(
+            [np.asarray(r.prompt_tokens, np.int32) for _, r in admits],
+            [s for s, _ in admits],
+            key=self._next_key() if sampling else None, scfg=scfg,
+        )
+        now = time.monotonic()
+        for (slot, req), first in zip(admits, firsts):
+            req.profile.first_token_time = now
+            req.profile.llm_decoding_steps = 1
+            req.output_tokens.append(first)
             self._root_tokens[slot] = first
             if self._finished(req, first):
                 self._retire(slot)

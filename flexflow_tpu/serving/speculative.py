@@ -137,6 +137,47 @@ class SpecEngine:
         def insert_fn(cache, k_new, v_new, slot):
             return decoder.insert_kv(cache, k_new, v_new, slot, jnp.int32(0))
 
+        @functools.partial(
+            jax.jit, donate_argnums=(2, 3), static_argnames=("greedy",)
+        )
+        def prefill_both_batch_fn(llm_params, ssm_params, llm_cache, ssm_cache,
+                                  tokens, lengths, slots, key, scfg,
+                                  greedy=True):
+            """Batched admission for BOTH models in one dispatch: LLM + SSM
+            prompt forwards, cache inserts, and first-token selection (the
+            reference admits whole batches into its BatchConfig prompt phase;
+            per-request per-model dispatches paid host latency 2x each)."""
+            nb, bucket = tokens.shape
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None], (nb, bucket))
+            logits, (lk, lv) = decoder.forward(
+                self.llm_spec, llm_params, tokens, positions,
+                lengths=lengths, return_kv=True)
+            _, (sk, sv) = decoder.forward(
+                self.ssm_spec, ssm_params, tokens, positions,
+                lengths=lengths, return_kv=True)
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1)[:, 0]  # [NB, V]
+
+            def write(cache, k, v):
+                k_t = k.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
+                v_t = v.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+                zero = jnp.int32(0)
+                ck, cv = cache.k, cache.v
+                for i in range(nb):
+                    start = (zero, slots[i], zero, zero, zero)
+                    ck = jax.lax.dynamic_update_slice(ck, k_t[:, i:i + 1], start)
+                    cv = jax.lax.dynamic_update_slice(cv, v_t[:, i:i + 1], start)
+                return KVCache(k=ck, v=cv)
+
+            llm_cache = write(llm_cache, lk, lv)
+            ssm_cache = write(ssm_cache, sk, sv)
+            if greedy:
+                toks = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            else:
+                toks = sampling_lib.sample(last, key, scfg)
+            return toks, llm_cache, ssm_cache
+
         # ---- draft root: feed the root token, return top-W expansions ----
         def root_core(params, cache, cache_lens, root_tokens):
             logits, cache = decoder.forward_cached(
@@ -546,6 +587,7 @@ class SpecEngine:
                 jax.random.split(key, n))
             return produced, n_acc, llm_cache, ssm_cache
 
+        self._prefill_both_batch = prefill_both_batch_fn
         # uncompiled building blocks (perf probes / custom fusions)
         self._draft_phase_core = draft_phase
         self._verify_core = verify_core
@@ -613,6 +655,38 @@ class SpecEngine:
         self.ssm_cache = self._insert(self.ssm_cache, *kv_s,
                                       self._h(jnp.int32(slot)))
         return first
+
+    def prefill_both_batch(self, prompts, slots, key=None, scfg=None):
+        """Admit several requests (both caches) in ONE dispatch; returns the
+        [NB] first tokens (host ints). ``scfg``: per-admission SamplingConfig
+        ([NB] fields) for stochastic first tokens; None = greedy."""
+        nb = len(prompts)
+        bucket = 16
+        longest = max(len(p) for p in prompts)
+        while bucket < longest:
+            bucket *= 2
+        bucket = min(bucket, self.max_seq_len)
+        padded = np.zeros((nb, bucket), np.int32)
+        lengths = np.zeros((nb,), np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, :len(p)] = p
+            lengths[i] = len(p)
+        greedy = scfg is None
+        if greedy:
+            import flexflow_tpu.ops.sampling as _s
+
+            scfg = _s.SamplingConfig(
+                temperature=np.zeros(nb, np.float32),
+                top_p=np.ones(nb, np.float32),
+                top_k=np.zeros(nb, np.int32))
+            key = jax.random.PRNGKey(0)
+        toks, self.llm_cache, self.ssm_cache = self._prefill_both_batch(
+            self.llm_params, self.ssm_params, self.llm_cache, self.ssm_cache,
+            self._h(padded), self._h(lengths),
+            self._h(np.asarray(slots, np.int32)), self._h(key),
+            jax.tree_util.tree_map(self._h, scfg), greedy=greedy,
+        )
+        return [int(t) for t in self.fetch(toks)]
 
     def prefill_ssm_only(self, prompt_tokens: np.ndarray, slot: int) -> None:
         """Prefill only this engine's draft cache (multi-SSM admission)."""
