@@ -2,8 +2,9 @@
 
 TPU-native mirror of the reference's ONNX frontend
 (/root/reference/python/flexflow/onnx/model.py — ONNX graph to FFModel op
-list). Requires the ``onnx`` package at call time (not a hard dependency of
-the framework); tests skip when it is absent in the environment.
+list). Uses the ``onnx`` package when installed; otherwise falls back to the
+bundled pure-Python protobuf codec (``flexflow_tpu.utils.onnx_proto``) so
+.onnx files load with zero extra dependencies.
 """
 
 from __future__ import annotations
@@ -46,19 +47,21 @@ def from_onnx_model(
     try:
         import onnx
         from onnx import numpy_helper
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "the onnx frontend requires the 'onnx' package"
-        ) from e
+
+        _load, _to_array = onnx.load, numpy_helper.to_array
+    except ImportError:  # bundled pure-Python fallback
+        from flexflow_tpu.utils import onnx_proto
+
+        _load, _to_array = onnx_proto.load, onnx_proto.tensor_to_array
 
     model = (
-        onnx.load(model_or_path)
+        _load(model_or_path)
         if isinstance(model_or_path, str)
         else model_or_path
     )
     graph = model.graph
     inits: Dict[str, np.ndarray] = {
-        i.name: numpy_helper.to_array(i) for i in graph.initializer
+        i.name: _to_array(i) for i in graph.initializer
     }
 
     ff = FFModel()

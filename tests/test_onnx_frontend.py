@@ -1,0 +1,132 @@
+"""ONNX frontend via the bundled pure-Python protobuf codec (no onnx pkg).
+
+Builds real .onnx files with utils/onnx_proto's encoder, loads them through
+the frontend, and checks numeric agreement with a manual numpy forward —
+the reference's tests/align philosophy with numpy as the oracle
+(reference frontend: python/flexflow/onnx/model.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from flexflow_tpu.onnx_frontend import apply_onnx_weights, from_onnx_model
+from flexflow_tpu.utils import onnx_proto as op
+
+
+def _mk_model(nodes, inputs, outputs, inits):
+    graph = op.GraphProto(
+        node=nodes, name="g",
+        initializer=[op.array_to_tensor(a, name=n) for n, a in inits.items()],
+        input=inputs, output=outputs,
+    )
+    return op.ModelProto(ir_version=8, graph=graph,
+                         opset_import=[op.OperatorSetIdProto(version=17)])
+
+
+def _attr_ints(name, vals):
+    return op.AttributeProto(name=name, ints=list(vals),
+                             type=op.AttributeProto.INTS)
+
+
+def test_roundtrip_wire_format(tmp_path):
+    w = np.random.RandomState(0).randn(8, 4).astype(np.float32)
+    t = op.array_to_tensor(w, name="w")
+    m = _mk_model(
+        [op.NodeProto(op_type="Relu", input=["x"], output=["y"], name="r")],
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 8))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 8))],
+        {"w": w},
+    )
+    p = str(tmp_path / "m.onnx")
+    op.save(m, p)
+    m2 = op.load(p)
+    assert m2.graph.node[0].op_type == "Relu"
+    assert m2.graph.node[0].input == ["x"]
+    got = op.tensor_to_array(m2.graph.initializer[0])
+    np.testing.assert_array_equal(got, w)
+    assert m2.graph.input[0].type.tensor_type.shape.dim[1].dim_value == 8
+    del t
+
+
+def test_onnx_mlp_numeric(tmp_path):
+    rng = np.random.RandomState(1)
+    w1 = rng.randn(16, 32).astype(np.float32)
+    b1 = rng.randn(32).astype(np.float32)
+    w2 = rng.randn(32, 4).astype(np.float32)
+    nodes = [
+        op.NodeProto(op_type="Gemm", input=["x", "w1", "b1"], output=["h"],
+                     name="fc1"),
+        op.NodeProto(op_type="Relu", input=["h"], output=["hr"]),
+        op.NodeProto(op_type="MatMul", input=["hr", "w2"], output=["y"],
+                     name="fc2"),
+    ]
+    m = _mk_model(
+        nodes,
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 16))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 4))],
+        {"w1": w1, "b1": b1, "w2": w2},
+    )
+    p = str(tmp_path / "mlp.onnx")
+    op.save(m, p)
+
+    ff = from_onnx_model(p, batch_size=4)
+    ff.compile(optimizer=None)
+    apply_onnx_weights(ff)
+    x = rng.randn(4, 16).astype(np.float32)
+    got = ff.forward(x)
+    want = np.maximum(x @ w1 + b1, 0) @ w2
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_onnx_cnn_numeric(tmp_path):
+    rng = np.random.RandomState(2)
+    w = rng.randn(6, 3, 3, 3).astype(np.float32)
+    b = rng.randn(6).astype(np.float32)
+    wf = rng.randn(6 * 3 * 3, 5).astype(np.float32)
+    nodes = [
+        op.NodeProto(op_type="Conv", input=["x", "w", "b"], output=["c"],
+                     name="conv",
+                     attribute=[_attr_ints("strides", (1, 1)),
+                                _attr_ints("pads", (0, 0, 0, 0)),
+                                _attr_ints("kernel_shape", (3, 3))]),
+        op.NodeProto(op_type="Relu", input=["c"], output=["cr"]),
+        op.NodeProto(op_type="MaxPool", input=["cr"], output=["pool"],
+                     attribute=[_attr_ints("kernel_shape", (2, 2)),
+                                _attr_ints("strides", (2, 2))]),
+        op.NodeProto(op_type="Flatten", input=["pool"], output=["flat"]),
+        op.NodeProto(op_type="MatMul", input=["flat", "wf"], output=["y"],
+                     name="fc"),
+    ]
+    m = _mk_model(
+        nodes,
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 3, 8, 8))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 5))],
+        {"w": w, "b": b, "wf": wf},
+    )
+    p = str(tmp_path / "cnn.onnx")
+    op.save(m, p)
+
+    ff = from_onnx_model(p, batch_size=2)
+    ff.compile(optimizer=None)
+    apply_onnx_weights(ff)
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    got = ff.forward(x)
+
+    # numpy oracle via torch-free manual conv is tedious; use jax directly
+    from flexflow_tpu.ops import nn as nn_ops
+
+    c = nn_ops.conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                      (1, 1), (0, 0))
+    cr = jnp.maximum(c, 0)
+    pool = nn_ops.pool2d(cr, (2, 2), (2, 2), (0, 0), "max")
+    want = np.asarray(pool).reshape(2, -1) @ wf
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_attr_int64_negative_roundtrip(tmp_path):
+    a = op.AttributeProto(name="axis", i=-1, type=op.AttributeProto.INT)
+    n = op.NodeProto(op_type="Softmax", input=["x"], output=["y"],
+                     attribute=[a])
+    raw = n.serialize()
+    n2 = op.NodeProto.parse(raw)
+    assert n2.attribute[0].i == -1
