@@ -181,7 +181,11 @@ class InferenceEngine:
             v_t = v.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
             zero = jnp.int32(0)
             ck, cv = cache.k, cache.v
-            for i in range(nb):  # static NB: one window write per admission
+            # Static NB: one window write per admission. REVERSE order so
+            # that padding rows (appended at the end by
+            # prefill_batch_to_slots_async, aliasing a real slot) are
+            # overwritten by the real row's write.
+            for i in reversed(range(nb)):
                 start = (zero, slots[i], zero, zero, zero)
                 ck = jax.lax.dynamic_update_slice(ck, k_t[:, i:i + 1], start)
                 cv = jax.lax.dynamic_update_slice(cv, v_t[:, i:i + 1], start)
@@ -361,15 +365,41 @@ class InferenceEngine:
         token array (first token per admission). Prompts longer than the
         chunked-prefill budget are rejected here (caller routes them through
         prefill_to_slot_async individually)."""
-        nb = len(prompts)
+        real_nb = len(prompts)
+        # Bucket the admission count too (next power of two, capped at the
+        # request capacity): each distinct [NB, bucket] shape is a fresh XLA
+        # compile of the whole prefill program — unbucketed NB caused a
+        # compile storm under churny continuous batching at large batch.
+        nb = 1
+        while nb < real_nb:
+            nb *= 2
+        nb = min(nb, max(self.max_requests, real_nb))
         bucket = max(self.prefill_bucket(len(p)) for p in prompts)
         padded = np.zeros((nb, bucket), np.int32)
-        lengths = np.zeros((nb,), np.int32)
+        lengths = np.ones((nb,), np.int32)  # pad rows: 1 dummy token
+        slots = list(slots)
+        adapter_list = list(adapter_ids) if adapter_ids is not None else None
         for i, p in enumerate(prompts):
             padded[i, :len(p)] = p
             lengths[i] = len(p)
+        if nb > real_nb:
+            # Pad rows alias the first real slot; prefill_batch_fn writes in
+            # reverse row order so the real row's KV lands last and wins.
+            slots = slots + [slots[0]] * (nb - real_nb)
+            if adapter_list is not None:
+                adapter_list += [-1] * (nb - real_nb)
+            scfg = SamplingConfig(
+                temperature=np.pad(
+                    np.asarray(scfg.temperature, np.float32),
+                    (0, nb - real_nb)),
+                top_p=np.pad(
+                    np.asarray(scfg.top_p, np.float32), (0, nb - real_nb),
+                    constant_values=1.0),
+                top_k=np.pad(
+                    np.asarray(scfg.top_k, np.int32), (0, nb - real_nb)),
+            )
         onehot = (
-            self._onehot(list(adapter_ids)) if self.lora is not None else None
+            self._onehot(adapter_list) if self.lora is not None else None
         )
         toks, self.cache = self._prefill_batch(
             self.params,

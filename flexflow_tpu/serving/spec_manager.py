@@ -20,6 +20,7 @@ import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from flexflow_tpu.ops.sampling import SamplingConfig
@@ -45,6 +46,7 @@ class SpecRequestManager:
         eos_token_ids: Sequence[int] = (),
         fused: bool = False,
         spec_horizon: int = 1,
+        pipelined: bool = False,
         seed: int = 0,
         log_fn=None,
     ):
@@ -57,6 +59,12 @@ class SpecRequestManager:
         self.engine = engine
         self.fused = bool(fused)
         self.spec_horizon = max(int(spec_horizon), 1)
+        # pipelined: dispatch horizon k+1 before fetching horizon k
+        # (requires fused; lens/roots feed back as device arrays)
+        self.pipelined = bool(pipelined) and self.fused
+        self._inflight = None  # (snapshot, produced_dev, n_acc_dev, h)
+        self._dev_lens = None  # device [B] feedback (pipelined mode)
+        self._dev_roots = None
         self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
         self._guid = itertools.count(2000000)
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -77,6 +85,7 @@ class SpecRequestManager:
         self._verified_events = 0  # (request, iteration) pairs counted
         self._num_processed = 0
         self._tree_margin = engine.tree  # seq-len reserve per iteration
+        self._override_mask = np.zeros(b, bool)  # slots admitted since dispatch
         self._log = log_fn or (lambda *a: None)
         # --profiling: per-phase wall-time accumulation (see RequestManager)
         from flexflow_tpu.config import config as _ffconfig
@@ -181,6 +190,7 @@ class SpecRequestManager:
             req.profile.llm_decoding_steps = 1
             req.output_tokens.append(first)
             self._root_tokens[slot] = first
+            self._override_mask[slot] = True
             if self._finished(req, first):
                 self._retire(slot)
 
@@ -210,8 +220,16 @@ class SpecRequestManager:
             produced, n_acc = self.engine.fused_step_n(
                 lens_before, self._root_tokens, h)
         self._steps += h
-        for slot in active:
-            req = self._slots[slot]
+        snapshot = [(slot, self._slots[slot]) for slot in active]
+        self._process_produced(snapshot, produced, n_acc, h)
+        return True
+
+    def _process_produced(self, snapshot, produced, n_acc, h: int) -> None:
+        """Walk one fetched horizon's (produced, n_acc) for the slots that
+        were active at dispatch time; extend outputs, retire finished."""
+        for slot, req in snapshot:
+            if self._slots[slot] is not req:
+                continue  # retired (and possibly readmitted) since dispatch
             done = False
             for it in range(h):
                 if done:
@@ -234,7 +252,54 @@ class SpecRequestManager:
                 if self._finished(req, req.output_tokens[-1]):
                     self._retire(slot)
                     done = True
+
+    def _step_fused_pipelined(self, active) -> bool:
+        """Dispatch horizon k+1 BEFORE fetching horizon k (device feedback:
+        lens/roots stay on device between dispatches; admissions merge in via
+        a compiled [B] override scatter). EOS/retire lag one extra horizon —
+        the same contract as the incremental pipelined scheduler."""
+        h = self.spec_horizon
+        b = self.engine.max_requests
+        if self._dev_lens is None:
+            self._dev_lens = self.engine._h(
+                jnp.asarray(self._cache_lens, jnp.int32))
+            self._dev_roots = self.engine._h(
+                jnp.asarray(self._root_tokens, jnp.int32))
+        elif self._override_mask.any():
+            self._dev_lens, self._dev_roots = self.engine.apply_slot_overrides(
+                self._dev_lens, self._dev_roots, self._override_mask,
+                self._cache_lens, self._root_tokens)
+        self._override_mask = np.zeros(b, bool)
+
+        sampling = any(self._temperature[s] > 0.0 for s in active)
+        if sampling:
+            scfg = SamplingConfig(
+                temperature=self._temperature, top_p=self._top_p,
+                top_k=self._top_k,
+            )
+            produced, n_acc, self._dev_lens, self._dev_roots = (
+                self.engine.fused_sample_step_n_async(
+                    self._dev_lens, self._dev_roots, self._next_key(),
+                    scfg, h)
+            )
+        else:
+            produced, n_acc, self._dev_lens, self._dev_roots = (
+                self.engine.fused_step_n_async(
+                    self._dev_lens, self._dev_roots, h)
+            )
+        self._steps += h
+        snapshot = [(slot, self._slots[slot]) for slot in active]
+        prev = self._inflight
+        self._inflight = (snapshot, produced, n_acc, h)
+        if prev is not None:
+            self._drain_inflight(prev)
         return True
+
+    def _drain_inflight(self, inflight) -> None:
+        snapshot, produced, n_acc, h = inflight
+        produced = self.engine.fetch(produced)
+        n_acc = self.engine.fetch(n_acc)
+        self._process_produced(snapshot, produced, n_acc, h)
 
     def step(self) -> bool:
         """One speculation iteration (draft tree -> verify -> accept/commit)."""
@@ -242,8 +307,16 @@ class SpecRequestManager:
             self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
+            if self._inflight is not None:
+                inflight, self._inflight = self._inflight, None
+                with self._phase("spec_drain"):
+                    self._drain_inflight(inflight)
+                return True
             return False
         if self.fused:
+            if self.pipelined:
+                with self._phase("spec_fused"):
+                    return self._step_fused_pipelined(active)
             with self._phase("spec_fused"):
                 return self._step_fused(active)
 

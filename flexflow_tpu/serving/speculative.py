@@ -53,6 +53,14 @@ def tree_size(width: int, depth: int) -> int:
     return 1 + width * depth
 
 
+@jax.jit
+def _apply_overrides_jit(lens, roots, mask, new_lens, new_roots):
+    return (
+        jnp.where(mask, new_lens, lens),
+        jnp.where(mask, new_roots, roots),
+    )
+
+
 class SpecEngine:
     """Compiled device functions for draft expansion, verify, and KV commit."""
 
@@ -522,10 +530,12 @@ class SpecEngine:
                 return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
                     produced, n_acc)
 
-            (llm_cache, ssm_cache, _, _), (produced, n_acc) = jax.lax.scan(
-                body, (llm_cache, ssm_cache, cache_lens, roots),
-                None, length=n)
-            return produced, n_acc, llm_cache, ssm_cache
+            (llm_cache, ssm_cache, lens_out, roots_out), (produced, n_acc) = (
+                jax.lax.scan(
+                    body, (llm_cache, ssm_cache, cache_lens, roots),
+                    None, length=n)
+            )
+            return produced, n_acc, lens_out, roots_out, llm_cache, ssm_cache
 
         # ---- SAMPLING-mode fused iteration: stochastic multi-round
         # verification (spec_sampling.tree_sample_walk) instead of the
@@ -582,10 +592,12 @@ class SpecEngine:
                 return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
                     produced, n_acc)
 
-            (llm_cache, ssm_cache, _, _), (produced, n_acc) = jax.lax.scan(
-                body, (llm_cache, ssm_cache, cache_lens, roots),
-                jax.random.split(key, n))
-            return produced, n_acc, llm_cache, ssm_cache
+            (llm_cache, ssm_cache, lens_out, roots_out), (produced, n_acc) = (
+                jax.lax.scan(
+                    body, (llm_cache, ssm_cache, cache_lens, roots),
+                    jax.random.split(key, n))
+            )
+            return produced, n_acc, lens_out, roots_out, llm_cache, ssm_cache
 
         self._prefill_both_batch = prefill_both_batch_fn
         # uncompiled building blocks (perf probes / custom fusions)
@@ -834,14 +846,53 @@ class SpecEngine:
 
         Returns (produced [n, B, depth+1], n_acc [n, B]).
         """
-        produced, n_acc, self.llm_cache, self.ssm_cache = self._fused_step_n(
-            self.llm_params, self.ssm_params,
-            self.llm_cache, self.ssm_cache,
-            self._h(np.asarray(cache_lens, np.int32)),
-            self._h(np.asarray(root_tokens, np.int32)),
-            n,
+        produced, n_acc, _l, _r, self.llm_cache, self.ssm_cache = (
+            self._fused_step_n(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                self._h(np.asarray(cache_lens, np.int32)),
+                self._h(np.asarray(root_tokens, np.int32)),
+                n,
+            )
         )
         return self.fetch(produced), self.fetch(n_acc)
+
+    def fused_step_n_async(self, lens_dev, roots_dev, n: int):
+        """Pipelined variant: takes/returns DEVICE lens/roots so the next
+        horizon can be dispatched before this one's tokens are fetched
+        (the reference scheduler running a step ahead of the devices,
+        request_manager.cc:3122-3137). Returns device arrays
+        (produced [n, B, d+1], n_acc [n, B], lens_out [B], roots_out [B])."""
+        produced, n_acc, lens_out, roots_out, self.llm_cache, self.ssm_cache = (
+            self._fused_step_n(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                lens_dev, roots_dev, n,
+            )
+        )
+        return produced, n_acc, lens_out, roots_out
+
+    def fused_sample_step_n_async(self, lens_dev, roots_dev, key, scfg, n: int):
+        """Pipelined sampling-mode horizon (see fused_step_n_async)."""
+        produced, n_acc, lens_out, roots_out, self.llm_cache, self.ssm_cache = (
+            self._fused_sample_step_n(
+                self.llm_params, self.ssm_params,
+                self.llm_cache, self.ssm_cache,
+                lens_dev, roots_dev,
+                self._h(key), jax.tree_util.tree_map(self._h, scfg), n,
+            )
+        )
+        return produced, n_acc, lens_out, roots_out
+
+    def apply_slot_overrides(self, lens_dev, roots_dev, mask, new_lens,
+                             new_roots):
+        """Merge host-side admissions into the device lens/roots feedback
+        (fixed [B] shapes -> one compile)."""
+        return _apply_overrides_jit(
+            lens_dev, roots_dev, self._h(np.asarray(mask, bool)),
+            self._h(np.asarray(new_lens, np.int32)),
+            self._h(np.asarray(new_roots, np.int32)),
+        )
 
     def fused_sample_step(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray,
@@ -868,7 +919,7 @@ class SpecEngine:
         key: jax.Array, scfg, n: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """n device-chained sampling-verified speculative iterations."""
-        produced, n_acc, self.llm_cache, self.ssm_cache = (
+        produced, n_acc, _l, _r, self.llm_cache, self.ssm_cache = (
             self._fused_sample_step_n(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,

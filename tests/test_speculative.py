@@ -173,6 +173,41 @@ def test_fused_spec_horizon(llm_params, ssm_params):
     assert got == want
 
 
+def test_pipelined_spec_equals_incremental(llm_params, ssm_params):
+    """Pipelined dispatch (horizon k+1 issued before fetching k) is lossless:
+    outputs equal incremental greedy, including continuous batching churn."""
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]  # > 2 slots: churn
+    want = incr_outputs(llm_params, prompts, 10)
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=200, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, fused=True, spec_horizon=2, pipelined=True)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=10))]
+    assert got == want
+    assert rm.num_processed_requests == 5
+
+
+def test_pipelined_spec_eos(llm_params, ssm_params):
+    prompts = [[3, 17, 91, 5]]
+    [full] = incr_outputs(llm_params, prompts, 12)
+    first_idx = {}
+    for i, t in enumerate(full):
+        first_idx.setdefault(t, i)
+    eos, cut = max(first_idx.items(), key=lambda kv: kv[1])
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=200, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(
+        engine, eos_token_ids=[eos], fused=True, pipelined=True)
+    [req] = rm.generate(prompts, GenerationConfig(max_new_tokens=12))
+    assert req.output_tokens == full[: cut + 1]
+
+
 def test_multi_ssm_rotation(llm_params, ssm_params):
     from flexflow_tpu.serving.spec_manager import MultiSSMSpecManager
 
