@@ -222,25 +222,59 @@ class InferenceEngine:
             TPU analog of the reference's future-chained scheduler running
             ahead of the GPUs (request_manager.cc:3122-3137). Host sees [n, B]
             tokens once per horizon instead of [B] per step.
+
+            Memory structure: the multi-GB cache stays READ-ONLY for the whole
+            horizon. Each step's new K/V lands in a small [L, B, n, KH, D]
+            staging buffer — a dynamic_update_slice on the untiled step axis
+            touches only that step's tiles, where the per-step per-slot
+            lane-offset writes into the big cache cost ~10 ms/step at B=128
+            (each dynamic-lane DUS rewrites the slot's whole [KH, D, S]
+            plane). In-horizon tokens join attention through the in-register
+            ``extra_kv`` path; ONE per-slot window write commits the whole
+            horizon at the end (amortized /n).
             """
+            num_l = self.spec.num_layers
+            b = cache.k.shape[1]
+            kh, dh = cache.k.shape[2], cache.k.shape[3]
+            stage0 = jnp.zeros((num_l, b, n, kh, dh), cache.k.dtype)
+            steps = jnp.arange(n, dtype=jnp.int32)
 
             def body(carry, i):
-                cache, lens, toks = carry
-                logits, cache = decoder.forward_cached(
-                    self.spec, params, toks[:, None], cache, lens,
+                sk, sv, toks = carry
+                emask = jnp.broadcast_to((steps < i)[None, None, :], (b, 1, n))
+                logits, (k_new, v_new) = decoder.forward_cached(
+                    self.spec, params, toks[:, None], cache, cache_lens,
+                    positions=(cache_lens + i)[:, None],
+                    write_cache=False,
+                    extra_kv=(sk, sv), extra_mask=emask,
                     lora=lora, adapter_onehot=onehot,
                     lora_scale=self.lora_scale,
                 )
+                sk = jax.lax.dynamic_update_slice(
+                    sk, k_new.astype(sk.dtype), (0, 0, i, 0, 0))
+                sv = jax.lax.dynamic_update_slice(
+                    sv, v_new.astype(sv.dtype), (0, 0, i, 0, 0))
                 nxt = sampling_lib.sample(
                     logits[:, 0], jax.random.fold_in(key, i), scfg,
                     greedy_only=greedy_only,
                 )
-                return (cache, lens + 1, nxt), nxt
+                return (sk, sv, nxt), nxt
 
-            (cache, _, _), out = jax.lax.scan(
-                body, (cache, cache_lens, tokens), jnp.arange(n)
+            (sk, sv, _), out = jax.lax.scan(
+                body, (stage0, stage0, tokens), steps
             )
-            return out, cache
+            # commit the horizon: [L,B,n,KH,D] -> cache layout window writes
+            upd_k = sk.transpose(0, 1, 3, 4, 2)  # [L, B, KH, D, n]
+            upd_v = sv.transpose(0, 1, 3, 4, 2)
+            zero = jnp.int32(0)
+            smax = jnp.int32(cache.max_seq_len - n)
+            ck, cv = cache.k, cache.v
+            for bb in range(b):
+                start = (zero, jnp.int32(bb), zero, zero,
+                         jnp.minimum(cache_lens[bb], smax))
+                ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
+                cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
+            return out, KVCache(k=ck, v=cv)
 
         @jax.jit
         def sample_fn(logits, key, scfg):
