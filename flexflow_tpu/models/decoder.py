@@ -312,7 +312,11 @@ def _unembed(spec: ModelSpec, params: Params, h):
         h = _norm(spec, h, params["final_norm_scale"], params.get("final_norm_bias"))
     w = params.get("lm_head")
     w = params["embed_tokens"].T if w is None else as_array(w)  # tied if absent
-    logits = jnp.tensordot(h.astype(jnp.float32), w.astype(jnp.float32), axes=1)
+    # f32 logits via MXU-native accumulation; casting w to fp32 first would
+    # materialize an fp32 copy of the [D, V] head every decode step
+    logits = jnp.tensordot(
+        h, w.astype(h.dtype), axes=1, preferred_element_type=jnp.float32
+    )
     if params.get("lm_head_bias") is not None:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)
     return logits
@@ -568,23 +572,99 @@ def forward_cached(
         # in-register tree flow: hand the [L, B, T, KH, D] new KV back to the
         # caller (fused speculative iteration commits accepted columns only)
         return _unembed(spec, params, h), (k_new, v_new)
-    # Cache write: an UNROLLED per-slot dynamic_update_slice chain, NOT a
-    # scatter. XLA's TPU scatter materializes the whole cache in a padded
-    # internal layout (measured 2.7x: a 2.25 GiB cache gained a 6 GiB temp
-    # copy — the batch-256 OOM); the DUS chain stays in the compact layout,
-    # runs fully in place (measured ~3 us/step for 512 updates at B=256),
-    # and works identically on every backend. Mirrors the reference's
-    # update_kv_cache_kernel (inc_multihead_self_attention.cu:860).
     upd_k = k_new.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)  # [L,B,KH,D,T]
     upd_v = v_new.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
-    zero = jnp.int32(0)
-    ck, cv = cache.k, cache.v
-    for bb in range(b):
-        start = (zero, jnp.int32(bb), zero, zero, write_start[bb])
-        ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
-        cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
+    ck, cv = commit_kv_windows(cache.k, cache.v, upd_k, upd_v, write_start)
     logits = _unembed(spec, params, h)
     return logits, KVCache(k=ck, v=cv)
+
+
+def commit_kv_windows(
+    ck: jnp.ndarray,  # [L, B, KH, D, S] cache K (donated by the caller's jit)
+    cv: jnp.ndarray,  # [L, B, KH, D, S]
+    upd_k: jnp.ndarray,  # [L, NB, KH, D, T] per-row update windows
+    upd_v: jnp.ndarray,  # [L, NB, KH, D, T]
+    starts: jnp.ndarray,  # [NB] seq offset per row
+    slot_idx: Optional[jnp.ndarray] = None,  # [NB] cache row per update; -1 = skip row
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write per-request KV windows into the cache — ALL slots in one pass.
+
+    Replaces the reference's ``update_kv_cache_kernel``
+    (inc_multihead_self_attention.cu:860). Update row i lands at
+    ``cache[:, slot_idx[i], :, :, starts[i]:starts[i]+T]``.
+
+    TPU formulation (measured alternatives, in order of failure):
+
+    - ``lax.scatter``: XLA materializes the whole cache in a padded internal
+      layout (2.7x — a 2.25 GiB cache gained a 6 GiB temp copy; OOM source).
+    - per-slot ``dynamic_update_slice`` at a *dynamic lane offset* (S is the
+      minor/lane axis): XLA cannot prove tile locality, so EVERY slot's DUS
+      rewrites the full cache — B x full-cache traffic (measured 1.5 ms per
+      DUS on a 0.6 GB cache = 25 ms/step at B=8, whether unrolled or inside
+      a ``fori_loop``). Unrolled it also blows up compile time linearly in
+      batch (>13 minutes at B=128).
+    - THIS: one shift-one-hot einsum + select over the whole cache. The
+      windows are placed by contracting the update's T axis against a
+      [B, T, S] position one-hot (an MXU matmul — exact: each output column
+      sums exactly one 0/1-weighted term, and a bf16->f32->bf16 roundtrip of
+      a bf16 value is the identity), then a single ``where`` keeps old
+      columns outside each row's window. Exactly 2x cache traffic per
+      commit regardless of batch, compile O(1) in batch, no scatter.
+      Amortized over an n-step decode horizon: 2/n cache passes per token.
+
+    Rows with ``slot_idx[i] == -1`` write nothing (used by batched-admission
+    padding rows). At most one row may target a given live slot.
+    """
+    l, b, kh, d, s = ck.shape
+    t = upd_k.shape[4]
+    starts = jnp.clip(starts.astype(jnp.int32), 0, s - t)
+    # Exactness: bf16 values survive the one-hot matmul bit-for-bit at any
+    # precision (0/1 weights; bf16->f32->bf16 roundtrip is identity). For
+    # wider dtypes the TPU's default one-pass bf16 MXU decomposition WOULD
+    # truncate the cache values, so force the exact multi-pass mode there.
+    prec = (
+        None if upd_k.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    if slot_idx is not None:
+        # gather update rows into slot order (row2slot is 0/1, exact)
+        row2slot = (
+            slot_idx.astype(jnp.int32)[:, None] == jnp.arange(b)[None, :]
+        )  # [R, B]
+        sel = row2slot.astype(upd_k.dtype)
+        upd_k = jnp.einsum(
+            "lrkdt,rb->lbkdt", upd_k, sel,
+            preferred_element_type=upd_k.dtype, precision=prec,
+        )
+        upd_v = jnp.einsum(
+            "lrkdt,rb->lbkdt", upd_v, sel,
+            preferred_element_type=upd_v.dtype, precision=prec,
+        )
+        written = jnp.any(row2slot, axis=0)  # [B] slot receives a window
+        slot_starts = jnp.sum(jnp.where(row2slot, starts[:, None], 0), axis=0)
+    else:
+        written = None
+        slot_starts = starts
+
+    pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1, 1, S]
+    # [B, T, S] one-hot: column s holds update element t iff s == start_b + t
+    onehot = pos == (slot_starts[:, None] + jnp.arange(t)[None, :])[:, :, None]
+    covered = jnp.any(onehot, axis=1)  # [B, S]
+    if written is not None:
+        covered = covered & written[:, None]
+    oh = onehot.astype(upd_k.dtype)
+    shifted_k = jnp.einsum(
+        "lbkdt,bts->lbkds", upd_k, oh,
+        preferred_element_type=upd_k.dtype, precision=prec,
+    )
+    shifted_v = jnp.einsum(
+        "lbkdt,bts->lbkds", upd_v, oh,
+        preferred_element_type=upd_v.dtype, precision=prec,
+    )
+    cmask = covered[None, :, None, None, :]
+    return (
+        jnp.where(cmask, shifted_k.astype(ck.dtype), ck),
+        jnp.where(cmask, shifted_v.astype(cv.dtype), cv),
+    )
 
 
 def insert_kv(

@@ -16,6 +16,17 @@ These are the jnp/XLA reference implementations; the Pallas fast paths live in
 head-group decomposition the reference uses (``num_q_heads / num_kv_heads``).
 
 All softmax math is float32 (matching the reference kernels' fp32 accumulation).
+
+Dtype policy (TPU-critical): score/value contractions keep their inputs in the
+native dtype and request float32 accumulation via ``preferred_element_type`` —
+on TPU that is the native bf16×bf16→f32 MXU mode. Casting the multi-GB KV
+cache to fp32 *before* the dot (the naive formulation) makes XLA materialize a
+2× fp32 copy of the cache every decode step and pushes the matmul onto the
+slow fp32 MXU path; measured, that alone cost ~6-8× of the decode-step HBM
+floor. Probabilities are cast to the value dtype for the PV contraction (the
+same choice as standard TPU flash-attention kernels); when the cache is fp32
+(CPU tests) every cast is a no-op and numerics are bit-identical to the
+all-fp32 formulation.
 """
 
 from __future__ import annotations
@@ -71,12 +82,15 @@ def prefill_attention(
     kh = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    qg = _group_query(q, kh).astype(jnp.float32)  # [S, KH, G, D]
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    qg = _group_query(q, kh)  # [S, KH, G, D]
 
-    # [KH, G, S_q, S_k]
-    scores = jnp.einsum("qkgd,skd->kgqs", qg, kf) * scale
+    # [KH, G, S_q, S_k] — f32 accumulation, native-dtype inputs
+    scores = (
+        jnp.einsum(
+            "qkgd,skd->kgqs", qg, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
     if logit_softcap:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     if slopes is not None:
@@ -94,7 +108,12 @@ def prefill_attention(
     if length is not None:
         mask = mask & (ki < length)
     probs = _softmax(scores, mask[None, None])
-    out = jnp.einsum("kgqs,skd->qkgd", probs, vf)
+    out = jnp.einsum(
+        "kgqs,skd->qkgd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(s, h, d).astype(q.dtype)
 
 
@@ -137,9 +156,23 @@ def split_cached_attention(
     kh = k_cache.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    qg = _group_query(q, kh).astype(jnp.float32)  # [B, T, KH, G, D]
-    sc = jnp.einsum("btkgd,bkds->bkgts", qg, k_cache.astype(jnp.float32)) * scale
-    sn = jnp.einsum("btkgd,bukd->bkgtu", qg, k_new.astype(jnp.float32)) * scale
+    # scores in f32 via MXU-native accumulation; the cache is NEVER cast
+    # (an fp32 cast of the [B,KH,D,S] cache materializes a 2x copy per step)
+    qg = _group_query(q, kh).astype(k_cache.dtype)  # [B, T, KH, G, D]
+    sc = (
+        jnp.einsum(
+            "btkgd,bkds->bkgts", qg, k_cache,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    sn = (
+        jnp.einsum(
+            "btkgd,bukd->bkgtu", qg, k_new.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
     if logit_softcap:
         sc = jnp.tanh(sc / logit_softcap) * logit_softcap
         sn = jnp.tanh(sn / logit_softcap) * logit_softcap
@@ -181,8 +214,14 @@ def split_cached_attention(
     denom = jnp.sum(ec, axis=-1, keepdims=True) + jnp.sum(
         en, axis=-1, keepdims=True
     )
-    oc = jnp.einsum("bkgts,bkds->btkgd", ec, v_cache.astype(jnp.float32))
-    on = jnp.einsum("bkgtu,bukd->btkgd", en, v_new.astype(jnp.float32))
+    oc = jnp.einsum(
+        "bkgts,bkds->btkgd", ec.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    on = jnp.einsum(
+        "bkgtu,bukd->btkgd", en.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
+    )
     # denom [B,KH,G,T,1] -> [B,T,KH,G,1] to divide the output layout
     out = (oc + on) / jnp.maximum(denom.transpose(0, 3, 1, 2, 4), 1e-30)
     return out.reshape(b, t, h, d).astype(q.dtype)
@@ -219,11 +258,15 @@ def cached_attention(
     kh = k_cache.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    qg = _group_query(q, kh).astype(jnp.float32)  # [B, T, KH, G, D]
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    qg = _group_query(q, kh).astype(k_cache.dtype)  # [B, T, KH, G, D]
 
-    scores = jnp.einsum("btkgd,bskd->bkgts", qg, kf) * scale  # [B, KH, G, T, S]
+    scores = (
+        jnp.einsum(
+            "btkgd,bskd->bkgts", qg, k_cache,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [B, KH, G, T, S]
     if logit_softcap:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     if slopes is not None:
@@ -256,5 +299,8 @@ def cached_attention(
         mask = committed | inflight  # [B, T, S]
 
     probs = _softmax(scores, mask[:, None, None])  # [B, KH, G, T, S]
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, t, h, d).astype(q.dtype)

@@ -103,9 +103,13 @@ class LLM:
                 model=tensor_parallelism_degree,
                 seq=context_parallel_degree,
             )
+        # PP engine stages the layer stack itself: load params unsharded and
+        # let PipelineInferenceEngine place them stage-resident (the round-1
+        # replicate-over-pipe fallback is gone)
+        use_pp = pipeline_parallelism_degree > 1 and not self._ssms
         _, self.params = hf_weights.load_params(
             self.model_dir, self.spec, dtype=self.dtype,
-            quantize_bits=self.quant_bits, mesh=mesh,
+            quantize_bits=self.quant_bits, mesh=None if use_pp else mesh,
         )
         self._load_tokenizer()
 
@@ -138,6 +142,16 @@ class LLM:
                     engines, merged=merge_ssm_trees,
                     fused=not merge_ssm_trees,
                 )
+        elif use_pp:
+            from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
+
+            engine = PipelineInferenceEngine(
+                self.spec, self.params, mesh=mesh,
+                max_requests_per_batch=max_requests_per_batch,
+                max_seq_len=max_seq_length,
+                cache_dtype=self.dtype,
+            )
+            self.rm = RequestManager(engine)
         else:
             engine = InferenceEngine(
                 self.spec, self.params,

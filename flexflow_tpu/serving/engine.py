@@ -179,16 +179,11 @@ class InferenceEngine:
             k, v = kv  # [L, NB, bucket, KH, D]
             k_t = k.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
             v_t = v.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
-            zero = jnp.int32(0)
-            ck, cv = cache.k, cache.v
-            # Static NB: one window write per admission. REVERSE order so
-            # that padding rows (appended at the end by
-            # prefill_batch_to_slots_async, aliasing a real slot) are
-            # overwritten by the real row's write.
-            for i in reversed(range(nb)):
-                start = (zero, slots[i], zero, zero, zero)
-                ck = jax.lax.dynamic_update_slice(ck, k_t[:, i:i + 1], start)
-                cv = jax.lax.dynamic_update_slice(cv, v_t[:, i:i + 1], start)
+            # one-pass window commit; padding rows carry slot -1 (no write)
+            ck, cv = decoder.commit_kv_windows(
+                cache.k, cache.v, k_t, v_t,
+                jnp.zeros((nb,), jnp.int32), slots,
+            )
             toks = sampling_lib.sample(last, key, scfg, greedy_only=greedy_only)
             return toks, KVCache(k=ck, v=cv)
 
@@ -266,14 +261,9 @@ class InferenceEngine:
             # commit the horizon: [L,B,n,KH,D] -> cache layout window writes
             upd_k = sk.transpose(0, 1, 3, 4, 2)  # [L, B, KH, D, n]
             upd_v = sv.transpose(0, 1, 3, 4, 2)
-            zero = jnp.int32(0)
-            smax = jnp.int32(cache.max_seq_len - n)
-            ck, cv = cache.k, cache.v
-            for bb in range(b):
-                start = (zero, jnp.int32(bb), zero, zero,
-                         jnp.minimum(cache_lens[bb], smax))
-                ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
-                cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
+            ck, cv = decoder.commit_kv_windows(
+                cache.k, cache.v, upd_k, upd_v, cache_lens
+            )
             return out, KVCache(k=ck, v=cv)
 
         @jax.jit
@@ -417,9 +407,8 @@ class InferenceEngine:
             padded[i, :len(p)] = p
             lengths[i] = len(p)
         if nb > real_nb:
-            # Pad rows alias the first real slot; prefill_batch_fn writes in
-            # reverse row order so the real row's KV lands last and wins.
-            slots = slots + [slots[0]] * (nb - real_nb)
+            # Pad rows carry slot -1: commit_kv_windows skips their writes.
+            slots = slots + [-1] * (nb - real_nb)
             if adapter_list is not None:
                 adapter_list += [-1] * (nb - real_nb)
             scfg = SamplingConfig(

@@ -1,0 +1,516 @@
+"""Pipeline-parallel serving engine: stage-resident weights + KV cache.
+
+TPU-native replacement for the reference's pipeline-parallel serving
+(/root/reference/src/runtime/inference_manager.cc:87-130 — layers binned into
+stages by ``transformer_layer_id`` -> ``MachineView.start_device_id``, with
+Legion moving activations between stages and pipelining coming from multiple
+in-flight batches, request_manager.cc:3122-3137).
+
+Design (mirrors the training pipeline executor, parallel/pipeline.py, but over
+the *cached* decode path):
+
+- layer params are stage-stacked ``[P, L/P, ...]`` with the ``[P]`` axis
+  sharded over the ``pipe`` mesh axis — each device holds ONLY its own
+  stage's layers (1/P of the transformer weights; replaces the round-1
+  replicate-over-pipe fallback);
+- the KV cache is likewise stage-stacked ``[P, L/P, B, KH, D, S]`` and
+  pipe-sharded: each stage owns the KV for its own layers;
+- one serving step is a fully-manual ``shard_map`` over ("pipe", "model"):
+  the request slots split into M microbatches and M + P - 1 ticks rotate
+  activations stage-to-stage with ``lax.ppermute`` (an ICI neighbor hop —
+  the analog of Legion's region-dependence data movement). Inter-microbatch
+  pipelining gives M/(M+P-1) utilization — the compiled analog of the
+  reference's 4-deep in-flight batch queue;
+- TP composes inside the manual region: stage layer leaves carry the
+  ``model`` axis (Megatron column/row layout) and the decoder emits explicit
+  psums via ``decoder.manual_tp_axis`` (the reference's AllReduce op);
+- each stage accumulates its new-token KV in a staging buffer across ticks
+  and commits ONCE per step via :func:`decoder.commit_kv_windows`.
+
+Embedding / final norm / lm_head are replicated over ``pipe`` (a few percent
+of weights) and run outside the manual region, as the reference keeps them
+outside the transformer-stage binning.
+
+Serving data parallelism is rejected here exactly like the reference
+(``assert data_parallelism_degree == 1``, inference_manager.cc:69); DP
+serving without PP is available through the base InferenceEngine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flexflow_tpu.models import decoder
+from flexflow_tpu.models.decoder import KVCache
+from flexflow_tpu.ops import attention as attn_lib
+from flexflow_tpu.ops import sampling as sampling_lib
+from flexflow_tpu.ops.sampling import SamplingConfig
+from flexflow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
+from flexflow_tpu.parallel.pipeline import _MODEL_AXIS_POS, stage_params
+from flexflow_tpu.specs import ModelSpec
+
+
+def _staged_layer_specs(layers, mesh: Mesh):
+    """PartitionSpecs for stage-stacked layer params [P, L/P, ...]."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def leaf_spec(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        pos = _MODEL_AXIS_POS.get(name)
+        parts = [None] * leaf.ndim
+        parts[0] = PIPE_AXIS
+        if pos is not None and tp > 1 and leaf.shape[pos] % tp == 0:
+            parts[pos] = MODEL_AXIS
+        return P(*parts)
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, layers)
+
+
+class PipelineInferenceEngine:
+    """Drop-in InferenceEngine replacement when pipeline_parallelism_degree>1.
+
+    Exposes the host-facing surface the RequestManager drives
+    (``prefill_batch_to_slots_async`` / ``prefill_to_slot_async`` /
+    ``decode`` / ``decode_horizon[_async]`` / ``fetch``).
+    """
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params,
+        *,
+        mesh: Mesh,
+        max_requests_per_batch: int = 8,
+        max_seq_len: int = 256,
+        max_tokens_per_batch: int = 0,
+        min_prefill_bucket: int = 16,
+        cache_dtype=jnp.bfloat16,
+        num_microbatches: Optional[int] = None,
+    ):
+        self.spec = spec
+        self.mesh = mesh
+        self.pp = mesh.shape[PIPE_AXIS]
+        self.tp = mesh.shape[MODEL_AXIS]
+        if mesh.shape[DATA_AXIS] != 1:
+            # reference parity: serving asserts data_parallelism_degree == 1
+            # (inference_manager.cc:69); DP+PP composition is future work
+            raise NotImplementedError(
+                "pipeline-parallel serving requires data axis == 1"
+            )
+        if spec.num_layers % self.pp != 0:
+            raise ValueError(
+                f"num_layers {spec.num_layers} not divisible by "
+                f"pipeline stages {self.pp}"
+            )
+        m = num_microbatches or self.pp
+        if max_requests_per_batch % m:
+            raise ValueError(
+                f"batch {max_requests_per_batch} not divisible by "
+                f"microbatches {m}"
+            )
+        self.num_microbatches = m
+        self.max_requests = max_requests_per_batch
+        self.max_seq_len = max_seq_len
+        self.max_tokens_per_batch = 0  # chunked prefill: not under PP
+        del max_tokens_per_batch
+        self.min_prefill_bucket = min_prefill_bucket
+        self.lora = None  # PEFT under PP: not yet supported
+
+        # ---- place params: layers stage-stacked on pipe, rest replicated
+        layers = stage_params(params["layers"], self.pp)
+        self._layer_specs = _staged_layer_specs(layers, mesh)
+        layers = jax.device_put(
+            layers,
+            jax.tree.map(lambda s: NamedSharding(mesh, s), self._layer_specs),
+        )
+        top = {k: v for k, v in params.items() if k != "layers"}
+        top = jax.device_put(top, NamedSharding(mesh, P()))
+        self.params = {**top, "layers": layers}
+
+        # ---- stage-stacked KV cache [P, L/P, B, KH, D, S]
+        kh = spec.num_kv_heads
+        kh_shard = MODEL_AXIS if (self.tp > 1 and kh % self.tp == 0) else None
+        cshape = (
+            self.pp, spec.num_layers // self.pp, max_requests_per_batch,
+            kh, spec.head_dim, max_seq_len,
+        )
+        self._cache_spec = P(PIPE_AXIS, None, None, kh_shard, None, None)
+        cshard = NamedSharding(mesh, self._cache_spec)
+        self.cache = KVCache(
+            k=jax.device_put(jnp.zeros(cshape, cache_dtype), cshard),
+            v=jax.device_put(jnp.zeros(cshape, cache_dtype), cshard),
+        )
+        self._replicated = NamedSharding(mesh, P())
+        self._mesh_local = all(
+            d.process_index == jax.process_index() for d in mesh.devices.flat
+        )
+        self._to_replicated = jax.jit(
+            lambda x: x, out_shardings=self._replicated
+        )
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # compiled step functions
+    # ------------------------------------------------------------------
+
+    def _build_steps(self):
+        spec = self.spec
+        mesh = self.mesh
+        pp, m = self.pp, self.num_microbatches
+        b = self.max_requests
+        bm = b // m
+        cache_spec = self._cache_spec
+        act = P()  # [M, Bm, T, D] replicated (dp == 1)
+        vec2 = P()  # [M, Bm]
+
+        def make_piped(prefill: bool):
+            """Pipelined tick loop over the stage layers (manual region).
+
+            ``prefill=False`` (decode): cached attention against this stage's
+            KV; the per-row commit window starts at ``starts[row]``.
+            ``prefill=True``: pure causal self-attention (fresh slots) and a
+            slot-routed commit at position 0 (``starts`` holds slot ids,
+            -1 = padding row that writes nothing).
+            """
+
+            def piped(stage_layers, ck, cv, h_mb, pos_mb, lens_mb, starts):
+                stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
+                ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
+                stage = jax.lax.axis_index(PIPE_AXIS)
+                t = h_mb.shape[2]
+
+                def stage_body(x, pos, lens, row0):
+                    """This stage's layers on one microbatch.
+
+                    ``row0`` = the microbatch's first request-slot row;
+                    cached attention reads only those Bm cache rows.
+                    Returns (y, k_new [L/P, Bm, T, KH, D], v_new)."""
+
+                    if prefill:
+                        qi = pos[:, :, None]
+                        ki = pos[:, None, :]
+                        mask = ki <= qi
+                        ck_mb = cv_mb = None
+                    else:
+                        ck_mb = jax.lax.dynamic_slice_in_dim(
+                            ck, row0, x.shape[0], axis=1
+                        )
+                        cv_mb = jax.lax.dynamic_slice_in_dim(
+                            cv, row0, x.shape[0], axis=1
+                        )
+
+                    def one_layer(hh, xs):
+                        if prefill:
+                            layer_p = xs
+                        else:
+                            layer_p, ck_l, cv_l = xs
+
+                        def attend(q, k, v):
+                            q, k = decoder._maybe_rope(spec, q, k, pos)
+                            kc = k.astype(ck.dtype)
+                            vc = v.astype(cv.dtype)
+                            if prefill:
+                                out = attn_lib.cached_attention(
+                                    q, k, v,
+                                    cache_lens=jnp.zeros(
+                                        (x.shape[0],), jnp.int32
+                                    ),
+                                    tree_mask=mask,
+                                    q_positions=pos,
+                                    logit_softcap=spec.attn_logit_softcap,
+                                )
+                            else:
+                                out = attn_lib.split_cached_attention(
+                                    q, ck_l, cv_l, kc, vc, lens,
+                                    q_positions=pos,
+                                    logit_softcap=spec.attn_logit_softcap,
+                                )
+                            return out, (kc, vc)
+
+                        hh, kv = decoder._layer(spec, layer_p, hh, attend)
+                        return hh, kv
+
+                    xs = (
+                        stage_layers
+                        if prefill
+                        else (stage_layers, ck_mb, cv_mb)
+                    )
+                    y, (k_new, v_new) = jax.lax.scan(one_layer, x, xs)
+                    return y, k_new, v_new
+
+                ticks = m + pp - 1
+                buf = jnp.zeros_like(h_mb[0])
+                acc = jnp.zeros_like(h_mb)
+                stg_shape = (ck.shape[0], b, ck.shape[2], ck.shape[3], t)
+                stg_k = jnp.zeros(stg_shape, ck.dtype)
+                stg_v = jnp.zeros(stg_shape, cv.dtype)
+
+                def tick(carry, i):
+                    buf, acc, stg_k, stg_v = carry
+                    incoming = jax.lax.ppermute(
+                        buf, PIPE_AXIS,
+                        [(s, (s + 1) % pp) for s in range(pp)],
+                    )
+                    # stage s processes microbatch (i - s) at tick i
+                    my_mb = jnp.clip(i - stage, 0, m - 1)
+                    x_first = jax.lax.dynamic_index_in_dim(
+                        h_mb, my_mb, keepdims=False
+                    )
+                    x = jnp.where(stage == 0, x_first, incoming)
+                    pos = jax.lax.dynamic_index_in_dim(
+                        pos_mb, my_mb, keepdims=False
+                    )
+                    lens = jax.lax.dynamic_index_in_dim(
+                        lens_mb, my_mb, keepdims=False
+                    )
+                    row0 = my_mb * bm
+                    y, k_new, v_new = stage_body(x, pos, lens, row0)
+                    # stash this microbatch's new KV at its row offset
+                    # (bubble ticks recompute a clipped boundary microbatch;
+                    # the duplicate write is idempotent)
+                    upd_k = k_new.transpose(0, 1, 3, 4, 2).astype(stg_k.dtype)
+                    upd_v = v_new.transpose(0, 1, 3, 4, 2).astype(stg_v.dtype)
+                    stg_k = jax.lax.dynamic_update_slice(
+                        stg_k, upd_k, (0, row0, 0, 0, 0)
+                    )
+                    stg_v = jax.lax.dynamic_update_slice(
+                        stg_v, upd_v, (0, row0, 0, 0, 0)
+                    )
+                    out_idx = jnp.clip(i - (pp - 1), 0, m - 1)
+                    take = (stage == pp - 1) & (i >= pp - 1)
+                    acc = jax.lax.cond(
+                        take,
+                        lambda a: jax.lax.dynamic_update_index_in_dim(
+                            a, y, out_idx, 0
+                        ),
+                        lambda a: a,
+                        acc,
+                    )
+                    return (y, acc, stg_k, stg_v), None
+
+                (_, acc, stg_k, stg_v), _ = jax.lax.scan(
+                    tick, (buf, acc, stg_k, stg_v), jnp.arange(ticks)
+                )
+                # commit this stage's staged KV for all rows in one pass
+                if prefill:
+                    ck, cv = decoder.commit_kv_windows(
+                        ck, cv, stg_k, stg_v,
+                        jnp.zeros((b,), jnp.int32), starts,
+                    )
+                else:
+                    ck, cv = decoder.commit_kv_windows(
+                        ck, cv, stg_k, stg_v, starts
+                    )
+                # broadcast the last stage's outputs to every stage
+                is_last = (stage == pp - 1).astype(acc.dtype)
+                acc = jax.lax.psum(acc * is_last, PIPE_AXIS)
+                return acc, ck[None], cv[None]
+
+            return jax.shard_map(
+                piped,
+                mesh=mesh,
+                in_specs=(
+                    self._layer_specs, cache_spec, cache_spec,
+                    act, vec2, vec2, P(),
+                ),
+                out_specs=(act, cache_spec, cache_spec),
+                check_vma=False,
+            )
+
+        run_decode = make_piped(prefill=False)
+        run_prefill = make_piped(prefill=True)
+
+        def pipe_pass(run, params, cache, tokens, positions, lens, starts):
+            """tokens [B, T] -> (h_out [B, T, D], cache)."""
+            t = tokens.shape[1]
+            h = decoder._embed(spec, params, tokens, positions)
+            h_mb = h.reshape(m, bm, t, -1)
+            pos_mb = positions.reshape(m, bm, t)
+            lens_mb = lens.reshape(m, bm)
+            with decoder.manual_tp_axis(MODEL_AXIS):
+                h_out, ck, cv = run(
+                    params["layers"], cache.k, cache.v,
+                    h_mb, pos_mb, lens_mb, starts,
+                )
+            return h_out.reshape(b, t, -1), KVCache(ck, cv)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
+        def decode_fn(params, cache, cache_lens, tokens, key, scfg,
+                      greedy_only=False):
+            h_out, cache = pipe_pass(
+                run_decode, params, cache, tokens[:, None],
+                cache_lens[:, None], cache_lens, cache_lens,
+            )
+            logits = decoder._unembed(spec, params, h_out)
+            nt = sampling_lib.sample(
+                logits[:, 0], key, scfg, greedy_only=greedy_only
+            )
+            return nt, cache
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,),
+            static_argnames=("n", "greedy_only"),
+        )
+        def decode_n_fn(params, cache, cache_lens, tokens, key, scfg, n,
+                        greedy_only=False):
+            """n chained decode steps (device-resident horizon).
+
+            Each step commits its stage KV (2x the per-stage cache slice —
+            1/P of the global cache per device, so per-device traffic stays
+            proportional to per-device state)."""
+
+            def step(carry, i):
+                cache, toks = carry
+                lens_i = cache_lens + i
+                h_out, cache = pipe_pass(
+                    run_decode, params, cache, toks[:, None],
+                    lens_i[:, None], lens_i, lens_i,
+                )
+                logits = decoder._unembed(spec, params, h_out)
+                nt = sampling_lib.sample(
+                    logits[:, 0], jax.random.fold_in(key, i), scfg,
+                    greedy_only=greedy_only,
+                )
+                return (cache, nt), nt
+
+            (cache, _), out = jax.lax.scan(
+                step, (cache, tokens), jnp.arange(n, dtype=jnp.int32)
+            )
+            return out, cache
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
+        def prefill_batch_fn(params, cache, tokens, lengths, slots, key, scfg,
+                             greedy_only=False):
+            """Batched admission under PP: [B, bucket] rows (padded to the
+            full slot count so the pipeline row shape is uniform; pad rows
+            carry slot -1 and write nothing)."""
+            nb, bucket = tokens.shape
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None], (nb, bucket)
+            )
+            h_out, cache = pipe_pass(
+                run_prefill, params, cache, tokens, positions,
+                jnp.zeros((nb,), jnp.int32), slots,
+            )
+            logits = decoder._unembed(spec, params, h_out)
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            toks = sampling_lib.sample(last, key, scfg, greedy_only=greedy_only)
+            return toks, cache
+
+        self._decode = decode_fn
+        self._decode_n = decode_n_fn
+        self._prefill_batch = prefill_batch_fn
+
+    # ------------------------------------------------------------------
+    # host-facing API (mirrors InferenceEngine)
+    # ------------------------------------------------------------------
+
+    def _h(self, x):
+        arr = x if isinstance(x, jax.Array) else jnp.asarray(x)
+        return jax.device_put(arr, self._replicated)
+
+    def _htree(self, tree):
+        return jax.tree_util.tree_map(self._h, tree)
+
+    def fetch(self, x):
+        if not self._mesh_local:
+            x = self._to_replicated(x)
+        return jax.device_get(x)
+
+    @staticmethod
+    def _greedy_only(scfg: SamplingConfig) -> bool:
+        return bool(np.all(np.asarray(scfg.temperature) <= 0.0))
+
+    def prefill_bucket(self, prompt_len: int) -> int:
+        from flexflow_tpu.serving.engine import _round_up_pow2
+
+        return min(
+            _round_up_pow2(max(prompt_len, 1), self.min_prefill_bucket),
+            self.max_seq_len,
+        )
+
+    def prefill_batch_to_slots_async(
+        self, prompts, slots, key, scfg, adapter_ids=None,
+    ):
+        real_nb = len(prompts)
+        nb = self.max_requests  # fixed row count: one compile per bucket
+        bucket = max(self.prefill_bucket(len(p)) for p in prompts)
+        padded = np.zeros((nb, bucket), np.int32)
+        lengths = np.ones((nb,), np.int32)
+        slot_arr = np.full((nb,), -1, np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, : len(p)] = p
+            lengths[i] = len(p)
+            slot_arr[i] = slots[i]
+        scfg = SamplingConfig(
+            temperature=np.pad(
+                np.asarray(scfg.temperature, np.float32), (0, nb - real_nb)
+            ),
+            top_p=np.pad(
+                np.asarray(scfg.top_p, np.float32), (0, nb - real_nb),
+                constant_values=1.0,
+            ),
+            top_k=np.pad(np.asarray(scfg.top_k, np.int32), (0, nb - real_nb)),
+        )
+        toks, self.cache = self._prefill_batch(
+            self.params, self.cache, self._h(padded), self._h(lengths),
+            self._h(slot_arr), self._h(key), self._htree(scfg),
+            greedy_only=self._greedy_only(scfg),
+        )
+        return toks[:real_nb]
+
+    def prefill_to_slot_async(self, prompt_tokens, slot, key, scfg1,
+                              adapter_id=-1):
+        return self.prefill_batch_to_slots_async(
+            [prompt_tokens], [slot], key, scfg1
+        )[0]
+
+    def prefill_to_slot(self, prompt_tokens, slot, key, scfg1, adapter_id=-1):
+        return int(
+            self.fetch(
+                self.prefill_to_slot_async(prompt_tokens, slot, key, scfg1)
+            )
+        )
+
+    def decode(self, cache_lens, tokens, key, scfg, adapter_ids=None):
+        nt, self.cache = self._decode(
+            self.params, self.cache,
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(np.asarray(tokens, np.int32)),
+            self._h(key), self._htree(scfg),
+            greedy_only=self._greedy_only(scfg),
+        )
+        return self.fetch(nt)
+
+    def decode_horizon_async(self, cache_lens, tokens, key, scfg, n,
+                             adapter_ids=None):
+        out, self.cache = self._decode_n(
+            self.params, self.cache,
+            self._h(np.asarray(cache_lens, np.int32)),
+            self._h(
+                np.asarray(tokens, np.int32)
+                if not isinstance(tokens, jax.Array) else tokens
+            ),
+            self._h(key), self._htree(scfg), n,
+            greedy_only=self._greedy_only(scfg),
+        )
+        return out
+
+    def decode_horizon(self, cache_lens, tokens, key, scfg, n,
+                       adapter_ids=None):
+        return self.fetch(
+            self.decode_horizon_async(cache_lens, tokens, key, scfg, n)
+        )

@@ -170,12 +170,10 @@ class SpecEngine:
             def write(cache, k, v):
                 k_t = k.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
                 v_t = v.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
-                zero = jnp.int32(0)
-                ck, cv = cache.k, cache.v
-                for i in range(nb):
-                    start = (zero, slots[i], zero, zero, zero)
-                    ck = jax.lax.dynamic_update_slice(ck, k_t[:, i:i + 1], start)
-                    cv = jax.lax.dynamic_update_slice(cv, v_t[:, i:i + 1], start)
+                ck, cv = decoder.commit_kv_windows(
+                    cache.k, cache.v, k_t, v_t,
+                    jnp.zeros((nb,), jnp.int32), slots,
+                )
                 return KVCache(k=ck, v=cv)
 
             llm_cache = write(llm_cache, lk, lv)
@@ -294,14 +292,12 @@ class SpecEngine:
             writes land in the scratch region which is never attended.
             Cache layout [L, B, KH, D, S] (S minor — see decoder.KVCache).
 
-            Structure: small GATHER of the [B, T] accepted columns, then a
-            per-slot dynamic_update_slice chain at the contiguous
-            [len, len+T) window. An at[...].set scatter here makes XLA
-            rewrite the ENTIRE cache through a padded internal layout
-            (measured ~300 ms/iteration on a 1.6 GiB verifier cache — the
-            same pathology decoder.forward_cached documents); the DUS chain
-            stays in place. Reference analog: committed_tokens KV compaction,
-            batch_config.h:156-163.
+            Structure: small GATHER of the [B, T] accepted columns, then ONE
+            batch-uniform window commit (decoder.commit_kv_windows — the
+            shift-one-hot select; per-slot DUS chains and at[...].set
+            scatters both degrade to full-cache-per-slot traffic, see the
+            commit_kv_windows docstring). Reference analog: committed_tokens
+            KV compaction, batch_config.h:156-163.
             """
             ll, b, kh, dh, s = cache.k.shape
             t = from_slots.shape[1]  # tree size (merged trees may differ)
@@ -311,18 +307,14 @@ class SpecEngine:
             # index block to the front: gathered shape [B, T, L, KH, D]
             gk = cache.k[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
             gv = cache.v[:, bidx, :, :, src].transpose(2, 0, 3, 4, 1)
-            # -> [L, B, KH, D, T]. Materialize the gathers BEFORE the update
-            # chain: without the barrier XLA defers them into the consumers,
+            # -> [L, B, KH, D, T]. Materialize the gathers BEFORE the commit:
+            # without the barrier XLA defers them into the consumers,
             # keeping the cache live across the first write and copying the
             # whole multi-GB buffer (cost analysis: 3.2 GB accessed vs 0.3).
             gk, gv = jax.lax.optimization_barrier((gk, gv))
-            zero = jnp.int32(0)
-            ck, cv = cache.k, cache.v
-            for bb in range(b):
-                dst = jnp.minimum(cache_lens[bb], s - t).astype(jnp.int32)
-                start = (zero, jnp.int32(bb), zero, zero, dst)
-                ck = jax.lax.dynamic_update_slice(ck, gk[:, bb:bb + 1], start)
-                cv = jax.lax.dynamic_update_slice(cv, gv[:, bb:bb + 1], start)
+            ck, cv = decoder.commit_kv_windows(
+                cache.k, cache.v, gk, gv, cache_lens
+            )
             return KVCache(k=ck, v=cv)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -440,14 +432,9 @@ class SpecEngine:
             upd_k = gk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
             upd_v = gv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
             upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
-            zero = jnp.int32(0)
-            ck, cv = cache.k, cache.v
-            b = path_slots.shape[0]
-            for bb in range(b):
-                dst = jnp.minimum(cache_lens[bb], s - n).astype(jnp.int32)
-                start = (zero, jnp.int32(bb), zero, zero, dst)
-                ck = jax.lax.dynamic_update_slice(ck, upd_k[:, bb:bb + 1], start)
-                cv = jax.lax.dynamic_update_slice(cv, upd_v[:, bb:bb + 1], start)
+            ck, cv = decoder.commit_kv_windows(
+                cache.k, cache.v, upd_k, upd_v, cache_lens
+            )
             return KVCache(k=ck, v=cv)
 
         def verify_logits_reg(params, cache, cache_lens, tree_tokens,

@@ -1,0 +1,145 @@
+"""Pipeline-parallel SERVING through the real engine (virtual 8-CPU mesh).
+
+Reference: layers binned into PP stages with per-stage device placement
+(/root/reference/src/runtime/inference_manager.cc:87-130) and the TP-vs-PP
+output-consistency gate (tests/inference/cpp_inference_tests.sh:205-215).
+
+Gates:
+- PP=2/PP=4 serving produces EXACTLY the single-device tokens;
+- TP x PP composition matches too (the reference consistency matrix);
+- weights are genuinely stage-resident: each device holds 1/P of the layer
+  stack (the round-1 replicate-over-pipe fallback is the bug this guards).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import params as params_lib
+from flexflow_tpu.parallel import make_mesh
+from flexflow_tpu.parallel.mesh import PIPE_AXIS
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
+
+SPEC = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=256, hidden_size=64, num_layers=4,
+    num_heads=8, num_kv_heads=8, head_dim=8, intermediate_size=128,
+    max_position_embeddings=256, norm_eps=1e-6,
+)
+
+
+def _prompts(n=5):
+    rng = np.random.RandomState(0)
+    return [rng.randint(1, 256, size=rng.randint(4, 20)).tolist()
+            for _ in range(n)]
+
+
+def _gen(engine, prompts, **rm_kw):
+    rm = RequestManager(engine, **rm_kw)
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=24))
+    return [r.output_tokens for r in reqs]
+
+
+def _single_device_ref(params, prompts, **rm_kw):
+    return _gen(
+        InferenceEngine(SPEC, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32),
+        prompts, **rm_kw,
+    )
+
+
+def _pp_engine(params, mesh, **kw):
+    return PipelineInferenceEngine(
+        SPEC, params, mesh=mesh, max_requests_per_batch=4,
+        max_seq_len=128, cache_dtype=jnp.float32, **kw,
+    )
+
+
+def test_pp_serving_matches_single_device():
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(0), jnp.float32)
+    prompts = _prompts()
+    ref = _single_device_ref(params, prompts)
+    out = _gen(_pp_engine(params, make_mesh(pipe=2)), prompts)
+    assert out == ref
+    out4 = _gen(_pp_engine(params, make_mesh(pipe=4)), prompts)
+    assert out4 == ref
+
+
+def test_pp_weights_are_stage_resident():
+    """Each device must hold only its stage's layer slice — NOT a replica."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(0), jnp.float32)
+    mesh = make_mesh(pipe=4)
+    eng = _pp_engine(params, mesh)
+    wq = eng.params["layers"]["wq"]  # [P=4, L/P=1, D, H, Dh]
+    assert wq.sharding.spec[0] == PIPE_AXIS
+    shard = wq.addressable_shards[0]
+    assert shard.data.shape[0] == 1  # one stage per device
+    # cache too
+    ck = eng.cache.k
+    assert ck.sharding.spec[0] == PIPE_AXIS
+    assert ck.addressable_shards[0].data.shape[0] == 1
+
+
+def test_tp_pp_composition_consistency():
+    """Reference TP-vs-PP matrix: (TP=2,PP=2) == (PP=4) == (TP=4) == single."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(5), jnp.float32)
+    prompts = _prompts(4)
+    ref = _single_device_ref(params, prompts)
+    tp4 = _gen(
+        InferenceEngine(SPEC, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32,
+                        mesh=make_mesh(model=4)),
+        prompts,
+    )
+    pp2tp2 = _gen(_pp_engine(params, make_mesh(pipe=2, model=2)), prompts)
+    assert tp4 == ref
+    assert pp2tp2 == ref
+
+
+def test_pp_horizon_decoding_matches():
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(7), jnp.float32)
+    prompts = _prompts(6)
+    ref = _single_device_ref(params, prompts, decode_horizon=8, pipelined=True)
+    out = _gen(_pp_engine(params, make_mesh(pipe=2)), prompts,
+               decode_horizon=8, pipelined=True)
+    assert out == ref
+
+
+def test_pp_via_llm_api_cli_flag_not_silently_replicated():
+    """`LLM.compile(pipeline_parallelism_degree=N)` must route to the
+    stage-resident engine (round-1: it silently replicated weights)."""
+    import flexflow_tpu.serve as serve_mod
+
+    # exercise engine selection without real HF weights: monkeypatch loaders
+    spec = SPEC
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+
+    llm = serve_mod.LLM.__new__(serve_mod.LLM)
+    llm.model_dir = "<dummy>"
+    llm.dtype = jnp.float32
+    llm.quant_bits = None
+    llm.output_file = None
+    llm.spec = spec
+    llm.params = None
+    llm.tokenizer = object()
+    llm.rm = None
+    llm._ssms = []
+
+    orig_load = serve_mod.hf_weights.load_params
+    orig_tok = serve_mod.LLM._load_tokenizer
+    serve_mod.hf_weights.load_params = (
+        lambda *a, **k: (spec, params)
+    )
+    serve_mod.LLM._load_tokenizer = lambda self: None
+    try:
+        llm.compile(
+            max_requests_per_batch=4, max_seq_length=128,
+            pipeline_parallelism_degree=2,
+        )
+    finally:
+        serve_mod.hf_weights.load_params = orig_load
+        serve_mod.LLM._load_tokenizer = orig_tok
+    eng = llm.rm.engine
+    assert isinstance(eng, PipelineInferenceEngine)
+    assert eng.params["layers"]["wq"].sharding.spec[0] == PIPE_AXIS
