@@ -1,62 +1,121 @@
 """Speculative-decoding benchmark: tree-spec vs own incremental decoding.
 
 Headline gate (BASELINE.json / reference cpp_inference_tests.sh:131-183):
-speculative e2e tokens/s >= 1.5x incremental on the SAME verifier, lossless
-outputs, plus mean verified tokens per step.
+speculative e2e tokens/s >= 1.5x incremental decoding on the SAME verifier,
+lossless outputs, plus mean verified tokens per step — at the reference's
+target scale: a **7B-class verifier (INT4 weight-only)** with a 160M-class
+bf16 draft, and a separate **7B-class INT8 incremental** throughput metric
+(the two quantized BASELINE.json configs).
 
 Model pair: this environment has zero egress, so instead of (LLaMA-2-7B,
-llama-160m) the bench builds the synthetic pair from benchmarks/spec_pair.py —
-a 1.8B-class verifier that block-embeds a 160M-class draft (verifier cost is
-fully real: every weight byte streams, every MXU pass runs; measured
-7.7 ms/decode-step vs the draft's 1.4 ms at B=8), with the draft
-noise-perturbed so per-token agreement is calibrated into the regime of real
-published pairs (~0.8/token; benchmarks/calibrate_spec_pair.py). Acceptance is
-measured, not assumed.
+llama-160m) the bench constructs a synthetic pair (benchmarks/spec_pair.py):
+a 7B-class verifier whose weights block-embed a 160M-class draft, then
+diverge from it through INT4/INT8 quantization error plus explicit noise —
+verifier cost is fully real (every quantized byte streams through the fused
+dequant matmuls, every MXU pass runs) and draft-vs-verifier agreement is an
+emergent, measured property of two different functions, in the regime of
+real published pairs. Acceptance is measured, not assumed.
 
 Losslessness policy mirrors the reference: exact token equality is gated at
-FULL precision (fp32 sub-run); the bf16 perf runs gate a 20-token prefix
-(cpp_inference_tests.sh:249-255) — random-init logit margins make bf16
-near-tie argmax flips between differently-batched-but-equal computations far
-more common than for trained weights.
+FULL precision (fp32 sub-run on a small pair — a 7B fp32 model cannot fit
+one chip); the quantized perf runs gate a 20-token prefix
+(cpp_inference_tests.sh:249-255).
 
-Prints one JSON line per metric.
+Prints one JSON line per metric. ``run_spec_benchmarks()`` is also invoked
+by bench.py so the driver captures these metrics.
 """
 
 import json
+import sys
 import time
+
+
+def _log(msg):
+    print(f"[bench_spec {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from benchmarks.calibrate_spec_pair import DRAFT, VERIFIER, build_pair
-from benchmarks.spec_pair import perturb_params
+from benchmarks.spec_pair import (
+    embed_draft_in_verifier, fast_quantized_verifier, perturb_params,
+)
+from flexflow_tpu import specs
+from flexflow_tpu.models import params as params_lib
 from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
 from flexflow_tpu.serving.spec_manager import SpecRequestManager
 from flexflow_tpu.serving.speculative import SpecEngine
 
-# Calibrated so teacher-forced draft-vs-verifier argmax agreement ~= 0.8
-# (benchmarks/calibrate_spec_pair.py on the v5e).
-DRAFT_NOISE_EPS = 0.02
+# 160M-class draft with the 7B head_dim (the embedding construction needs
+# equal head_dim; llama-68m/160m analogs at Dh=128)
+DRAFT_7B = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=32000, hidden_size=768,
+    num_layers=12, num_heads=6, num_kv_heads=6, head_dim=128,
+    intermediate_size=3072, max_position_embeddings=2048, norm_eps=1e-6,
+)
+# LLaMA-2-7B geometry
+VERIFIER_7B = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=32000, hidden_size=4096,
+    num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+    intermediate_size=11008, max_position_embeddings=2048, norm_eps=1e-6,
+)
+
+# small pair for the fp32 losslessness gate (scale-independent property)
+DRAFT_S = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=1000, hidden_size=128,
+    num_layers=4, num_heads=4, num_kv_heads=4, head_dim=32,
+    intermediate_size=256, max_position_embeddings=512, norm_eps=1e-6,
+)
+VERIFIER_S = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=1000, hidden_size=256,
+    num_layers=6, num_heads=8, num_kv_heads=8, head_dim=32,
+    intermediate_size=512, max_position_embeddings=512, norm_eps=1e-6,
+)
+
+# Draft noise on top of the quantization-error decorrelation; calibrated so
+# teacher-forced draft-vs-verifier argmax agreement lands ~0.8/token.
+DRAFT_NOISE_EPS = 0.01
+
+
+def _emit(metric, value, unit, vs):
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit, "vs_baseline": vs,
+    }), flush=True)
 
 
 def _lossless_fp32():
-    """Reference full-precision gate: spec output == incremental EXACTLY."""
-    dparams, vparams = build_pair(dtype=jnp.float32)
-    draft = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
+    """Reference full-precision gate: spec output == incremental EXACTLY.
+
+    Runs under ``highest`` matmul precision: TPU's default f32 dot is a
+    one-pass bf16 decomposition, whose shape-dependent rounding flips
+    random-weight argmax ties between the (differently-shaped) decode and
+    tree-verify programs — the analog of the reference gating exactness at
+    full precision only (cpp_inference_tests.sh:249-255).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _lossless_fp32_body()
+
+
+def _lossless_fp32_body():
+    dparams = params_lib.init_params(
+        DRAFT_S, jax.random.PRNGKey(0), jnp.float32
+    )
+    vparams = embed_draft_in_verifier(DRAFT_S, dparams, VERIFIER_S, jnp.float32)
+    draft = perturb_params(dparams, 0.05, jax.random.PRNGKey(42))
     del dparams
     batch, max_seq, max_new = 4, 256, 24
     rng = np.random.RandomState(7)
-    prompts = [rng.randint(1, 32000, size=20).tolist() for _ in range(batch)]
+    prompts = [rng.randint(1, 1000, size=20).tolist() for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
 
-    eng = InferenceEngine(VERIFIER, vparams, max_requests_per_batch=batch,
+    eng = InferenceEngine(VERIFIER_S, vparams, max_requests_per_batch=batch,
                           max_seq_len=max_seq, cache_dtype=jnp.float32)
     incr = RequestManager(eng).generate(prompts, cfg)
     del eng
 
-    seng = SpecEngine(VERIFIER, vparams, DRAFT, draft, beam_width=2,
+    seng = SpecEngine(VERIFIER_S, vparams, DRAFT_S, draft, beam_width=2,
                       beam_depth=4, max_requests_per_batch=batch,
                       max_seq_len=max_seq, cache_dtype=jnp.float32)
     spec = SpecRequestManager(seng, fused=True).generate(prompts, cfg)
@@ -65,28 +124,53 @@ def _lossless_fp32():
     return ok
 
 
-def main():
-    lossless_fp32 = _lossless_fp32()
-
+def run_spec_benchmarks(include_int8_incr: bool = True):
+    """Emit the quantized 7B metrics (one JSON line per metric)."""
     batch, max_seq, max_new = 8, 512, 128
-    dparams, vparams = build_pair()
-    draft_params = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
-    del dparams
-
     rng = np.random.RandomState(0)
-    prompts = [
-        rng.randint(1, VERIFIER.vocab_size, size=24).tolist()
-        for _ in range(batch)
-    ]
-    warm_prompt = rng.randint(1, 32000, size=24).tolist()  # same bucket (32)
+    prompts = [rng.randint(1, 32000, size=24).tolist() for _ in range(batch)]
+    warm = [rng.randint(1, 32000, size=24).tolist() for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
 
-    # --- incremental baseline (pipelined horizon decoding, same verifier) ---
+    _log("draft init")
+    dparams = params_lib.init_params(
+        DRAFT_7B, jax.random.PRNGKey(0), jnp.bfloat16
+    )
+    draft = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
+
+    # direct quantized build (seconds; carriers bit-identical to quantizing
+    # the full embedded construction — tests/test_spec_pair.py). INT8/INT4
+    # rounding plus the draft-side noise decorrelates verifier from draft.
+
+    # ---- 7B INT8 incremental throughput (BASELINE config: 7B INT8) ----
+    if include_int8_incr:
+        _log("fast INT8 verifier build")
+        v8 = fast_quantized_verifier(DRAFT_7B, dparams, VERIFIER_7B, 8)
+        _log("INT8 engine warmup")
+        eng8 = InferenceEngine(
+            VERIFIER_7B, v8, max_requests_per_batch=batch,
+            max_seq_len=max_seq,
+        )
+        rm8 = RequestManager(eng8, decode_horizon=64, pipelined=True)
+        rm8.generate(warm, GenerationConfig(max_new_tokens=64))
+        t0 = time.perf_counter()
+        reqs8 = rm8.generate(prompts, cfg)
+        dt8 = time.perf_counter() - t0
+        tps8 = sum(len(r.output_tokens) for r in reqs8) / dt8
+        _emit("llama7b_int8_incr_tokens_per_sec_chip",
+              round(tps8, 2), "tokens/s", 1.0)
+        del eng8, rm8, v8
+
+    # ---- 7B INT4: spec >= 1.5x its OWN incremental (the reference gate) ----
+    _log("quantize+upload INT4")
+    v4 = quantize_and_upload(vnp, VERIFIER_7B, 4)
+    _log("INT4 incr warmup")
+    del dparams, vnp
     incr_engine = InferenceEngine(
-        VERIFIER, vparams, max_requests_per_batch=batch, max_seq_len=max_seq,
+        VERIFIER_7B, v4, max_requests_per_batch=batch, max_seq_len=max_seq,
     )
     rm = RequestManager(incr_engine, decode_horizon=64, pipelined=True)
-    rm.generate([warm_prompt], GenerationConfig(max_new_tokens=64))  # warm
+    rm.generate(warm, GenerationConfig(max_new_tokens=64))
     t0 = time.perf_counter()
     incr_reqs = rm.generate(prompts, cfg)
     incr_dt = time.perf_counter() - t0
@@ -94,58 +178,49 @@ def main():
     incr_tps = incr_tokens / incr_dt
     del incr_engine, rm  # free the baseline KV cache before the spec engines
 
-    # --- fused tree-speculative (reference defaults: width 3, depth 8) ---
+    _log("INT4 spec engine build")
+    # reference defaults: beam width 3, depth 8 (batch_config.h:196-197)
     spec_engine = SpecEngine(
-        VERIFIER, vparams, DRAFT, draft_params,
+        VERIFIER_7B, v4, DRAFT_7B, draft,
         beam_width=3, beam_depth=8,
         max_requests_per_batch=batch, max_seq_len=max_seq,
     )
     srm = SpecRequestManager(spec_engine, fused=True, spec_horizon=4)
-    srm.generate([warm_prompt], GenerationConfig(max_new_tokens=16))  # warm
+    srm.generate(warm[:2], GenerationConfig(max_new_tokens=16))  # warm
     t0 = time.perf_counter()
     spec_reqs = srm.generate(prompts, cfg)
     spec_dt = time.perf_counter() - t0
     spec_tokens = sum(len(r.output_tokens) for r in spec_reqs)
     spec_tps = spec_tokens / spec_dt
 
-    # bf16 near-tie argmax flips make exact equality too strict on TPU; the
-    # reference gates half precision at a 20-token prefix match
-    # (cpp_inference_tests.sh:249-255) — same policy here.
+    # quantized perf runs gate a 20-token prefix (the reference's half-
+    # precision policy, cpp_inference_tests.sh:249-255)
     prefix = 20
     prefix_match = all(
         a.output_tokens[:prefix] == b.output_tokens[:prefix]
         for a, b in zip(incr_reqs, spec_reqs)
     )
 
-    print(json.dumps({
-        "metric": "spec_decode_speedup_vs_incremental",
-        "value": round(spec_tps / incr_tps, 3),
-        "unit": "x",
-        "vs_baseline": round((spec_tps / incr_tps) / 1.5, 3),
-    }))
-    print(json.dumps({
-        "metric": "spec_decode_output_tokens_per_sec_chip",
-        "value": round(spec_tps, 2), "unit": "tokens/s",
-        "vs_baseline": round(spec_tps / incr_tps, 3),
-    }))
-    print(json.dumps({
-        "metric": "incr_decode_output_tokens_per_sec_chip_1p8B",
-        "value": round(incr_tps, 2), "unit": "tokens/s", "vs_baseline": 1.0,
-    }))
-    print(json.dumps({
-        "metric": "mean_verified_tokens_per_step",
-        "value": round(srm.mean_verified_tokens_per_step, 3),
-        "unit": "tokens/step",
-        "vs_baseline": 1.0,
-    }))
-    print(json.dumps({
-        "metric": "spec_outputs_lossless_fp32", "value": int(lossless_fp32),
-        "unit": "bool", "vs_baseline": 1.0,
-    }))
-    print(json.dumps({
-        "metric": "spec_outputs_bf16_prefix20_match", "value": int(prefix_match),
-        "unit": "bool", "vs_baseline": 1.0,
-    }))
+    _emit("spec_decode_speedup_vs_incremental_7b_int4",
+          round(spec_tps / incr_tps, 3), "x",
+          round((spec_tps / incr_tps) / 1.5, 3))
+    _emit("spec_decode_output_tokens_per_sec_chip_7b_int4",
+          round(spec_tps, 2), "tokens/s", round(spec_tps / incr_tps, 3))
+    _emit("incr_decode_output_tokens_per_sec_chip_7b_int4",
+          round(incr_tps, 2), "tokens/s", 1.0)
+    _emit("mean_verified_tokens_per_step",
+          round(srm.mean_verified_tokens_per_step, 3), "tokens/step", 1.0)
+    _emit("spec_outputs_prefix20_match_7b_int4", int(prefix_match),
+          "bool", 1.0)
+    del spec_engine, srm
+    return spec_tps / incr_tps
+
+
+def main():
+    _log("fp32 lossless gate")
+    lossless = _lossless_fp32()
+    _emit("spec_outputs_lossless_fp32", int(lossless), "bool", 1.0)
+    run_spec_benchmarks()
 
 
 if __name__ == "__main__":

@@ -6,8 +6,21 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== test suite (CPU, 8 virtual devices via tests/conftest.py) =="
-python -m pytest tests/ -x -q
+# Lanes (reference gpu-ci.yml splits stages; the driver's CI budget is a few
+# minutes): default = fast lane (critical-path tests, <5 min); "full" runs
+# everything.
+LANE="${1:-fast}"
+
+if [ "$LANE" = "fast" ]; then
+  echo "== FAST lane: critical-path tests (run './ci.sh full' for all) =="
+  python -m pytest -x -q \
+    tests/test_serving.py tests/test_speculative.py \
+    tests/test_hf_alignment.py tests/test_pp_serving.py \
+    tests/test_quant.py tests/test_training.py
+else
+  echo "== FULL lane: entire suite (CPU, 8 virtual devices) =="
+  python -m pytest tests/ -x -q
+fi
 
 echo "== graft entry: single-chip forward compile check =="
 JAX_PLATFORMS=cpu python -c "
@@ -27,8 +40,10 @@ print('dryrun_multichip(8) OK')
 "
 
 echo "== bench smoke (tiny config, CPU) =="
-JAX_PLATFORMS=cpu python - <<'EOF'
-import numpy as np, jax, jax.numpy as jnp
+python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
 from flexflow_tpu import specs
 from flexflow_tpu.models import params as params_lib
 from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager

@@ -77,6 +77,12 @@ class FFModel:
         self.params: Dict[str, Any] = {}
         self.state: Dict[str, Any] = {}
         self.metrics = PerfMetrics()
+        # per-node weight penalties (keras kernel_regularizer analog;
+        # reference python/flexflow/keras/regularizers.py)
+        self._regularizers: Dict[str, Tuple[float, float]] = {}
+        # per-node kernel-initializer overrides (keras kernel_initializer;
+        # reference keras/initializers.py + initializer.cc tasks)
+        self._initializers: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
     # graph construction
@@ -378,9 +384,45 @@ class FFModel:
     # compile: params init + single-program step functions
     # ------------------------------------------------------------------
 
+    def set_regularizer(self, node_name: str, l1: float = 0.0,
+                        l2: float = 0.0) -> None:
+        """Attach an L1/L2 kernel penalty to a node's weights (keras
+        kernel_regularizer; applies to "w" leaves, not biases). Call before
+        compile()."""
+        if l1 or l2:
+            self._regularizers[node_name] = (float(l1), float(l2))
+
+    def set_learning_rate(self, lr: float) -> None:
+        """Change the optimizer learning rate mid-training (keras
+        LearningRateScheduler). The jitted train step bakes the lr at trace
+        time, so this re-derives the step functions; optimizer slot state is
+        preserved."""
+        assert self._compiled, "call compile() first"
+        import dataclasses as _dc
+
+        self.optimizer = _dc.replace(self.optimizer, lr=float(lr))
+        params, state = self.params, self.state
+        opt_state, metrics = self.opt_state, self.metrics
+        self.compile(optimizer=self.optimizer, loss_type=self.loss_type,
+                     metrics=self._metric_names)
+        self.params, self.state = params, state
+        self.opt_state, self.metrics = opt_state, metrics
+
+    def set_initializer(self, node_name: str, init) -> None:
+        """Override a node's kernel initializer (keras kernel_initializer);
+        ``init(shape, fan_in, fan_out, key)`` returns the array."""
+        self._initializers[node_name] = init
+
     def _init_node(self, node: _Node, key) -> Tuple[Dict, Dict]:
         """Returns (params, state) for one node."""
+        override = self._initializers.get(node.name)
+
         def glorot(shape, fan_in, fan_out, k):
+            if override is not None:
+                return jnp.asarray(override(shape, fan_in, fan_out, k))
+            return _glorot_base(shape, fan_in, fan_out, k)
+
+        def _glorot_base(shape, fan_in, fan_out, k):
             scale = np.sqrt(2.0 / (fan_in + fan_out))
             return jax.random.normal(k, shape, jnp.float32) * scale
 
@@ -660,6 +702,7 @@ class FFModel:
         self.params, self.state = params, state
         self.optimizer = optimizer
         self.loss_type = loss_type
+        self._metric_names = tuple(metrics)
         self.loss_fn = loss_lib.LOSSES[loss_type]
         self.opt_state = optimizer.init(params) if optimizer else None
         apply = self._build_apply()
@@ -669,10 +712,19 @@ class FFModel:
             "sparse_categorical_crossentropy", "categorical_crossentropy"
         )
 
+        regs = dict(self._regularizers)
+
         def train_step(params, state, opt_state, rng, inputs, labels):
             def loss_of(p):
                 out, new_state = apply(p, state, inputs, True, rng)
-                return self.loss_fn(out, labels), (out, new_state)
+                loss = self.loss_fn(out, labels)
+                for name, (l1, l2) in regs.items():
+                    w = p[name]["w"]
+                    if l2:
+                        loss = loss + l2 * jnp.sum(jnp.square(w))
+                    if l1:
+                        loss = loss + l1 * jnp.sum(jnp.abs(w))
+                return loss, (out, new_state)
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(params)

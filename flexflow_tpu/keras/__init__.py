@@ -26,3 +26,10 @@ from flexflow_tpu.keras.layers import (  # noqa: F401
 )
 from flexflow_tpu.keras.models import Model, Sequential  # noqa: F401
 from flexflow_tpu.keras.optimizers import SGD, Adam  # noqa: F401
+from flexflow_tpu.keras import callbacks  # noqa: F401
+from flexflow_tpu.keras import datasets  # noqa: F401
+from flexflow_tpu.keras import initializers  # noqa: F401
+from flexflow_tpu.keras import losses  # noqa: F401
+from flexflow_tpu.keras import metrics  # noqa: F401
+from flexflow_tpu.keras import preprocessing  # noqa: F401
+from flexflow_tpu.keras import regularizers  # noqa: F401

@@ -47,13 +47,42 @@ class Input:
 
 class Dense(Layer):
     def __init__(self, units: int, activation: Optional[str] = None,
-                 use_bias: bool = True, name: str = ""):
+                 use_bias: bool = True, name: str = "",
+                 kernel_regularizer=None, kernel_initializer=None):
         self.units, self.activation, self.use_bias = units, activation, use_bias
         self.name = name
+        self.kernel_regularizer = kernel_regularizer
+        self.kernel_initializer = kernel_initializer
 
     def build(self, ff, x):
-        return ff.dense(x, self.units, activation=self.activation,
-                        use_bias=self.use_bias, name=self.name)
+        t = ff.dense(x, self.units, activation=self.activation,
+                     use_bias=self.use_bias, name=self.name)
+        _register_kernel_opts(ff, self)
+        return t
+
+
+def _register_kernel_opts(ff, layer):
+    """Attach the layer's kernel regularizer/initializer to the node the
+    DSL just created (keras kernel_regularizer / kernel_initializer)."""
+    node_name = ff._nodes[-1].name
+    reg = getattr(layer, "kernel_regularizer", None)
+    if reg is not None:
+        from flexflow_tpu.keras import regularizers as reg_lib
+
+        reg = reg_lib.get(reg)
+        ff.set_regularizer(node_name, l1=reg.l1, l2=reg.l2)
+    init = getattr(layer, "kernel_initializer", None)
+    if init is not None:
+        from flexflow_tpu.keras import initializers as init_lib
+
+        if isinstance(init, str):
+            init = {
+                "zeros": init_lib.Zeros(),
+                "glorot_uniform": init_lib.GlorotUniform(),
+                "random_uniform": init_lib.RandomUniform(),
+                "random_normal": init_lib.RandomNormal(),
+            }[init]
+        ff.set_initializer(node_name, init)
 
 
 class Conv2D(Layer):
@@ -61,7 +90,8 @@ class Conv2D(Layer):
 
     def __init__(self, filters: int, kernel_size, strides=1, padding="valid",
                  activation: Optional[str] = None, groups: int = 1,
-                 use_bias: bool = True, name: str = ""):
+                 use_bias: bool = True, name: str = "",
+                 kernel_regularizer=None, kernel_initializer=None):
         self.filters = filters
         self.kernel = _pair(kernel_size)
         self.strides = _pair(strides)
@@ -70,6 +100,8 @@ class Conv2D(Layer):
         self.groups = groups
         self.use_bias = use_bias
         self.name = name
+        self.kernel_regularizer = kernel_regularizer
+        self.kernel_initializer = kernel_initializer
 
     def build(self, ff, x):
         if self.padding == "same":
@@ -78,10 +110,12 @@ class Conv2D(Layer):
             ph = pw = 0
         else:
             ph, pw = _pair(self.padding)
-        return ff.conv2d(x, self.filters, self.kernel[0], self.kernel[1],
+        t = ff.conv2d(x, self.filters, self.kernel[0], self.kernel[1],
                          self.strides[0], self.strides[1], ph, pw,
                          activation=self.activation, groups=self.groups,
                          use_bias=self.use_bias, name=self.name)
+        _register_kernel_opts(ff, self)
+        return t
 
 
 class Conv2DTranspose(Layer):

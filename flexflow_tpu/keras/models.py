@@ -59,9 +59,40 @@ class Model:
         self.ff.compile(optimizer=optimizer, loss_type=_LOSS_MAP[loss],
                         metrics=metrics)
 
-    def fit(self, x, y, batch_size=32, epochs=1, shuffle=True, verbose=0):
-        return self.ff.fit(x, y, batch_size=batch_size, epochs=epochs,
-                           shuffle=shuffle)
+    @property
+    def ffmodel(self):
+        """The underlying FFModel (reference model.ffmodel)."""
+        return self.ff
+
+    @property
+    def optimizer(self):
+        return self.ff.optimizer
+
+    def fit(self, x, y, batch_size=32, epochs=1, shuffle=True, verbose=0,
+            callbacks=None):
+        """Training loop with keras callbacks (reference
+        python/flexflow/keras/callbacks.py driven from base_model.fit)."""
+        if not callbacks:
+            return self.ff.fit(x, y, batch_size=batch_size, epochs=epochs,
+                               shuffle=shuffle)
+        from flexflow_tpu.keras.callbacks import CallbackList
+
+        cbs = CallbackList(callbacks)
+        cbs.set_model(self)
+        cbs.set_params({"epochs": epochs, "batch_size": batch_size})
+        cbs.on_train_begin()
+        history = []
+        for epoch in range(epochs):
+            cbs.on_epoch_begin(epoch)
+            [h] = self.ff.fit(x, y, batch_size=batch_size, epochs=1,
+                              shuffle=shuffle)
+            h = dict(h, epoch=epoch)
+            history.append(h)
+            stop = any(bool(r) for r in cbs.on_epoch_end(epoch, logs=h))
+            if stop:
+                break
+        cbs.on_train_end()
+        return history
 
     def evaluate(self, x, y, batch_size=32):
         return self.ff.evaluate(x, y, batch_size=batch_size)

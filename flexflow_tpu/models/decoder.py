@@ -313,13 +313,30 @@ def _unembed(spec: ModelSpec, params: Params, h):
     w = params.get("lm_head")
     w = params["embed_tokens"].T if w is None else as_array(w)  # tied if absent
     # f32 logits via MXU-native accumulation; casting w to fp32 first would
-    # materialize an fp32 copy of the [D, V] head every decode step
+    # materialize an fp32 copy of the [D, V] head every decode step (on
+    # non-TPU backends _dotin falls back to the f32-cast formulation)
     logits = jnp.tensordot(
-        h, w.astype(h.dtype), axes=1, preferred_element_type=jnp.float32
+        attn_lib._dotin(h), attn_lib._dotin(w, h.dtype), axes=1,
+        preferred_element_type=jnp.float32,
     )
     if params.get("lm_head_bias") is not None:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)
     return logits
+
+
+def _stream_in(layer_params):
+    """Host->device transfer of one layer's params (CPU offload).
+
+    Reference --offload (config.h:189, file_loader.cc offload paths): weights
+    resident in host RAM, paged per-op onto the device. TPU-native form:
+    stacked layer params live in ``pinned_host`` memory and each scan
+    iteration streams its slice in with a memory-kind transfer, which XLA's
+    latency-hiding scheduler overlaps with the previous layer's compute.
+    """
+    dev = jax.sharding.SingleDeviceSharding(
+        jax.devices()[0], memory_kind="device"
+    )
+    return jax.tree.map(lambda a: jax.device_put(a, dev), layer_params)
 
 
 def _alibi_slopes(spec: ModelSpec):
@@ -354,6 +371,7 @@ def forward(
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
     flash: bool = False,  # caller asserts positions == arange (prefill path)
+    offload: bool = False,  # params["layers"] resident in pinned_host memory
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Self-attention forward (training / prefill).
 
@@ -413,6 +431,8 @@ def forward(
     def body(h, xs):
         if lora is not None:
             layer_params, lora_layer = xs
+            if offload:
+                layer_params = _stream_in(layer_params)
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -421,6 +441,8 @@ def forward(
             }
         else:
             layer_params = xs
+            if offload:
+                layer_params = _stream_in(layer_params)
         h, aux = _layer(spec, layer_params, h, attend)
         return h, aux
 
@@ -447,6 +469,7 @@ def forward_cached(
     lora: Optional[Params] = None,
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
+    offload: bool = False,  # params["layers"] resident in pinned_host memory
 ):
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache).
 
@@ -505,6 +528,8 @@ def forward_cached(
     def body(h, xs):
         if lora is not None:
             layer_params, ck_l, cv_l, ex, lora_layer = xs
+            if offload:
+                layer_params = _stream_in(layer_params)
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -513,6 +538,8 @@ def forward_cached(
             }
         else:
             layer_params, ck_l, cv_l, ex = xs
+            if offload:
+                layer_params = _stream_in(layer_params)
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)

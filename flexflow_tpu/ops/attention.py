@@ -40,6 +40,26 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _mxu_native() -> bool:
+    """True on TPU: keep dot inputs in bf16 with f32 accumulation (MXU
+    native). Off-TPU the f32-cast formulation is used instead — XLA:CPU
+    lacks the BF16xBF16=F32 dot kernel, and there is no multi-GB cache to
+    protect from a cast there anyway."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _dotin(x: jnp.ndarray, like_dtype=None) -> jnp.ndarray:
+    """Cast a dot operand for the current backend: native dtype on TPU,
+    float32 elsewhere. ``like_dtype`` targets the other operand's dtype on
+    the TPU path (e.g. fp32 softmax probs down to the cache dtype)."""
+    if _mxu_native():
+        return x if like_dtype is None else x.astype(like_dtype)
+    return x.astype(jnp.float32)
+
+
 def alibi_slopes(num_heads: int, alibi_bias_max: float = 8.0) -> jnp.ndarray:
     """Per-head ALiBi slopes (MPT convention, matches HF build_mpt_alibi_tensor)."""
     n_pow2 = 2 ** math.ceil(math.log2(num_heads))
@@ -84,10 +104,11 @@ def prefill_attention(
 
     qg = _group_query(q, kh)  # [S, KH, G, D]
 
-    # [KH, G, S_q, S_k] — f32 accumulation, native-dtype inputs
+    # [KH, G, S_q, S_k] — f32 accumulation, backend-appropriate input dtype
     scores = (
         jnp.einsum(
-            "qkgd,skd->kgqs", qg, k, preferred_element_type=jnp.float32
+            "qkgd,skd->kgqs", _dotin(qg), _dotin(k),
+            preferred_element_type=jnp.float32,
         )
         * scale
     )
@@ -110,8 +131,8 @@ def prefill_attention(
     probs = _softmax(scores, mask[None, None])
     out = jnp.einsum(
         "kgqs,skd->qkgd",
-        probs.astype(v.dtype),
-        v,
+        _dotin(probs, v.dtype),
+        _dotin(v),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(s, h, d).astype(q.dtype)
@@ -158,17 +179,17 @@ def split_cached_attention(
 
     # scores in f32 via MXU-native accumulation; the cache is NEVER cast
     # (an fp32 cast of the [B,KH,D,S] cache materializes a 2x copy per step)
-    qg = _group_query(q, kh).astype(k_cache.dtype)  # [B, T, KH, G, D]
+    qg = _dotin(_group_query(q, kh), k_cache.dtype)  # [B, T, KH, G, D]
     sc = (
         jnp.einsum(
-            "btkgd,bkds->bkgts", qg, k_cache,
+            "btkgd,bkds->bkgts", qg, _dotin(k_cache),
             preferred_element_type=jnp.float32,
         )
         * scale
     )
     sn = (
         jnp.einsum(
-            "btkgd,bukd->bkgtu", qg, k_new.astype(qg.dtype),
+            "btkgd,bukd->bkgtu", qg, _dotin(k_new, k_cache.dtype),
             preferred_element_type=jnp.float32,
         )
         * scale
@@ -215,11 +236,11 @@ def split_cached_attention(
         en, axis=-1, keepdims=True
     )
     oc = jnp.einsum(
-        "bkgts,bkds->btkgd", ec.astype(v_cache.dtype), v_cache,
+        "bkgts,bkds->btkgd", _dotin(ec, v_cache.dtype), _dotin(v_cache),
         preferred_element_type=jnp.float32,
     )
     on = jnp.einsum(
-        "bkgtu,bukd->btkgd", en.astype(v_new.dtype), v_new,
+        "bkgtu,bukd->btkgd", _dotin(en, v_new.dtype), _dotin(v_new),
         preferred_element_type=jnp.float32,
     )
     # denom [B,KH,G,T,1] -> [B,T,KH,G,1] to divide the output layout
@@ -258,11 +279,11 @@ def cached_attention(
     kh = k_cache.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    qg = _group_query(q, kh).astype(k_cache.dtype)  # [B, T, KH, G, D]
+    qg = _dotin(_group_query(q, kh), k_cache.dtype)  # [B, T, KH, G, D]
 
     scores = (
         jnp.einsum(
-            "btkgd,bskd->bkgts", qg, k_cache,
+            "btkgd,bskd->bkgts", qg, _dotin(k_cache),
             preferred_element_type=jnp.float32,
         )
         * scale
@@ -300,7 +321,7 @@ def cached_attention(
 
     probs = _softmax(scores, mask[:, None, None])  # [B, KH, G, T, S]
     out = jnp.einsum(
-        "bkgts,bskd->btkgd", probs.astype(v_cache.dtype), v_cache,
+        "bkgts,bskd->btkgd", _dotin(probs, v_cache.dtype), _dotin(v_cache),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, h, d).astype(q.dtype)

@@ -128,3 +128,114 @@ def merge_lora(
         )
     merged["layers"] = layers
     return merged
+
+
+def load_hf_adapter_config(adapter_dir: str) -> LoraConfig:
+    """Read an HF PEFT ``adapter_config.json`` into a LoraConfig.
+
+    Reference analog: ``LoraLinearConfig(cache_folder, peft_model_name)``
+    reads the adapter's config from the weight cache
+    (include/flexflow/ops/lora_linear_params.h:74-128).
+    """
+    import json
+    import os
+
+    with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+        cfg = json.load(f)
+    return LoraConfig(
+        rank=int(cfg.get("r", 8)),
+        alpha=float(cfg.get("lora_alpha", cfg.get("r", 8))),
+        target_modules=tuple(cfg.get("target_modules", ("q_proj", "v_proj"))),
+    )
+
+
+def load_hf_adapter_into_slot(
+    adapter_dir: str,
+    spec: ModelSpec,
+    lora: Dict[str, Dict[str, jnp.ndarray]],
+    slot: int,
+    cfg: LoraConfig,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Load HF PEFT adapter weights into slot ``slot`` of the stacked arrays.
+
+    HF PEFT stores per-layer ``lora_A.weight`` [r, D_in] / ``lora_B.weight``
+    [D_out, r] (torch y = x W^T convention); our stacks are
+    a [L, N, D_in, r] / b [L, N, r, D_out], so each matrix transposes in.
+    Reference analog: the runtime-registered adapter load path of
+    src/ops/lora_linear.cc + peft_weight_allocator.cc.
+    """
+    from flexflow_tpu.utils.hf_weights import LazyStateDict
+
+    sd = LazyStateDict(adapter_dir)
+    names = list(sd.keys())
+    out = {m: {"a": ab["a"], "b": ab["b"]} for m, ab in lora.items()}
+    for mod in cfg.keys():
+        hf_names = [h for h, k in _HF_TO_KEY.items() if k == mod]
+        a_stack = np.array(out[mod]["a"], np.float32)  # writable copies
+        b_stack = np.array(out[mod]["b"], np.float32)
+        for layer in range(spec.num_layers):
+            a_t = b_t = None
+            for name in names:
+                if f"layers.{layer}." not in name:
+                    continue
+                if not any(h in name for h in hf_names):
+                    continue
+                if "lora_A" in name:
+                    a_t = np.asarray(sd[name], np.float32).T  # [D_in, r]
+                elif "lora_B" in name:
+                    b_t = np.asarray(sd[name], np.float32).T  # [r, D_out]
+            if a_t is not None:
+                a_stack[layer, slot] = a_t
+            if b_t is not None:
+                b_stack[layer, slot] = b_t
+        out[mod] = {
+            "a": jnp.asarray(a_stack, lora[mod]["a"].dtype),
+            "b": jnp.asarray(b_stack, lora[mod]["b"].dtype),
+        }
+    return out
+
+
+def export_hf_adapter(
+    adapter_dir: str,
+    spec: ModelSpec,
+    lora: Dict[str, Dict[str, jnp.ndarray]],
+    slot: int,
+    cfg: LoraConfig,
+) -> None:
+    """Write slot ``slot`` as an HF-PEFT-layout adapter dir (reference
+    ``save_updated_weights``, batch_config.h:41-46)."""
+    import json
+    import os
+
+    os.makedirs(adapter_dir, exist_ok=True)
+    key_to_hf = {}
+    for h, k in _HF_TO_KEY.items():
+        key_to_hf.setdefault(k, h)
+    tensors = {}
+    for mod, ab in lora.items():
+        hf = key_to_hf.get(mod, mod)
+        for layer in range(spec.num_layers):
+            base = f"base_model.model.model.layers.{layer}.self_attn.{hf}"
+            if mod in ("wg", "wu", "wd"):
+                base = f"base_model.model.model.layers.{layer}.mlp.{hf}"
+            tensors[f"{base}.lora_A.weight"] = np.asarray(
+                ab["a"][layer, slot], np.float32
+            ).T
+            tensors[f"{base}.lora_B.weight"] = np.asarray(
+                ab["b"][layer, slot], np.float32
+            ).T
+    import safetensors.numpy
+
+    safetensors.numpy.save_file(
+        tensors, os.path.join(adapter_dir, "adapter_model.safetensors")
+    )
+    with open(os.path.join(adapter_dir, "adapter_config.json"), "w") as f:
+        json.dump(
+            {
+                "r": cfg.rank,
+                "lora_alpha": cfg.alpha,
+                "target_modules": list(cfg.target_modules),
+                "peft_type": "LORA",
+            },
+            f,
+        )

@@ -67,12 +67,42 @@ class LLM:
         self.tokenizer = None
         self.rm = None
         self._ssms: List["SSM"] = []
+        # PEFT adapters registered before compile (reference
+        # register_peft_adapter, inference/peft/peft.cc:331)
+        self._peft: List[tuple] = []  # [(LoraConfig, adapter_dir or None)]
+        self.lora = None
+        self.lora_config = None
 
     # ------------------------------------------------------------------
 
     def register_ssm(self, ssm: "SSM") -> None:
         """Register a draft model (reference register_ssm_model)."""
         self._ssms.append(ssm)
+
+    def register_peft_adapter(self, adapter) -> int:
+        """Register a LoRA adapter before compile; returns its slot id.
+
+        ``adapter`` is an HF PEFT adapter directory (adapter_config.json +
+        adapter_model.safetensors) or a :class:`peft.LoraConfig` for a
+        fresh (zero-delta) adapter. Reference:
+        ``FFModel::register_peft_adapter`` (inference/peft/peft.cc:331),
+        adapter slots from peft_weight_allocator.cc.
+        """
+        from flexflow_tpu.peft.lora import LoraConfig, load_hf_adapter_config
+
+        if isinstance(adapter, LoraConfig):
+            cfg, path = adapter, None
+        else:
+            cfg, path = load_hf_adapter_config(adapter), adapter
+        if self._peft:
+            first = self._peft[0][0]
+            if (cfg.rank, cfg.keys()) != (first.rank, first.keys()):
+                raise ValueError(
+                    "all adapters must share rank/target_modules (stacked "
+                    "slot layout; reference max_lora_rank analog)"
+                )
+        self._peft.append((cfg, path))
+        return len(self._peft) - 1
 
     def compile(
         self,
@@ -88,8 +118,18 @@ class LLM:
         beam_depth: int = 4,
         ssms: Sequence["SSM"] = (),
         merge_ssm_trees: bool = False,
+        offload: Optional[bool] = None,
     ) -> None:
-        """Load weights, build the engine (+ optional speculative pipeline)."""
+        """Load weights, build the engine (+ optional speculative pipeline).
+
+        ``offload`` (default: FFConfig.cpu_offload / --offload) keeps the
+        transformer-layer weights resident in pinned host memory and streams
+        each layer in per scan step — the reference's CPU offload
+        (config.h:189, file_loader.cc offload paths)."""
+        from flexflow_tpu.config import config as _ffconfig
+
+        if offload is None:
+            offload = _ffconfig.cpu_offload
         for s in ssms:
             self.register_ssm(s)
 
@@ -153,6 +193,23 @@ class LLM:
             )
             self.rm = RequestManager(engine)
         else:
+            if self._peft:
+                import jax as _jax
+
+                from flexflow_tpu.peft.lora import (
+                    init_lora_params, load_hf_adapter_into_slot,
+                )
+
+                self.lora_config = self._peft[0][0]
+                self.lora = init_lora_params(
+                    self.spec, self.lora_config, len(self._peft),
+                    _jax.random.PRNGKey(0), self.dtype,
+                )
+                for slot, (cfg, path) in enumerate(self._peft):
+                    if path is not None:
+                        self.lora = load_hf_adapter_into_slot(
+                            path, self.spec, self.lora, slot, cfg
+                        )
             engine = InferenceEngine(
                 self.spec, self.params,
                 max_requests_per_batch=max_requests_per_batch,
@@ -164,6 +221,9 @@ class LLM:
                 ),
                 cache_dtype=self.dtype,
                 mesh=mesh,
+                lora=self.lora,
+                lora_config=self.lora_config,
+                offload=offload,
             )
             self.rm = RequestManager(engine)
 
@@ -183,8 +243,13 @@ class LLM:
         temperature: float = 0.0,
         top_p: float = 1.0,
         top_k: int = 0,
+        adapter_id: int = -1,
     ) -> List[GenerationResult]:
-        """Tokenize, serve, detokenize (reference serve.py:623)."""
+        """Tokenize, serve, detokenize (reference serve.py:623).
+
+        ``adapter_id`` routes the requests through a registered LoRA
+        adapter slot (-1 = base model) — the reference's per-request
+        ``peft_model_id`` (BatchConfig PEFT fields)."""
         assert self.rm is not None, "call compile() first"
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -193,6 +258,7 @@ class LLM:
             temperature=temperature,
             top_p=top_p,
             top_k=top_k,
+            adapter_id=adapter_id,
         )
         token_lists = [
             self.tokenizer(p, return_tensors=None)["input_ids"] for p in prompts
@@ -225,13 +291,13 @@ class LLM:
         return results
 
     def start_server(self) -> None:
-        assert isinstance(self.rm, RequestManager), (
-            "background server currently supports incremental decoding"
-        )
+        """Start the background serving loop — incremental AND speculative
+        managers (reference start_background_server serves both,
+        request_manager.cc:2913/3083)."""
         self.rm.start_background_server()
 
     def stop_server(self) -> None:
-        if isinstance(self.rm, RequestManager):
+        if self.rm is not None:
             self.rm.stop_server()
 
 

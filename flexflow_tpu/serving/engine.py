@@ -61,6 +61,7 @@ class InferenceEngine:
         lora=None,
         lora_config=None,
         mesh=None,
+        offload: bool = False,
     ):
         """``mesh``: a ("data","pipe","model","seq") jax.sharding.Mesh for
         multi-chip serving — params get Megatron TP shardings, the KV cache
@@ -74,10 +75,28 @@ class InferenceEngine:
         parallel/distributed.py)."""
         self.spec = spec
         self.mesh = mesh
+        self._offload = bool(offload)
         if mesh is not None:
             from flexflow_tpu.parallel.sharding import shard_params
 
             params = shard_params(spec, params, mesh)
+        if self._offload:
+            # reference --offload (config.h:189): weights resident in host
+            # RAM; each decode layer streams in per scan iteration
+            # (decoder._stream_in). Embed/head/norms stay device-resident.
+            # Like the reference's per-GPU-local offload, this composes with
+            # single-device serving; offload under a mesh is future work.
+            if mesh is not None:
+                raise NotImplementedError(
+                    "--offload currently requires a single-device engine"
+                )
+            layer_shards = jax.sharding.SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+            params = {
+                **params,
+                "layers": jax.device_put(params["layers"], layer_shards),
+            }
         self.params = params
         # LoRA adapter stacks (reference LoraLinear registry,
         # peft_weight_allocator.cc): {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
@@ -143,7 +162,7 @@ class InferenceEngine:
                 self.spec, params, tokens, positions,
                 lengths=length[None], return_kv=True, flash=True,
                 lora=lora, adapter_onehot=onehot1,
-                lora_scale=self.lora_scale,
+                lora_scale=self.lora_scale, offload=self._offload,
             )
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
@@ -173,6 +192,7 @@ class InferenceEngine:
                 self.spec, params, tokens, positions, lengths=lengths,
                 return_kv=True, flash=True,
                 lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
+                offload=self._offload,
             )
             last = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1)[:, 0]  # [NB, V]
@@ -197,6 +217,7 @@ class InferenceEngine:
             logits, cache = decoder.forward_cached(
                 self.spec, params, tokens[:, None], cache, cache_lens,
                 lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
+                offload=self._offload,
             )
             next_tokens = sampling_lib.sample(
                 logits[:, 0], key, scfg, greedy_only=greedy_only
@@ -243,7 +264,7 @@ class InferenceEngine:
                     write_cache=False,
                     extra_kv=(sk, sv), extra_mask=emask,
                     lora=lora, adapter_onehot=onehot,
-                    lora_scale=self.lora_scale,
+                    lora_scale=self.lora_scale, offload=self._offload,
                 )
                 sk = jax.lax.dynamic_update_slice(
                     sk, k_new.astype(sk.dtype), (0, 0, i, 0, 0))
@@ -284,7 +305,7 @@ class InferenceEngine:
                 self.spec, params, tokens,
                 KVCache(ck_slot, cv_slot), lens1,
                 lora=lora, adapter_onehot=onehot1,
-                lora_scale=self.lora_scale,
+                lora_scale=self.lora_scale, offload=self._offload,
             )
             return logits, cache.k, cache.v
 

@@ -161,6 +161,13 @@ class RequestManager:
         config: Optional[GenerationConfig] = None,
     ) -> int:
         config = config or GenerationConfig()
+        if len(prompt_tokens) >= self.engine.max_seq_len:
+            # reject oversize prompts synchronously: failing later inside the
+            # background server thread would leave the caller waiting forever
+            raise ValueError(
+                f"prompt length {len(prompt_tokens)} >= max_seq_len "
+                f"{self.engine.max_seq_len}"
+            )
         req = Request(
             guid=next(self._guid),
             prompt_tokens=list(prompt_tokens),
@@ -466,12 +473,26 @@ class RequestManager:
         self._stop.clear()
 
         def loop():
-            while not self._stop.is_set():
-                if not self.step():
-                    time.sleep(0.001)
+            try:
+                while not self._stop.is_set():
+                    if not self.step():
+                        time.sleep(0.001)
+            except BaseException:
+                self._fail_all_inflight()
+                raise
 
         self._server_thread = threading.Thread(target=loop, daemon=True)
         self._server_thread.start()
+
+    def _fail_all_inflight(self) -> None:
+        """Unblock every waiter when the serving loop dies (the exception is
+        re-raised to the thread's log; callers see COMPLETED-with-whatever
+        rather than hanging forever)."""
+        with self._lock:
+            for req in self._requests.values():
+                if not req.done.is_set():
+                    req.state = COMPLETED
+                    req.done.set()
 
     def stop_server(self) -> None:
         if self._server_thread is None:

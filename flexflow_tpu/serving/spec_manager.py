@@ -15,8 +15,9 @@ cpp_inference_tests.sh:185-186).
 from __future__ import annotations
 
 import itertools
-import queue
+import threading
 import time
+import queue
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -87,6 +88,8 @@ class SpecRequestManager:
         self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._override_mask = np.zeros(b, bool)  # slots admitted since dispatch
         self._log = log_fn or (lambda *a: None)
+        self._server_thread = None
+        self._stop_evt = threading.Event()
         # --profiling: per-phase wall-time accumulation (see RequestManager)
         from flexflow_tpu.config import config as _ffconfig
         from flexflow_tpu.utils.profiling import StepTimer
@@ -105,6 +108,13 @@ class SpecRequestManager:
     def register_request(
         self, prompt_tokens: Sequence[int], config: Optional[GenerationConfig] = None
     ) -> int:
+        margin = self.spec_horizon * (self._tree_margin + 1)
+        if len(prompt_tokens) + margin >= self.engine.max_seq_len:
+            # reject oversize prompts synchronously (see RequestManager)
+            raise ValueError(
+                f"prompt length {len(prompt_tokens)} + speculation margin "
+                f"{margin} >= max_seq_len {self.engine.max_seq_len}"
+            )
         req = Request(
             guid=next(self._guid),
             prompt_tokens=list(prompt_tokens),
@@ -396,8 +406,41 @@ class SpecRequestManager:
         if prompts and isinstance(prompts[0], int):
             prompts = [prompts]
         guids = [self.register_request(p, config) for p in prompts]
-        self.run_until_idle()
+        if self._server_thread is None:
+            self.run_until_idle()
+        else:
+            for g in guids:
+                self._requests[g].done.wait()
         return [self._requests[g] for g in guids]
+
+    # background server (reference start_background_server serves the
+    # speculative loop too, request_manager.cc:2936/serve_spec_infer)
+    def start_background_server(self) -> None:
+        if self._server_thread is not None:
+            return
+        self._stop_evt.clear()
+
+        def loop():
+            try:
+                while not self._stop_evt.is_set():
+                    if not self.step() and self._pending.empty():
+                        time.sleep(0.001)
+            except BaseException:
+                for req in self._requests.values():
+                    if not req.done.is_set():
+                        req.state = COMPLETED
+                        req.done.set()
+                raise
+
+        self._server_thread = threading.Thread(target=loop, daemon=True)
+        self._server_thread.start()
+
+    def stop_server(self) -> None:
+        if self._server_thread is None:
+            return
+        self._stop_evt.set()
+        self._server_thread.join()
+        self._server_thread = None
 
     # ------------------------------------------------------------------
 
@@ -434,6 +477,13 @@ class MultiSSMSpecManager(SpecRequestManager):
         MAX_SPEC_TREE_TOKEN_NUM."""
         assert engines, "need at least one SpecEngine"
         super().__init__(engines[0], **kw)
+        if not merged and not self.fused:
+            # rotation executes each SSM's iteration as one fused dispatch;
+            # an unfused rotation mode has no user (rejected up front rather
+            # than stubbed mid-serving — round-1 ADVICE)
+            raise ValueError(
+                "multi-SSM rotation requires fused=True (or merged=True)"
+            )
         self.engines = list(engines)
         b = engines[0].max_requests
         self._ssm_lens = [np.zeros(b, np.int32) for _ in engines]
@@ -509,11 +559,7 @@ class MultiSSMSpecManager(SpecRequestManager):
         self._catchup_engine(i, active)
 
         self.engine = eng
-        lens_before = self._cache_lens.copy()
-        if self.fused:
-            ok = self._step_fused(active)
-        else:
-            ok = self._step_unfused(active, lens_before)
+        ok = self._step_fused(active)
         self._llm_cache = eng.llm_cache
         # this SSM's cache advanced with the commit; others lag until their turn
         self._ssm_lens[i] = self._cache_lens.copy()
@@ -522,11 +568,6 @@ class MultiSSMSpecManager(SpecRequestManager):
                 for ln in self._ssm_lens:
                     ln[s] = 0
         return ok
-
-    def _step_unfused(self, active, lens_before) -> bool:
-        raise NotImplementedError(
-            "multi-SSM rotation currently uses the fused path (fused=True)"
-        )
 
     def _step_merged(self) -> bool:
         """One iteration verifying every SSM's tree in a single LLM pass.

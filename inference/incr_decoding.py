@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="int8", action="store_true")
     p.add_argument("--full-precision", action="store_true",
                    help="fp32 weights (default bf16)")
+    p.add_argument("-offload", "--offload", action="store_true",
+                   help="host-resident layer weights, streamed per layer "
+                        "(reference --offload)")
+    p.add_argument("-offload-reserve-space-size",
+                   "--offload-reserve-space-size", type=int, default=0,
+                   help="accepted for parity; host memory is managed by the "
+                        "runtime allocator on TPU")
     p.add_argument("--profiling", action="store_true",
                    help="per-phase wall-time report (reference --profiling)")
     p.add_argument("--verbose", action="store_true")
@@ -78,6 +85,7 @@ def main(argv=None):
         pipeline_parallelism_degree=args.pp,
         data_parallelism_degree=args.dp,
         context_parallel_degree=args.cp,
+        offload=args.offload,
     )
 
     prompts = ["Three tips for staying healthy are: "]

@@ -1,0 +1,136 @@
+"""Serving entrypoint/usecase breadth (VERDICT r1 #7).
+
+Gates, against the reference's inference/python surface:
+- background server works for SPECULATIVE managers too (reference
+  start_background_server serves serve_spec_infer as well,
+  request_manager.cc:2936/3083) — round 1 refused spec managers;
+- the prompt-template and RAG usecases run end-to-end (stdlib fallback
+  path of the LangChain wrappers);
+- the PEFT CLI (inference/peft.py) co-serves + finetunes + exports an
+  HF-PEFT adapter dir that round-trips through register_peft_adapter.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from flexflow_tpu.serve import LLM, SSM  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama")
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    cfg.architectures = ["LlamaForCausalLM"]
+    transformers.LlamaForCausalLM(cfg).save_pretrained(
+        d, safe_serialization=True
+    )
+    from tokenizers import Tokenizer, models as tok_models
+
+    vocab = {chr(i): (i - 32) for i in range(32, 127)}
+    vocab["<unk>"] = len(vocab)
+    tok = Tokenizer(tok_models.BPE(vocab=vocab, merges=[], unk_token="<unk>"))
+    tok.save(str(d / "tokenizer.json"))
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast"}, f)
+    return str(d)
+
+
+def test_spec_background_server(model_dir):
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(
+        max_requests_per_batch=2, max_seq_length=64,
+        ssms=[SSM(model_dir, data_type="float32")],
+        beam_width=2, beam_depth=3,
+    )
+    llm.start_server()
+    try:
+        [res] = llm.generate("hello", max_new_tokens=8)
+        assert len(res.output_tokens) == 8
+    finally:
+        llm.stop_server()
+
+
+def test_prompt_template_usecase(model_dir):
+    from inference.usecases.prompt_template_incr import build_chain
+
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    chain, llm = build_chain(llm=llm, max_new_tokens=6)
+    out = chain.run(question="what is up?")
+    llm.stop_server()
+    assert isinstance(out, str)
+
+
+def test_rag_usecase(model_dir):
+    from inference.usecases.rag_incr import build_rag
+
+    llm = LLM(model_dir, data_type="float32")
+    # char-level tokenizer: the stuffed RAG prompt needs seq headroom
+    llm.compile(max_requests_per_batch=2, max_seq_length=128)
+    docs = ["TPUs multiply fast.", "Bananas are yellow."]
+    answer, llm = build_rag(llm=llm, docs=docs, max_new_tokens=4)
+    out = answer("TPUs?", k=1)
+    llm.stop_server()
+    assert isinstance(out, str)
+
+
+def test_oversize_prompt_rejected_synchronously(model_dir):
+    """A too-long prompt must raise at registration, not hang the server."""
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    llm.start_server()
+    try:
+        with pytest.raises(ValueError, match="max_seq_len"):
+            llm.generate("x" * 500, max_new_tokens=4)
+    finally:
+        llm.stop_server()
+
+
+def test_retriever_ranks_by_overlap():
+    from inference.usecases.langchain_support import TokenOverlapRetriever
+
+    r = TokenOverlapRetriever(
+        ["TPUs multiply matrices quickly.", "Bananas are yellow fruit."],
+        chunk_chars=100,
+    )
+    top = r.retrieve("how do TPUs multiply matrices", k=1)
+    assert "TPU" in top[0]
+
+
+def test_peft_cli_end_to_end(model_dir, tmp_path, capsys):
+    from inference.peft import main as peft_main
+
+    dataset = tmp_path / "data.json"
+    prompts = tmp_path / "prompts.json"
+    json.dump(["hello world hello world"] * 2, open(dataset, "w"))
+    json.dump(["hello "], open(prompts, "w"))
+    adapter_dir = str(tmp_path / "adapter")
+    rc = peft_main([
+        "-llm-model", model_dir, "-enable-peft",
+        "-prompt", str(prompts), "-finetuning-dataset", str(dataset),
+        "--max-new-tokens", "4", "--max-training-steps", "2",
+        "--max-sequence-length", "64", "--full-precision",
+        "--save-peft", adapter_dir,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[Finetune] steps" in out
+    assert os.path.exists(os.path.join(adapter_dir, "adapter_model.safetensors"))
+
+    # round-trip: serve through the exported adapter
+    llm = LLM(model_dir, data_type="float32")
+    aid = llm.register_peft_adapter(adapter_dir)
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    [res] = llm.generate("hello", max_new_tokens=4, adapter_id=aid)
+    assert len(res.output_tokens) == 4

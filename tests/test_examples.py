@@ -1,6 +1,8 @@
 """Training example smoke tests (reference tests/training_tests.sh analog)."""
 
 import os
+
+import numpy as np
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -24,3 +26,20 @@ def test_dlrm():
 def test_transformer():
     from examples import transformer
     transformer.main(batch_size=8, epochs=2, samples=32)
+
+
+def test_moe_training_example():
+    """Reference examples/cpp/mixture_of_experts/moe.cc analog — exercises
+    the gate->topk->experts->aggregate composite through full training."""
+    from examples.moe import main
+
+    hist = main(batch_size=8, epochs=1, samples=32)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_inception_training_example():
+    """Reference examples/cpp/InceptionV3 analog (inception towers)."""
+    from examples.inception import main
+
+    hist = main(batch_size=4, epochs=1, samples=8)
+    assert np.isfinite(hist[-1]["loss"])

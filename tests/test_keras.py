@@ -63,3 +63,81 @@ def test_functional_two_branch():
     model.compile(optimizer=keras.Adam(learning_rate=1e-2))
     hist = model.fit(x, y, batch_size=32, epochs=10)
     assert hist[-1]["accuracy"] > 0.8
+
+
+def test_callbacks_lr_schedule_and_history():
+    """LearningRateScheduler + History + VerifyMetrics (reference
+    python/flexflow/keras/callbacks.py)."""
+    import numpy as np
+
+    from flexflow_tpu import keras
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(64, 8).astype("float32")
+    y = (x.sum(-1) > 4.0).astype("int64")
+
+    model = keras.Sequential([
+        keras.Input(shape=(8,), batch_size=16),
+        keras.Dense(16, activation="relu"),
+        keras.Dense(2),
+    ])
+    model.compile(optimizer=keras.SGD(learning_rate=0.5),
+                  loss="sparse_categorical_crossentropy")
+    sched = keras.callbacks.LearningRateScheduler(lambda e: 0.5 * (0.5 ** e))
+    hist_cb = keras.callbacks.History()
+    model.fit(x, y, batch_size=16, epochs=3,
+              callbacks=[sched, hist_cb, keras.callbacks.VerifyMetrics(0.5)])
+    assert len(hist_cb.history["loss"]) == 3
+    assert abs(model.optimizer.lr - 0.5 * 0.25) < 1e-9
+
+
+def test_regularizer_and_initializer():
+    import numpy as np
+
+    from flexflow_tpu import keras
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(32, 4).astype("float32")
+    y = rng.randint(0, 2, 32).astype("int64")
+
+    def build(reg):
+        model = keras.Sequential([
+            keras.Input(shape=(4,), batch_size=16),
+            keras.Dense(8, activation="relu",
+                        kernel_regularizer=reg,
+                        kernel_initializer=keras.initializers.RandomNormal(
+                            stddev=0.1, seed=3)),
+            keras.Dense(2),
+        ])
+        model.compile(optimizer=keras.SGD(learning_rate=0.1),
+                      loss="sparse_categorical_crossentropy")
+        return model
+
+    m_reg = build(keras.regularizers.L2(1.0))
+    m_base = build(None)
+    m_reg.fit(x, y, batch_size=16, epochs=3, shuffle=False)
+    m_base.fit(x, y, batch_size=16, epochs=3, shuffle=False)
+    w_reg = np.asarray(
+        m_reg.ff.params[m_reg.ff._nodes[1].name]["w"])
+    w_base = np.asarray(
+        m_base.ff.params[m_base.ff._nodes[1].name]["w"])
+    # same init (seeded initializer), so the L2 penalty must shrink weights
+    assert np.linalg.norm(w_reg) < np.linalg.norm(w_base)
+
+
+def test_preprocessing_and_synthetic_datasets():
+    import numpy as np
+
+    from flexflow_tpu.keras.datasets import mnist
+    from flexflow_tpu.keras.preprocessing.sequence import pad_sequences
+    from flexflow_tpu.keras.preprocessing.text import Tokenizer
+
+    tok = Tokenizer(oov_token="<oov>")
+    tok.fit_on_texts(["the cat sat", "the dog sat down"])
+    seqs = tok.texts_to_sequences(["the cat ran"])
+    assert len(seqs[0]) == 3  # 'ran' -> oov id
+    padded = pad_sequences(seqs, maxlen=5)
+    assert padded.shape == (1, 5) and padded[0, 0] == 0
+
+    (xtr, ytr), (xte, yte) = mnist.load_data(synthetic=True)
+    assert xtr.shape == (512, 28, 28) and ytr.shape == (512,)

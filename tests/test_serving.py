@@ -207,3 +207,43 @@ def test_chunked_prefill_matches(tiny_params):
     rm2 = RequestManager(chunked2, decode_horizon=4, pipelined=True)
     [got2] = rm2.generate([prompt], GenerationConfig(max_new_tokens=8))
     assert got2.output_tokens == want.output_tokens
+
+
+def test_cpu_offload_matches_resident():
+    """--offload (host-resident layer weights streamed per layer) must be
+    output-identical to device-resident serving. Reference: config.h:189 +
+    file_loader.cc offload paths; round 1 shipped the flag dead."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu import specs
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=256, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16, intermediate_size=128,
+        max_position_embeddings=256, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    prompts = [np.random.RandomState(i).randint(1, 256, size=12).tolist()
+               for i in range(3)]
+    cfg = GenerationConfig(max_new_tokens=12)
+
+    def run(offload):
+        eng = InferenceEngine(
+            spec, params, max_requests_per_batch=3, max_seq_len=64,
+            cache_dtype=jnp.float32, offload=offload,
+        )
+        if offload:
+            assert (
+                eng.params["layers"]["wq"].sharding.memory_kind
+                == "pinned_host"
+            )
+        return [r.output_tokens
+                for r in RequestManager(eng).generate(prompts, cfg)]
+
+    assert run(True) == run(False)

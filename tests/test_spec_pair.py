@@ -92,3 +92,63 @@ def test_perturb_params_changes_weights_not_norms():
     dw = np.asarray(q["layers"]["wu"], np.float32) - np.asarray(
         p["layers"]["wu"], np.float32)
     assert 0.01 < dw.std() / np.asarray(p["layers"]["wu"]).std() < 0.2
+
+
+def test_fast_quant_matches_reference_construction():
+    """fast_quantized_verifier must produce carriers BIT-IDENTICAL to
+    quantizing the full embedded construction (the analytic zero-group
+    encoding it relies on)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.spec_pair import (
+        embed_draft_in_verifier, fast_quantized_verifier, quantize_and_upload,
+    )
+    from flexflow_tpu import specs
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.quant.weight_only import QuantizedArray
+
+    D = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=600, hidden_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+        intermediate_size=512, max_position_embeddings=256, norm_eps=1e-6,
+    )
+    V = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=600, hidden_size=1024,
+        num_layers=4, num_heads=8, num_kv_heads=8, head_dim=128,
+        intermediate_size=2048, max_position_embeddings=256, norm_eps=1e-6,
+    )
+    dp = params_lib.init_params(D, jax.random.PRNGKey(0), jnp.float32)
+
+    def cmp(path, a, b):
+        if isinstance(a, QuantizedArray):
+            assert (a.shape, a.bits, a.group_size, a.rest_pad,
+                    a.batch_dims, a.contract_dims) == (
+                b.shape, b.bits, b.group_size, b.rest_pad,
+                b.batch_dims, b.contract_dims), path
+            np.testing.assert_array_equal(
+                np.asarray(a.q), np.asarray(b.q), err_msg=path)
+            np.testing.assert_allclose(
+                np.asarray(a.scale), np.asarray(b.scale), rtol=1e-6,
+                err_msg=path)
+            if a.offset is not None:
+                np.testing.assert_allclose(
+                    np.asarray(a.offset), np.asarray(b.offset), rtol=1e-6,
+                    atol=1e-18, err_msg=path)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=path)
+
+    for bits in (8, 4):
+        vnp = embed_draft_in_verifier(D, dp, V, as_numpy=True)
+        ref = quantize_and_upload(vnp, V, bits)
+        fast = fast_quantized_verifier(D, dp, V, bits)
+        for k in ref:
+            if k == "layers":
+                for kk in ref["layers"]:
+                    cmp(f"{bits}:layers.{kk}", ref["layers"][kk],
+                        fast["layers"][kk])
+            else:
+                cmp(f"{bits}:{k}", ref[k], fast[k])
