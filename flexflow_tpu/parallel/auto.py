@@ -182,3 +182,216 @@ def optimize_layout(
         if t < best_t:
             best, best_t = lo, t
     return best, report
+
+
+# ---------------------------------------------------------------------------
+# per-op cost cache + simulated runtime (reference Simulator analog)
+# ---------------------------------------------------------------------------
+
+
+class OpCostCache:
+    """Measured per-op cost cache (reference ``measure_operator_cost``,
+    include/flexflow/simulator.h:690-780: each op's kernels are timed
+    on-device once and memoized by an op+config hash).
+
+    Keys are hashable op descriptors (kind, shapes, dtype, degree); values
+    are measured seconds. ``measure`` compiles+times a thunk on first use.
+    """
+
+    def __init__(self):
+        self._cache: Dict[tuple, float] = {}
+
+    def __len__(self):
+        return len(self._cache)
+
+    def measure(self, key: tuple, thunk: Callable[[], None],
+                *, warmup: int = 1, reps: int = 3) -> float:
+        if key in self._cache:
+            return self._cache[key]
+        try:
+            for _ in range(warmup):
+                thunk()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                thunk()
+            t = (time.perf_counter() - t0) / reps
+        except Exception:
+            t = float("inf")
+        self._cache[key] = t
+        return t
+
+    def get(self, key: tuple) -> Optional[float]:
+        return self._cache.get(key)
+
+
+def _op_descriptors(spec: ModelSpec, layout: Layout, batch_size: int,
+                    seq_len: int) -> List[tuple]:
+    """Per-layer op list under a layout (shapes AFTER sharding): the unit of
+    the reference's per-op cost accounting."""
+    d = spec.hidden_size
+    f = spec.intermediate_size // layout.model
+    h = spec.num_heads // layout.model if spec.num_heads % layout.model == 0 \
+        else spec.num_heads
+    rows = batch_size // layout.data * seq_len
+    mlp_mults = 3 if spec.act == "silu_gate" else 2
+    ops = [
+        ("matmul", rows, d, h * spec.head_dim),                # qkv (q part)
+        ("matmul", rows, d, 2 * (spec.num_kv_heads * spec.head_dim
+                                 // max(1, layout.model))),    # kv
+        ("matmul", rows, h * spec.head_dim, d),                # o proj
+        ("attn", rows // max(seq_len, 1), h, seq_len, spec.head_dim),
+        ("matmul", rows, d, mlp_mults * f),                    # up/gate
+        ("matmul", rows, f, d),                                # down
+    ]
+    return ops
+
+
+def simulate_runtime(
+    spec: ModelSpec,
+    layout: Layout,
+    batch_size: int,
+    seq_len: int,
+    cache: OpCostCache,
+    *,
+    machine: Optional[MachineModel] = None,
+    train: bool = True,
+) -> float:
+    """Per-op-measured step estimate (reference ``simulate_runtime``,
+    simulator.h:706-727: task-graph simulation over measured op costs +
+    machine-model transfer costs; on TPU the graph is a per-layer chain, so
+    the critical path is the sum of measured op costs x layers x fwd/bwd
+    factor, plus the analytic collective terms).
+    """
+    import jax.numpy as jnp
+
+    m = machine or MachineModel()
+    total = 0.0
+    for desc in _op_descriptors(spec, layout, batch_size, seq_len):
+        if desc[0] == "matmul":
+            _, rows, k, n = desc
+            if min(rows, k, n) <= 0:
+                continue
+
+            def thunk(rows=rows, k=k, n=n):
+                a = jnp.ones((rows, k), jnp.bfloat16)
+                b = jnp.ones((k, n), jnp.bfloat16)
+                jax.block_until_ready(jax.jit(
+                    lambda a, b: a @ b)(a, b))
+
+            total += cache.measure(desc, thunk)
+        elif desc[0] == "attn":
+            _, b, h, s, dh = desc
+            if min(b, h, s, dh) <= 0:
+                continue
+
+            def thunk(b=b, h=h, s=s, dh=dh):
+                q = jnp.ones((max(b, 1), h, s, dh), jnp.bfloat16)
+
+                def attn(q):
+                    sc = jnp.einsum("bhqd,bhkd->bhqk", q, q)
+                    return jnp.einsum(
+                        "bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), q)
+
+                jax.block_until_ready(jax.jit(attn)(q))
+
+            total += cache.measure(desc, thunk)
+    total *= spec.num_layers // layout.pipe  # per-stage layer count
+    if train:
+        total *= 3.0  # fwd + ~2x bwd (reference's fwd/bwd kernel pairing)
+    # collective + bubble terms from the analytic machine model
+    comm_only = analytic_cost(layout, spec, batch_size, seq_len, m)
+    flops_only = analytic_cost(
+        layout, spec, batch_size, seq_len,
+        MachineModel(chip_flops=m.chip_flops, ici_bw=float("inf"),
+                     hbm_bw=m.hbm_bw, hbm_bytes=m.hbm_bytes),
+    )
+    comm = max(comm_only - flops_only, 0.0)
+    bubble = 1.0
+    if layout.pipe > 1:
+        mb = layout.num_microbatches
+        bubble = (mb + layout.pipe - 1) / mb
+    return total * bubble + comm
+
+
+# ---------------------------------------------------------------------------
+# memory-constrained search (reference graph.cc:2126-2221)
+# ---------------------------------------------------------------------------
+
+
+def estimate_memory(
+    layout: Layout, spec: ModelSpec, batch_size: int, seq_len: int,
+    *, train: bool = True,
+) -> float:
+    """Per-device bytes under a layout: params (+grads+Adam moments when
+    training) + activation working set (with pipeline microbatching)."""
+    d, f, l, v = (spec.hidden_size, spec.intermediate_size, spec.num_layers,
+                  spec.vocab_size)
+    mlp_mults = 3 if spec.act == "silu_gate" else 2
+    n_params = l * (
+        d * (spec.num_heads + 2 * spec.num_kv_heads) * spec.head_dim
+        + spec.num_heads * spec.head_dim * d + mlp_mults * d * f
+    ) + v * d
+    shard = layout.model * layout.pipe
+    state_mult = 16 if train else 2  # bf16 params + f32 grads/moments
+    param_bytes = n_params * state_mult / shard
+    rows = batch_size // layout.data * seq_len
+    if layout.pipe > 1:
+        rows //= layout.num_microbatches
+    act_bytes = rows * d * 2 * (l // layout.pipe) * (4 if train else 1)
+    return param_bytes + act_bytes
+
+
+def memory_constrained_search(
+    spec: ModelSpec,
+    *,
+    n_devices: int,
+    batch_size: int,
+    seq_len: int,
+    memory_budget_bytes: float,
+    machine: Optional[MachineModel] = None,
+    train: bool = True,
+    iters: int = 16,
+) -> Tuple[Optional[Layout], List[Dict]]:
+    """Best layout whose per-device memory fits the budget.
+
+    Reference: the memory-constrained Unity search binary-searches a
+    Lagrange multiplier ``lambda`` on the combined objective
+    ``run_time + lambda * memory`` until the optimum satisfies the budget
+    (graph.cc:2126-2221). The same loop here over the layout enumeration:
+    lambda rises while the optimum is over budget, falls otherwise — the
+    returned layout is the fastest one meeting the constraint (None if no
+    layout fits).
+    """
+    candidates = enumerate_layouts(n_devices, spec, batch_size)
+    if not candidates:
+        return None, []
+    mems = {lo: estimate_memory(lo, spec, batch_size, seq_len, train=train)
+            for lo in candidates}
+    runts = {lo: analytic_cost(lo, spec, batch_size, seq_len, machine)
+             for lo in candidates}
+    report = [
+        {"layout": str(lo), "analytic_s": runts[lo], "mem_gb": mems[lo] / 1e9}
+        for lo in candidates
+    ]
+    feasible = [lo for lo in candidates if mems[lo] <= memory_budget_bytes]
+    if not feasible:
+        return None, report
+    lam_lo, lam_hi = 0.0, 1.0
+    # grow lambda until the combined optimum is feasible
+    for _ in range(iters):
+        best = min(candidates, key=lambda lo: runts[lo] + lam_hi * mems[lo])
+        if mems[best] <= memory_budget_bytes:
+            break
+        lam_hi *= 8.0
+    # binary search the threshold lambda (reference's bisection)
+    for _ in range(iters):
+        lam = 0.5 * (lam_lo + lam_hi)
+        best = min(candidates, key=lambda lo: runts[lo] + lam * mems[lo])
+        if mems[best] <= memory_budget_bytes:
+            lam_hi = lam
+        else:
+            lam_lo = lam
+    best = min(candidates, key=lambda lo: runts[lo] + lam_hi * mems[lo])
+    if mems[best] > memory_budget_bytes:
+        best = min(feasible, key=lambda lo: runts[lo])
+    return best, report

@@ -298,11 +298,53 @@ class RequestManager:
         req.done.set()
 
     def _process_horizon(self, out_tokens: np.ndarray, entries) -> None:
-        """Apply one fetched horizon's tokens to its dispatched requests."""
+        """Apply one fetched horizon's tokens to its dispatched requests.
+
+        Runs the whole-horizon bookkeeping (token append, EOS / budget /
+        max-new completion) in the native scheduler core when available —
+        the reference does the same work in C++ on its dedicated CPU task
+        (request_manager.cc:713-1130); the Python loop is the fallback and
+        the behavioral reference (tests/test_native.py gates equivalence).
+        """
+        from flexflow_tpu.utils import native_scheduler
+
         n = out_tokens.shape[0]
-        for slot, req in entries:
-            if req.state == COMPLETED:
-                continue  # retired while this horizon was in flight
+        live = [(s, r) for s, r in entries if r.state != COMPLETED]
+        if native_scheduler.available() and live:
+            b = self.engine.max_requests
+            active = np.zeros(b, np.int32)
+            counts = np.zeros(b, np.int32)
+            max_new = np.full(b, 1 << 30, np.int32)
+            totals = np.zeros(b, np.int32)
+            budget = np.full(b, 1 << 30, np.int32)
+            max_stop = max(
+                [len(tuple(r.config.stop_token_ids)) for _, r in live] + [1]
+            )
+            stop_ids = np.full((b, max_stop), -1, np.int32)
+            stop_counts = np.zeros(b, np.int32)
+            for s, r in live:
+                active[s] = 1
+                counts[s] = len(r.output_tokens)
+                max_new[s] = r.config.max_new_tokens
+                totals[s] = len(r.prompt_tokens) + len(r.output_tokens)
+                budget[s] = self.engine.max_seq_len
+                sids = tuple(r.config.stop_token_ids)
+                stop_counts[s] = len(sids)
+                stop_ids[s, : len(sids)] = sids
+            eos = np.asarray(self.eos_token_ids or [-1], np.int32)
+            toks, taken, fin = native_scheduler.process_horizon(
+                np.asarray(out_tokens, np.int32), active, counts, max_new,
+                totals, budget, self.decode_horizon, eos,
+                stop_ids, stop_counts,
+            )
+            for s, r in live:
+                k = int(taken[s])
+                r.output_tokens.extend(int(x) for x in toks[s, :k])
+                r.profile.llm_decoding_steps += k
+                if fin[s]:
+                    self._retire(s)
+            return
+        for slot, req in live:
             for i in range(n):
                 tok = int(out_tokens[i, slot])
                 req.output_tokens.append(tok)

@@ -199,6 +199,41 @@ def from_torch_module(
                 out = args[0][node.args[1]]
             elif fn is torch.matmul:
                 out = ff.batch_matmul(args[0], args[1])
+            elif fn in (operator.pow, torch.pow):
+                out = ff.pow(args[0], float(node.args[1]))
+            elif fn is torch.rsqrt:
+                out = ff.rsqrt(args[0])
+            elif fn is torch.sqrt:
+                out = ff.sqrt(args[0])
+            elif fn is torch.log:
+                out = ff.log(args[0])
+            elif fn is torch.sin:
+                out = ff.sin(args[0])
+            elif fn is torch.cos:
+                out = ff.cos(args[0])
+            elif fn is F.elu:
+                out = ff.elu(args[0])
+            elif fn is F.dropout:
+                out = ff.dropout(args[0], rate=node.kwargs.get("p", 0.5))
+            elif fn is torch.mean:
+                dims = node.kwargs.get(
+                    "dim", node.args[1] if len(node.args) > 1 else None)
+                keep = bool(node.kwargs.get("keepdim", False))
+                if dims is None:
+                    dims = list(range(args[0].ndim))
+                if isinstance(dims, int):
+                    dims = [dims]
+                out = ff.mean(args[0], dims, keepdims=keep)
+            elif fn is torch.unsqueeze:
+                d = node.args[1] % (args[0].ndim + 1)
+                shape = list(args[0].shape)
+                shape.insert(d, 1)
+                out = ff.reshape(args[0], shape)
+            elif fn is torch.transpose:
+                d0, d1 = node.args[1], node.args[2]
+                perm = list(range(args[0].ndim))
+                perm[d0], perm[d1] = perm[d1], perm[d0]
+                out = ff.transpose(args[0], perm)
             else:
                 raise NotImplementedError(f"torch function {fn}")
             mark(node, out)
@@ -224,11 +259,89 @@ def from_torch_module(
                 out = ff.transpose(x, list(node.args[1:]))
             elif m == "relu":
                 out = ff.relu(x)
+            elif m == "contiguous":
+                out = ff.identity(x)
+            elif m == "mean":
+                dims = node.kwargs.get(
+                    "dim", node.args[1] if len(node.args) > 1 else None)
+                keep = bool(node.kwargs.get("keepdim", False))
+                if dims is None:
+                    dims = list(range(x.ndim))
+                if isinstance(dims, int):
+                    dims = [dims]
+                out = ff.mean(x, dims, keepdims=keep)
+            elif m == "pow":
+                out = ff.pow(x, float(node.args[1]))
+            elif m == "unsqueeze":
+                d = node.args[1] % (x.ndim + 1)
+                shape = list(x.shape)
+                shape.insert(d, 1)
+                out = ff.reshape(x, shape)
+            elif m == "squeeze":
+                if len(node.args) > 1:
+                    d = node.args[1] % x.ndim
+                    shape = [s for i, s in enumerate(x.shape) if i != d]
+                else:
+                    shape = [s for s in x.shape if s != 1]
+                out = ff.reshape(x, shape)
+            elif m in ("to", "float", "double", "half", "type_as"):
+                dt = jnp.float32
+                if m == "half":
+                    dt = jnp.bfloat16
+                elif m == "to" and len(node.args) > 1:
+                    dmap = {torch.float32: jnp.float32,
+                            torch.float64: jnp.float32,
+                            torch.bfloat16: jnp.bfloat16,
+                            torch.int32: jnp.int32,
+                            torch.int64: jnp.int32}
+                    dt = dmap.get(node.args[1], jnp.float32)
+                elif m == "type_as":
+                    other = t(node.args[1])
+                    dt = other.dtype
+                out = ff.cast(x, dt)
+            elif m == "split":
+                size = node.args[1]
+                dim = node.kwargs.get(
+                    "dim", node.args[2] if len(node.args) > 2 else 0)
+                total = x.shape[dim]
+                if isinstance(size, int):
+                    sizes = [size] * (total // size)
+                    if total % size:
+                        sizes.append(total % size)
+                else:
+                    sizes = list(size)
+                out = tuple(ff.split(x, sizes, axis=dim))
+            elif m == "matmul":
+                out = ff.batch_matmul(x, t(node.args[1]))
+            elif m == "softmax":
+                dim = node.kwargs.get(
+                    "dim", node.args[1] if len(node.args) > 1 else -1)
+                out = ff.softmax(x, axis=dim)
+            elif m == "sigmoid":
+                out = ff.sigmoid(x)
+            elif m == "tanh":
+                out = ff.tanh(x)
+            elif m == "exp":
+                out = ff.exp(x)
             else:
                 raise NotImplementedError(f"torch method {m}")
             mark(node, out)
         elif node.op == "get_attr":
-            raise NotImplementedError("get_attr tensors not supported")
+            # constant attributes: resolve from the traced module. Scalars
+            # flow into the scalar-op paths; tensor constants are loaded as
+            # frozen weights via a 1-output dense trick is NOT done — only
+            # 0-d/1-element constants are supported (reference torch/model.py
+            # routes constants through ATTRIBUTE ops similarly narrowly).
+            obj = gm
+            for part in node.target.split("."):
+                obj = getattr(obj, part)
+            val = obj.detach().numpy() if hasattr(obj, "detach") else obj
+            if np.ndim(val) == 0 or np.size(val) == 1:
+                mark(node, float(np.reshape(val, ())))
+            else:
+                raise NotImplementedError(
+                    "get_attr tensor constants > 1 element not supported"
+                )
         elif node.op == "output":
             pass
 

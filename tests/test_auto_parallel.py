@@ -77,3 +77,53 @@ def test_optimize_layout_measured():
     assert len(report) >= 3
     measured = [r["measured_s"] for r in report if r["measured_s"] < 1e9]
     assert measured, report
+
+
+def test_op_cost_cache_and_simulate_runtime():
+    """Reference Simulator analog: per-op measured costs cached by
+    op+config hash (simulator.h:750) feeding a step-time estimate
+    (simulate_runtime, simulator.h:706-727)."""
+    from flexflow_tpu.parallel.auto import (
+        Layout, OpCostCache, simulate_runtime,
+    )
+
+    cache = OpCostCache()
+    t1 = simulate_runtime(TINY, Layout(1, 1, 1), 4, 32, cache)
+    n_after_first = len(cache)
+    assert t1 > 0 and n_after_first > 0
+    # second call: every op hits the cache (no growth)
+    t2 = simulate_runtime(TINY, Layout(1, 1, 1), 4, 32, cache)
+    assert len(cache) == n_after_first
+    assert t2 == t1  # fully cached -> deterministic
+    # a TP layout adds new (sharded-shape) entries
+    simulate_runtime(TINY, Layout(1, 1, 2), 4, 32, cache)
+    assert len(cache) > n_after_first
+
+
+def test_memory_constrained_search():
+    """Reference graph.cc:2126-2221: lambda bisection picks the fastest
+    layout under a per-device memory budget."""
+    from flexflow_tpu.parallel.auto import (
+        estimate_memory, memory_constrained_search,
+    )
+
+    # generous budget: unconstrained optimum
+    best, report = memory_constrained_search(
+        TINY, n_devices=8, batch_size=8, seq_len=32,
+        memory_budget_bytes=1e15,
+    )
+    assert best is not None
+    # tight budget: forces a model/pipe-sharded layout (more weight sharding)
+    mem_unsharded = estimate_memory(best, TINY, 8, 32)
+    tight = mem_unsharded * 0.5
+    best2, _ = memory_constrained_search(
+        TINY, n_devices=8, batch_size=8, seq_len=32,
+        memory_budget_bytes=tight,
+    )
+    if best2 is not None:
+        assert estimate_memory(best2, TINY, 8, 32) <= tight
+    # impossible budget: None
+    none, _ = memory_constrained_search(
+        TINY, n_devices=8, batch_size=8, seq_len=32, memory_budget_bytes=1.0,
+    )
+    assert none is None

@@ -92,3 +92,68 @@ def test_bpe_matches_hf(tmp_path, built):
         got = ours.encode(text)
         assert got == want, (text, got, want)
         assert ours.decode(got) == text
+
+
+def test_native_scheduler_matches_python_loop():
+    """Native ff_process_horizon == the Python reference loop over a fuzzed
+    batch of slots (EOS, stop ids, max-new, and seq-budget retirement)."""
+    import numpy as np
+
+    from flexflow_tpu.utils import native_scheduler
+
+    if not native_scheduler.available():
+        import pytest
+
+        pytest.skip("native scheduler lib unavailable")
+
+    rng = np.random.RandomState(0)
+    n, b = 8, 16
+    eos = np.asarray([2, 7], np.int32)
+    for trial in range(20):
+        tokens = rng.randint(0, 12, size=(n, b)).astype(np.int32)
+        active = (rng.rand(b) < 0.8).astype(np.int32)
+        counts0 = rng.randint(0, 5, size=b).astype(np.int32)
+        max_new = rng.randint(3, 12, size=b).astype(np.int32)
+        totals0 = counts0 + rng.randint(1, 10, size=b).astype(np.int32)
+        budget = rng.randint(8, 30, size=b).astype(np.int32)
+        margin = 4
+        stop_ids = np.full((b, 2), -1, np.int32)
+        stop_counts = np.zeros(b, np.int32)
+        stop_ids[::3, 0] = 5
+        stop_counts[::3] = 1
+
+        # python reference
+        ref_taken = np.zeros(b, np.int64)
+        ref_fin = np.zeros(b, np.int64)
+        ref_out = np.zeros((b, n), np.int64)
+        for s in range(b):
+            if not active[s]:
+                continue
+            c, t = int(counts0[s]), int(totals0[s])
+            for i in range(n):
+                tok = int(tokens[i, s])
+                ref_out[s, ref_taken[s]] = tok
+                ref_taken[s] += 1
+                c += 1
+                t += 1
+                stop = tok in eos.tolist() or (
+                    stop_counts[s] and tok in stop_ids[s, :stop_counts[s]]
+                )
+                if not stop and c >= max_new[s]:
+                    stop = True
+                if not stop and t + margin > budget[s]:
+                    stop = True
+                if stop:
+                    ref_fin[s] = 1
+                    break
+
+        counts = counts0.copy()
+        totals = totals0.copy()
+        out, taken, fin = native_scheduler.process_horizon(
+            tokens, active, counts, max_new, totals, budget, margin,
+            eos, stop_ids, stop_counts,
+        )
+        assert (taken == ref_taken).all(), trial
+        assert (fin == ref_fin).all(), trial
+        for s in range(b):
+            assert (out[s, :taken[s]] == ref_out[s, :taken[s]]).all()

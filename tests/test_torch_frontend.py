@@ -99,3 +99,34 @@ def test_imported_model_trains():
     y = (x @ w).argmax(-1).astype(np.int32)
     hist = ff.fit(x, y, batch_size=32, epochs=10)
     assert hist[-1]["accuracy"] > 0.85
+
+
+def test_fx_widened_ops_numeric():
+    """Widened call_function/call_method coverage (reference torch/model.py
+    OpType set): pow/rsqrt/mean/unsqueeze/squeeze/contiguous/split/
+    softmax-method/cast verified numerically vs torch."""
+    import torch
+    import torch.nn as nn
+
+    class M(nn.Module):
+        def forward(self, x):
+            a = torch.rsqrt(x.pow(2.0).mean(dim=-1, keepdim=True) + 1.0)
+            b = (x * a).contiguous()
+            c = b.unsqueeze(1).squeeze(1)
+            lo, hi = c.split(4, dim=-1)
+            d = torch.cat([lo.softmax(dim=-1), hi.sigmoid()], dim=-1)
+            return (d + torch.sqrt(torch.tensor(4.0))).float()
+
+    m = M().eval()
+    x = torch.randn(3, 8)
+    want = m(x).detach().numpy()
+
+    from flexflow_tpu.torch_frontend import from_torch_module
+
+    ff = from_torch_module(m, [(8,)], batch_size=3)
+    ff.compile()
+    from flexflow_tpu.torch_frontend import apply_torch_weights
+
+    apply_torch_weights(ff)
+    got = np.asarray(ff.forward(x.numpy()))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
