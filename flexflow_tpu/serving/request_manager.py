@@ -147,6 +147,10 @@ class RequestManager:
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
         self._num_processed = 0
+        # tokens already dispatched (incl. in-flight horizons) per slot —
+        # the projection that lets the pipelined scheduler stop dispatching
+        # into a wave whose budgets are exhausted
+        self._projected = np.zeros(b, np.int64)
         self._server_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._log = log_fn or (lambda *a: None)
@@ -210,6 +214,7 @@ class RequestManager:
             req.profile.start_time = time.monotonic()
             self._slots[slot] = req
             self._cache_lens[slot] = len(req.prompt_tokens)
+            self._projected[slot] = 1  # the prefill's first token
             self._temperature[slot] = req.config.temperature
             self._top_p[slot] = req.config.top_p
             self._top_k[slot] = req.config.top_k
@@ -289,6 +294,7 @@ class RequestManager:
         self._slots[slot] = None
         self._cache_lens[slot] = 0
         self._adapter[slot] = -1
+        self._projected[slot] = 0
         self._num_processed += 1
         self._log(
             f"[Profile] guid({req.guid}) llm_decoding_steps("
@@ -375,18 +381,43 @@ class RequestManager:
             return contextlib.nullcontext()
         return self.timer.phase(name)
 
+    def _choose_horizon(self, active, *, projected: bool = False) -> int:
+        """Drain-aware horizon: when every active request retires within k
+        steps (max_new budgets), dispatch a power-of-two horizon >= k
+        instead of the full one — full horizons into a retiring wave were
+        ~2-4 of 12 in the headline bench (pure waste). Power-of-two buckets
+        bound the compile count (the BatchConfig static-shape discipline).
+
+        ``projected=True`` (pipelined mode) counts in-flight horizons too and
+        returns 0 when every active slot's budget is already covered by
+        dispatched work — the caller then skips the dispatch entirely."""
+        rem = 0
+        for s in active:
+            req = self._slots[s]
+            done = (
+                int(self._projected[s]) if projected
+                else len(req.output_tokens)
+            )
+            rem = max(rem, req.config.max_new_tokens - done)
+        if rem <= 0:
+            return 0 if projected else 1
+        n = 1
+        while n < rem:
+            n *= 2
+        return max(1, min(n, self.decode_horizon))
+
     def _step_pipelined(self) -> bool:
         with self._phase("admit"):
             self._flush_pending_first()
             self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
 
-        if active:
+        n = self._choose_horizon(active, projected=True) if active else 0
+        if active and n > 0:
             scfg = SamplingConfig(
                 temperature=self._temperature, top_p=self._top_p,
                 top_k=self._top_k,
             )
-            n = self.decode_horizon
             tokens_in = (
                 self._feedback
                 if self._feedback is not None
@@ -404,20 +435,24 @@ class RequestManager:
             entries = [(s, self._slots[s]) for s in active]
             for s in active:
                 self._cache_lens[s] += n
+                self._projected[s] += n
             self._feedback = out_dev[-1]
             fut = self._fetcher.submit(self.engine.fetch, out_dev)
             self._inflight_q.append((fut, entries))
             self._steps += n
 
-        # consume the oldest horizon once the pipeline is full (or draining)
+        # consume the oldest horizon once the pipeline is full (or draining:
+        # no active slots, or active slots whose budgets are fully covered
+        # by in-flight work)
         while self._inflight_q and (
-            len(self._inflight_q) >= self.pipeline_depth or not active
+            len(self._inflight_q) >= self.pipeline_depth
+            or not active or n == 0
         ):
             fut, entries = self._inflight_q.pop(0)
             with self._phase("horizon_fetch"):
                 out = fut.result()
             self._process_horizon(out, entries)
-            if active:
+            if active and n > 0:
                 break  # drain at most one per step while running
 
         return bool(active or self._inflight_q or self._pending_first)
@@ -434,7 +469,11 @@ class RequestManager:
         scfg = SamplingConfig(
             temperature=self._temperature, top_p=self._top_p, top_k=self._top_k
         )
-        n = self.decode_horizon
+        n = (
+            self._choose_horizon(active)
+            if self.decode_horizon > 1
+            else 1
+        )
         with self._phase("decode"):
             if n == 1:
                 horizon_tokens = self.engine.decode(

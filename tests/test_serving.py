@@ -247,3 +247,33 @@ def test_cpu_offload_matches_resident():
                 for r in RequestManager(eng).generate(prompts, cfg)]
 
     assert run(True) == run(False)
+
+
+def test_drain_aware_horizon_dispatch():
+    """The scheduler must not dispatch a full horizon into a retiring wave:
+    with max_new=10 and decode_horizon=64, total dispatched steps stay near
+    the pow2 bucket of the remaining budget, not 64 per iteration."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu import specs
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=128, hidden_size=32, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=16, intermediate_size=64,
+        max_position_embeddings=256, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    eng = InferenceEngine(spec, params, max_requests_per_batch=2,
+                          max_seq_len=128, cache_dtype=jnp.float32)
+    rm = RequestManager(eng, decode_horizon=64, pipelined=True)
+    prompts = [[1, 2, 3], [4, 5]]
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=10))
+    assert all(len(r.output_tokens) == 10 for r in reqs)
+    # 1 from prefill + 9 remaining -> pow2 bucket 16 (not 64), maybe twice
+    assert rm.total_decoding_steps <= 32, rm.total_decoding_steps
