@@ -43,3 +43,24 @@ def test_inception_training_example():
 
     hist = main(batch_size=4, epochs=1, samples=8)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_xdl_training_example():
+    from examples.xdl import main
+
+    hist = main(batch_size=8, epochs=1, samples=16)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_candle_uno_training_example():
+    from examples.candle_uno import main
+
+    hist = main(batch_size=8, epochs=1, samples=16)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_resnext_training_example():
+    from examples.resnext50 import main
+
+    hist = main(batch_size=4, epochs=1, samples=8)
+    assert np.isfinite(hist[-1]["loss"])
