@@ -1,132 +1,127 @@
-"""Benchmark driver: prints ONE JSON line with the headline serving metric.
+"""Benchmark driver: prints ONE JSON line per metric (headline first+last).
 
 Metric (BASELINE.json): output tokens/sec/chip on a LLaMA-160M-class model
 (config #1), bf16, continuous batching through the full RequestManager with
 pipelined horizon decoding. ``vs_baseline`` reports against the round-1
 recorded figure (1917.8 tok/s, pre-pipelining) so later rounds show real
-engine-level speedups; the >=1.5x speculative gate is reported by
-bench_spec.py as it comes online with realistic draft models.
+engine-level speedups; the >=1.5x speculative gate (bench_spec.py) runs at
+the BASELINE 7B INT8/INT4 configs.
 
-The warmup round replays the EXACT dispatch shapes of the measured run
-(admission batch = full slot count, every prefill bucket, the decode
-horizon) so the measured run is compile-free even on a cold server-side
-compilation cache. A per-phase breakdown (prefill/decode/fetch) is written
-to BENCH_BREAKDOWN.md and stderr.
+Capture robustness (VERDICT r2 #1): every phase runs in its OWN subprocess
+with a hard wall-clock budget, killed by process group on overrun, so a
+wedged tunnel or a hanging 7B compile can never cost the headline — and the
+TPU client is fully released between phases. A backend-health probe (with
+retry) runs first so a wedged backend fails fast with a diagnostic instead
+of hanging the driver. Env knobs:
+
+- FF_BENCH_SPEC=0            skip the 7B spec phase entirely
+- FF_BENCH_SPEC_TIMEOUT=sec  budget for the 7B phase   (default 2700)
+- FF_BENCH_HEADLINE_TIMEOUT  budget for the 160M phase (default 1800)
+- FF_BENCH_PROBE_TIMEOUT     per-attempt probe budget  (default 900)
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-import jax.numpy as jnp
-import jax
-
-from flexflow_tpu import specs
-from flexflow_tpu.models import params as params_lib
-from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
-
-ROUND1_INCR_TOKENS_PER_SEC = 1917.8  # first measured figure on this chip
+_METRIC_PREFIX = '{"metric"'
 
 
-def make_prompts(rng, n, vocab):
-    return [
-        rng.randint(1, vocab, size=rng.randint(32, 96)).tolist()
-        for _ in range(n)
-    ]
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _run_phase(cmd, timeout_s, name):
+    """Run one bench phase in its own process group with a hard budget.
+
+    Forwards the child's metric lines (stdout) to our stdout and everything
+    else to stderr; on overrun kills the exact process group we started
+    (never by pattern). Returns the list of metric JSON lines captured."""
+    _log(f"phase {name}: {' '.join(cmd)} (budget {timeout_s}s)")
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+        start_new_session=True, text=True, cwd=os.path.dirname(
+            os.path.abspath(__file__)),
+    )
+    metrics = []
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _log(f"phase {name}: BUDGET EXCEEDED after {timeout_s}s — killing "
+             f"pgid {proc.pid}")
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        return metrics
+    for line in (out or "").splitlines():
+        if line.startswith(_METRIC_PREFIX):
+            print(line, flush=True)
+            metrics.append(line)
+        elif line.strip():
+            print(line, file=sys.stderr, flush=True)
+    _log(f"phase {name}: rc={proc.returncode} "
+         f"({time.perf_counter() - t0:.0f}s, {len(metrics)} metrics)")
+    return metrics
+
+
+def _probe_backend():
+    """Fail fast (with retry) if the TPU backend is wedged/unreachable."""
+    budget = int(os.environ.get("FF_BENCH_PROBE_TIMEOUT", "900"))
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128,128), jnp.bfloat16); "
+            "print('probe ok', (x@x).sum(), jax.devices())")
+    for attempt in range(3):
+        _log(f"backend probe attempt {attempt + 1}/3")
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code], start_new_session=True,
+            stdout=sys.stderr, stderr=sys.stderr,
+        )
+        try:
+            rc = proc.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            rc = -9
+        if rc == 0:
+            return True
+        _log(f"probe failed (rc={rc}); retrying in 60s")
+        time.sleep(60)
+    return False
 
 
 def main():
-    spec = specs.ModelSpec(
-        arch="LlamaForCausalLM",
-        vocab_size=32000,
-        hidden_size=768,
-        num_layers=12,
-        num_heads=12,
-        num_kv_heads=12,
-        head_dim=64,
-        intermediate_size=3072,
-        max_position_embeddings=2048,
-        norm_eps=1e-6,
+    if not _probe_backend():
+        _log("TPU backend unavailable after 3 probes — aborting capture")
+        sys.exit(2)
+
+    headline_budget = int(os.environ.get("FF_BENCH_HEADLINE_TIMEOUT", "1800"))
+    headline = _run_phase(
+        [sys.executable, "bench_headline.py"], headline_budget, "headline"
     )
-    batch, max_seq, horizon = 128, 512, 64
-    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
-    engine = InferenceEngine(
-        spec,
-        params,
-        max_requests_per_batch=batch,
-        max_seq_len=max_seq,
-        cache_dtype=jnp.bfloat16,
-    )
-    rng = np.random.RandomState(0)
-    prompts = make_prompts(rng, 2 * batch, spec.vocab_size)
-    cfg = GenerationConfig(max_new_tokens=256)
 
-    from flexflow_tpu.utils.profiling import StepTimer
-
-    rm = RequestManager(engine, decode_horizon=horizon, pipelined=True,
-                        pipeline_depth=3)
-    rm.timer = StepTimer()
-
-    # Warmup: replay the measured run's dispatch shapes — a full-slot-count
-    # admission wave at every prefill bucket plus one decode horizon — so
-    # the timed run hits zero compiles even on a cold compile cache.
-    t_w = time.perf_counter()
-    for blen in (20, 40, 80):  # buckets 32, 64, 128
-        warm = [[1] * blen for _ in range(batch)]
-        rm.generate(warm, GenerationConfig(max_new_tokens=horizon))
-    warm_s = time.perf_counter() - t_w
-    rm.timer = StepTimer()  # reset phases: report the measured run only
-
-    t0 = time.perf_counter()
-    reqs = rm.generate(prompts, cfg)
-    dt = time.perf_counter() - t0
-    total_tokens = sum(len(r.output_tokens) for r in reqs)
-
-    tps = total_tokens / dt
-    vs = tps / ROUND1_INCR_TOKENS_PER_SEC
-
-    # per-phase breakdown (VERDICT r1: "commit a per-phase breakdown next
-    # to the number")
-    lines = [
-        f"warmup {warm_s:.1f} s (compiles; excluded from the metric)",
-        f"measured run: {total_tokens} tokens in {dt:.2f} s -> {tps:.1f} tok/s",
-        f"steps {rm.total_decoding_steps}, requests {rm.num_processed_requests}",
-    ]
-    lines += rm.timer.report()
-    for ln in lines:
-        print(ln, file=sys.stderr)
-    try:
-        with open("BENCH_BREAKDOWN.md", "w") as f:
-            f.write("# bench.py phase breakdown (last run)\n\n")
-            f.write("\n".join("- " + ln for ln in lines) + "\n")
-    except OSError:
-        pass
-
-    headline = json.dumps(
-        {
-            "metric": "llama160m_incr_decode_output_tokens_per_sec_chip",
-            "value": round(tps, 2),
-            "unit": "tokens/s",
-            "vs_baseline": round(vs, 3),
-        }
-    )
-    print(headline, flush=True)
-
-    # ---- speculative >=1.5x gate at the BASELINE 7B INT8/INT4 configs ----
-    # (driver-captured per VERDICT r1 #4; one JSON line per metric)
-    del rm, engine, params  # free the 160M cache/weights before the 7B build
-    try:
-        import bench_spec
-
-        bench_spec.run_spec_benchmarks()
-    except Exception as e:  # never lose the headline to a spec-phase failure
-        print(f"[bench] spec phase failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    if os.environ.get("FF_BENCH_SPEC", "1") != "0":
+        spec_budget = int(os.environ.get("FF_BENCH_SPEC_TIMEOUT", "2700"))
+        _run_phase([sys.executable, "bench_spec.py"], spec_budget, "spec7b")
+    else:
+        _log("FF_BENCH_SPEC=0: skipping the 7B spec phase")
 
     # repeat the headline LAST so a last-line parser sees the round-1 metric
-    print(headline, flush=True)
+    for line in headline:
+        try:
+            if json.loads(line).get("metric", "").startswith("llama160m"):
+                print(line, flush=True)
+        except json.JSONDecodeError:
+            pass
 
 
 if __name__ == "__main__":

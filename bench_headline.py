@@ -1,0 +1,113 @@
+"""Headline bench phase: 160M-class incremental serving throughput.
+
+Run by bench.py in its own subprocess (own TPU client, own wall-clock
+budget). Prints one JSON metric line; writes BENCH_BREAKDOWN.md.
+
+The warmup round replays the EXACT dispatch shapes of the measured run
+(admission batch = full slot count, every prefill bucket, the decode
+horizon) so the measured run is compile-free even on a cold server-side
+compilation cache.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import params as params_lib
+from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+
+ROUND1_INCR_TOKENS_PER_SEC = 1917.8  # first measured figure on this chip
+
+
+def make_prompts(rng, n, vocab):
+    return [
+        rng.randint(1, vocab, size=rng.randint(32, 96)).tolist()
+        for _ in range(n)
+    ]
+
+
+def main():
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM",
+        vocab_size=32000,
+        hidden_size=768,
+        num_layers=12,
+        num_heads=12,
+        num_kv_heads=12,
+        head_dim=64,
+        intermediate_size=3072,
+        max_position_embeddings=2048,
+        norm_eps=1e-6,
+    )
+    batch, max_seq, horizon = 128, 512, 64
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
+    engine = InferenceEngine(
+        spec,
+        params,
+        max_requests_per_batch=batch,
+        max_seq_len=max_seq,
+        cache_dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    prompts = make_prompts(rng, 2 * batch, spec.vocab_size)
+    cfg = GenerationConfig(max_new_tokens=256)
+
+    from flexflow_tpu.utils.profiling import StepTimer
+
+    rm = RequestManager(engine, decode_horizon=horizon, pipelined=True,
+                        pipeline_depth=3)
+    rm.timer = StepTimer()
+
+    # Warmup: replay the measured run's dispatch shapes — a full-slot-count
+    # admission wave at every prefill bucket plus one decode horizon — so
+    # the timed run hits zero compiles even on a cold compile cache.
+    t_w = time.perf_counter()
+    for blen in (20, 40, 80):  # buckets 32, 64, 128
+        warm = [[1] * blen for _ in range(batch)]
+        rm.generate(warm, GenerationConfig(max_new_tokens=horizon))
+    warm_s = time.perf_counter() - t_w
+    rm.timer = StepTimer()  # reset phases: report the measured run only
+
+    t0 = time.perf_counter()
+    reqs = rm.generate(prompts, cfg)
+    dt = time.perf_counter() - t0
+    total_tokens = sum(len(r.output_tokens) for r in reqs)
+
+    tps = total_tokens / dt
+    vs = tps / ROUND1_INCR_TOKENS_PER_SEC
+
+    # per-phase breakdown (VERDICT r1: "commit a per-phase breakdown next
+    # to the number")
+    lines = [
+        f"warmup {warm_s:.1f} s (compiles; excluded from the metric)",
+        f"measured run: {total_tokens} tokens in {dt:.2f} s -> {tps:.1f} tok/s",
+        f"steps {rm.total_decoding_steps}, requests {rm.num_processed_requests}",
+    ]
+    lines += rm.timer.report()
+    for ln in lines:
+        print(ln, file=sys.stderr)
+    try:
+        with open("BENCH_BREAKDOWN.md", "w") as f:
+            f.write("# bench.py phase breakdown (last run)\n\n")
+            f.write("\n".join("- " + ln for ln in lines) + "\n")
+    except OSError:
+        pass
+
+    print(json.dumps(
+        {
+            "metric": "llama160m_incr_decode_output_tokens_per_sec_chip",
+            "value": round(tps, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(vs, 3),
+        }
+    ), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,17 +124,34 @@ def _lossless_fp32_body():
     return ok
 
 
-def run_spec_benchmarks(include_int8_incr: bool = True):
-    """Emit the quantized 7B metrics (one JSON line per metric)."""
-    batch, max_seq, max_new = 8, 512, 128
+def run_spec_benchmarks(
+    include_int8_incr: bool = True,
+    *,
+    draft_spec=None,
+    verifier_spec=None,
+    batch: int = 8,
+    max_seq: int = 512,
+    max_new: int = 128,
+    horizon: int = 64,
+    metric_suffix: str = "7b",
+):
+    """Emit the quantized verifier metrics (one JSON line per metric).
+
+    ``draft_spec``/``verifier_spec`` default to the BASELINE 7B configs;
+    tests inject tiny specs so this exact function body runs end-to-end on
+    the CPU backend every CI run (VERDICT r2 #1a: the bench file can never
+    again ship with a phase that was never executed)."""
+    dspec = draft_spec or DRAFT_7B
+    vspec = verifier_spec or VERIFIER_7B
     rng = np.random.RandomState(0)
-    prompts = [rng.randint(1, 32000, size=24).tolist() for _ in range(batch)]
-    warm = [rng.randint(1, 32000, size=24).tolist() for _ in range(batch)]
+    vocab = dspec.vocab_size
+    prompts = [rng.randint(1, vocab, size=24).tolist() for _ in range(batch)]
+    warm = [rng.randint(1, vocab, size=24).tolist() for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
 
     _log("draft init")
     dparams = params_lib.init_params(
-        DRAFT_7B, jax.random.PRNGKey(0), jnp.bfloat16
+        dspec, jax.random.PRNGKey(0), jnp.bfloat16
     )
     draft = perturb_params(dparams, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
 
@@ -145,32 +162,32 @@ def run_spec_benchmarks(include_int8_incr: bool = True):
     # ---- 7B INT8 incremental throughput (BASELINE config: 7B INT8) ----
     if include_int8_incr:
         _log("fast INT8 verifier build")
-        v8 = fast_quantized_verifier(DRAFT_7B, dparams, VERIFIER_7B, 8)
+        v8 = fast_quantized_verifier(dspec, dparams, vspec, 8)
         _log("INT8 engine warmup")
         eng8 = InferenceEngine(
-            VERIFIER_7B, v8, max_requests_per_batch=batch,
+            vspec, v8, max_requests_per_batch=batch,
             max_seq_len=max_seq,
         )
-        rm8 = RequestManager(eng8, decode_horizon=64, pipelined=True)
-        rm8.generate(warm, GenerationConfig(max_new_tokens=64))
+        rm8 = RequestManager(eng8, decode_horizon=horizon, pipelined=True)
+        rm8.generate(warm, GenerationConfig(max_new_tokens=horizon))
         t0 = time.perf_counter()
         reqs8 = rm8.generate(prompts, cfg)
         dt8 = time.perf_counter() - t0
         tps8 = sum(len(r.output_tokens) for r in reqs8) / dt8
-        _emit("llama7b_int8_incr_tokens_per_sec_chip",
+        _emit(f"llama{metric_suffix}_int8_incr_tokens_per_sec_chip",
               round(tps8, 2), "tokens/s", 1.0)
         del eng8, rm8, v8
 
-    # ---- 7B INT4: spec >= 1.5x its OWN incremental (the reference gate) ----
-    _log("quantize+upload INT4")
-    v4 = quantize_and_upload(vnp, VERIFIER_7B, 4)
+    # ---- INT4: spec >= 1.5x its OWN incremental (the reference gate) ----
+    _log("fast INT4 verifier build")
+    v4 = fast_quantized_verifier(dspec, dparams, vspec, 4)
     _log("INT4 incr warmup")
-    del dparams, vnp
+    del dparams
     incr_engine = InferenceEngine(
-        VERIFIER_7B, v4, max_requests_per_batch=batch, max_seq_len=max_seq,
+        vspec, v4, max_requests_per_batch=batch, max_seq_len=max_seq,
     )
-    rm = RequestManager(incr_engine, decode_horizon=64, pipelined=True)
-    rm.generate(warm, GenerationConfig(max_new_tokens=64))
+    rm = RequestManager(incr_engine, decode_horizon=horizon, pipelined=True)
+    rm.generate(warm, GenerationConfig(max_new_tokens=horizon))
     t0 = time.perf_counter()
     incr_reqs = rm.generate(prompts, cfg)
     incr_dt = time.perf_counter() - t0
@@ -181,7 +198,7 @@ def run_spec_benchmarks(include_int8_incr: bool = True):
     _log("INT4 spec engine build")
     # reference defaults: beam width 3, depth 8 (batch_config.h:196-197)
     spec_engine = SpecEngine(
-        VERIFIER_7B, v4, DRAFT_7B, draft,
+        vspec, v4, dspec, draft,
         beam_width=3, beam_depth=8,
         max_requests_per_batch=batch, max_seq_len=max_seq,
     )
@@ -201,16 +218,17 @@ def run_spec_benchmarks(include_int8_incr: bool = True):
         for a, b in zip(incr_reqs, spec_reqs)
     )
 
-    _emit("spec_decode_speedup_vs_incremental_7b_int4",
+    sfx = metric_suffix
+    _emit(f"spec_decode_speedup_vs_incremental_{sfx}_int4",
           round(spec_tps / incr_tps, 3), "x",
           round((spec_tps / incr_tps) / 1.5, 3))
-    _emit("spec_decode_output_tokens_per_sec_chip_7b_int4",
+    _emit(f"spec_decode_output_tokens_per_sec_chip_{sfx}_int4",
           round(spec_tps, 2), "tokens/s", round(spec_tps / incr_tps, 3))
-    _emit("incr_decode_output_tokens_per_sec_chip_7b_int4",
+    _emit(f"incr_decode_output_tokens_per_sec_chip_{sfx}_int4",
           round(incr_tps, 2), "tokens/s", 1.0)
     _emit("mean_verified_tokens_per_step",
           round(srm.mean_verified_tokens_per_step, 3), "tokens/step", 1.0)
-    _emit("spec_outputs_prefix20_match_7b_int4", int(prefix_match),
+    _emit(f"spec_outputs_prefix20_match_{sfx}_int4", int(prefix_match),
           "bool", 1.0)
     del spec_engine, srm
     return spec_tps / incr_tps

@@ -37,12 +37,17 @@ class FinetuneSession:
         data: List[Tuple[np.ndarray, np.ndarray]],
         *,
         epochs: int = 1,
+        max_steps: int = 0,
     ):
+        """``max_steps`` > 0 caps total optimizer steps regardless of
+        epochs x dataset size (the reference's --max-training-steps,
+        inference/peft/peft.cc training loop bound)."""
         self.spec = spec
         self.config = config
         self.adapter_id = adapter_id
         self.data = data
         self.epochs = epochs
+        self.max_steps = int(max_steps)
         self.losses: List[float] = []
         self._cursor = 0
         self._opt = (
@@ -89,6 +94,8 @@ class FinetuneSession:
         if self._step is None:
             self._build(engine)
         total = len(self.data) * self.epochs
+        if self.max_steps > 0:
+            total = min(total, self.max_steps)
         if self._cursor >= total:
             return True
         tokens, labels = self.data[self._cursor % len(self.data)]

@@ -164,11 +164,17 @@ class PipelineInferenceEngine:
         spec = self.spec
         mesh = self.mesh
         pp, m = self.pp, self.num_microbatches
+        tp = self.tp
         b = self.max_requests
         bm = b // m
         cache_spec = self._cache_spec
         act = P()  # [M, Bm, T, D] replicated (dp == 1)
         vec2 = P()  # [M, Bm]
+        # ALiBi (MPT-class): per-head slopes, sliced to this TP shard's head
+        # block inside the manual region (matches _staged_layer_specs' wq
+        # head-axis sharding condition)
+        slopes_full = decoder._alibi_slopes(spec)
+        heads_sharded = tp > 1 and spec.num_heads % tp == 0
 
         def make_piped(prefill: bool):
             """Pipelined tick loop over the stage layers (manual region).
@@ -185,6 +191,16 @@ class PipelineInferenceEngine:
                 ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
                 stage = jax.lax.axis_index(PIPE_AXIS)
                 t = h_mb.shape[2]
+                if slopes_full is None:
+                    slopes = None
+                elif heads_sharded:
+                    h_loc = spec.num_heads // tp
+                    slopes = jax.lax.dynamic_slice_in_dim(
+                        slopes_full,
+                        jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc,
+                    )
+                else:
+                    slopes = slopes_full
 
                 def stage_body(x, pos, lens, row0):
                     """This stage's layers on one microbatch.
@@ -224,12 +240,14 @@ class PipelineInferenceEngine:
                                     ),
                                     tree_mask=mask,
                                     q_positions=pos,
+                                    slopes=slopes,
                                     logit_softcap=spec.attn_logit_softcap,
                                 )
                             else:
                                 out = attn_lib.split_cached_attention(
                                     q, ck_l, cv_l, kc, vc, lens,
                                     q_positions=pos,
+                                    slopes=slopes,
                                     logit_softcap=spec.attn_logit_softcap,
                                 )
                             return out, (kc, vc)

@@ -65,7 +65,9 @@ class ProfileInfo:
         return self.finish_time - self.registration_time
 
 
-PENDING, RUNNING, COMPLETED = "PENDING", "RUNNING", "COMPLETED"
+PENDING, RUNNING, COMPLETED, FAILED = (
+    "PENDING", "RUNNING", "COMPLETED", "FAILED"
+)
 
 
 @dataclasses.dataclass
@@ -75,6 +77,7 @@ class Request:
     config: GenerationConfig
     state: str = PENDING
     slot: int = -1
+    error: Optional[str] = None  # set when the serving loop died (FAILED)
     output_tokens: List[int] = dataclasses.field(default_factory=list)
     profile: ProfileInfo = dataclasses.field(default_factory=ProfileInfo)
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
@@ -544,7 +547,15 @@ class RequestManager:
         else:
             for g in guids:
                 self._requests[g].done.wait()
-        return [self._requests[g] for g in guids]
+        reqs = [self._requests[g] for g in guids]
+        failed = next((r for r in reqs if r.state == FAILED), None)
+        if failed is not None:
+            # the background loop died mid-generation: surface the crash to
+            # the waiter instead of returning partial output as if complete
+            raise RuntimeError(
+                f"serving loop failed during generation: {failed.error}"
+            )
+        return reqs
 
     # background server (reference start_background_server,
     # request_manager.cc:2913)
@@ -558,21 +569,22 @@ class RequestManager:
                 while not self._stop.is_set():
                     if not self.step():
                         time.sleep(0.001)
-            except BaseException:
-                self._fail_all_inflight()
+            except BaseException as e:
+                self._fail_all_inflight(e)
                 raise
 
         self._server_thread = threading.Thread(target=loop, daemon=True)
         self._server_thread.start()
 
-    def _fail_all_inflight(self) -> None:
-        """Unblock every waiter when the serving loop dies (the exception is
-        re-raised to the thread's log; callers see COMPLETED-with-whatever
-        rather than hanging forever)."""
+    def _fail_all_inflight(self, exc: BaseException) -> None:
+        """Unblock every waiter when the serving loop dies. Requests are
+        marked FAILED (with the exception recorded) so ``generate()`` raises
+        instead of returning partial output indistinguishable from success."""
         with self._lock:
             for req in self._requests.values():
                 if not req.done.is_set():
-                    req.state = COMPLETED
+                    req.state = FAILED
+                    req.error = f"{type(exc).__name__}: {exc}"
                     req.done.set()
 
     def stop_server(self) -> None:

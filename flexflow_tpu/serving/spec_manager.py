@@ -27,6 +27,7 @@ import numpy as np
 from flexflow_tpu.ops.sampling import SamplingConfig
 from flexflow_tpu.serving.request_manager import (
     COMPLETED,
+    FAILED,
     GenerationConfig,
     PENDING,
     ProfileInfo,
@@ -411,7 +412,13 @@ class SpecRequestManager:
         else:
             for g in guids:
                 self._requests[g].done.wait()
-        return [self._requests[g] for g in guids]
+        reqs = [self._requests[g] for g in guids]
+        failed = next((r for r in reqs if r.state == FAILED), None)
+        if failed is not None:
+            raise RuntimeError(
+                f"serving loop failed during generation: {failed.error}"
+            )
+        return reqs
 
     # background server (reference start_background_server serves the
     # speculative loop too, request_manager.cc:2936/serve_spec_infer)
@@ -425,10 +432,11 @@ class SpecRequestManager:
                 while not self._stop_evt.is_set():
                     if not self.step() and self._pending.empty():
                         time.sleep(0.001)
-            except BaseException:
+            except BaseException as e:
                 for req in self._requests.values():
                     if not req.done.is_set():
-                        req.state = COMPLETED
+                        req.state = FAILED
+                        req.error = f"{type(e).__name__}: {e}"
                         req.done.set()
                 raise
 

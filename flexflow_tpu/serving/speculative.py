@@ -77,10 +77,23 @@ class SpecEngine:
         max_seq_len: int = 256,
         cache_dtype=jnp.bfloat16,
         mesh=None,
+        pp_mesh=None,
     ):
         """``mesh``: multi-chip serving — LLM and SSM params get TP
         shardings, both KV caches shard slots/"data" x heads/"model", host
-        inputs replicate (see InferenceEngine.__doc__)."""
+        inputs replicate (see InferenceEngine.__doc__).
+
+        ``pp_mesh``: a mesh with a pipe axis > 1 — the verifier runs
+        stage-resident through the pipeline (PipelineSpecEngine); handled by
+        the factory in serve.py/pp_spec. Passing it here is an error so a
+        pipe-axis mesh can never silently replicate verifier weights
+        (round-2 VERDICT #3)."""
+        if pp_mesh is not None:
+            raise NotImplementedError(
+                "SpecEngine does not stage over a pipe axis; construct "
+                "serving.pp_spec.PipelineSpecEngine (LLM.compile routes "
+                "there automatically)"
+            )
         assert llm_spec.vocab_size == ssm_spec.vocab_size, "vocab mismatch"
         t = tree_size(beam_width, beam_depth)
         assert t <= MAX_SPEC_TREE_TOKEN_NUM, (

@@ -285,20 +285,26 @@ def from_torch_module(
                     shape = [s for s in x.shape if s != 1]
                 out = ff.reshape(x, shape)
             elif m in ("to", "float", "double", "half", "type_as"):
-                dt = jnp.float32
-                if m == "half":
-                    dt = jnp.bfloat16
-                elif m == "to" and len(node.args) > 1:
-                    dmap = {torch.float32: jnp.float32,
-                            torch.float64: jnp.float32,
-                            torch.bfloat16: jnp.bfloat16,
-                            torch.int32: jnp.int32,
-                            torch.int64: jnp.int32}
-                    dt = dmap.get(node.args[1], jnp.float32)
+                dmap = {torch.float32: jnp.float32,
+                        torch.float64: jnp.float32,
+                        torch.float16: jnp.bfloat16,
+                        torch.bfloat16: jnp.bfloat16,
+                        torch.int32: jnp.int32,
+                        torch.int64: jnp.int32}
+                if m == "to":
+                    # only a recognized torch dtype emits a cast; .to(device)
+                    # / .to(memory_format=...) are dtype-preserving identity
+                    # in torch and must not silently cast to float32
+                    cand = [a for a in list(node.args[1:])
+                            + list(node.kwargs.values())
+                            if isinstance(a, torch.dtype)]
+                    out = ff.cast(x, dmap[cand[0]]) if (
+                        cand and cand[0] in dmap) else x
                 elif m == "type_as":
-                    other = t(node.args[1])
-                    dt = other.dtype
-                out = ff.cast(x, dt)
+                    out = ff.cast(x, t(node.args[1]).dtype)
+                else:
+                    out = ff.cast(
+                        x, jnp.bfloat16 if m == "half" else jnp.float32)
             elif m == "split":
                 size = node.args[1]
                 dim = node.kwargs.get(

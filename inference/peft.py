@@ -110,9 +110,12 @@ def main(argv=None):
             toks = np.asarray([ids[:-1]], np.int32)
             labels = np.asarray([ids[1:]], np.int32)
             pairs.append((toks, labels))
+        # honor --max-training-steps exactly: cap total optimizer steps
+        # (epochs alone floors to one full epoch when steps < len(pairs))
         session = FinetuneSession(
             llm.spec, llm.lora_config, finetune_adapter, pairs,
-            epochs=max(1, args.max_training_steps // max(len(pairs), 1)),
+            epochs=max(1, -(-args.max_training_steps // max(len(pairs), 1))),
+            max_steps=args.max_training_steps,
         )
         llm.rm.register_finetune(session)
 

@@ -97,6 +97,38 @@ def test_tp_pp_composition_consistency():
     assert pp2tp2 == ref
 
 
+def test_pp_serving_alibi_matches_single_device():
+    """ALiBi (MPT-class) under PP and TPxPP must match the base engine —
+    round-2 ADVICE: slopes were silently dropped in the PP stage body."""
+    import dataclasses
+
+    aspec = dataclasses.replace(SPEC, pos="alibi")
+    params = params_lib.init_params(aspec, jax.random.PRNGKey(3), jnp.float32)
+    prompts = _prompts(4)
+    ref = _gen(
+        InferenceEngine(aspec, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32),
+        prompts,
+    )
+    out = _gen(
+        PipelineInferenceEngine(
+            aspec, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+            max_seq_len=128, cache_dtype=jnp.float32,
+        ),
+        prompts,
+    )
+    assert out == ref
+    out_tp = _gen(
+        PipelineInferenceEngine(
+            aspec, params, mesh=make_mesh(pipe=2, model=2),
+            max_requests_per_batch=4, max_seq_len=128,
+            cache_dtype=jnp.float32,
+        ),
+        prompts,
+    )
+    assert out_tp == ref
+
+
 def test_pp_horizon_decoding_matches():
     params = params_lib.init_params(SPEC, jax.random.PRNGKey(7), jnp.float32)
     prompts = _prompts(6)
