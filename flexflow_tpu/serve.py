@@ -176,12 +176,38 @@ class LLM:
         self._load_tokenizer()
 
         if self._ssms:
+            if use_pp and len(self._ssms) > 1:
+                raise NotImplementedError(
+                    "multiple SSMs under pipeline_parallelism_degree>1 are "
+                    "not supported; register one draft model"
+                )
+            if use_pp:
+                # reference flagship config: spec_infer under PP
+                # (cpp_inference_tests.sh:12-100) — verifier staged over the
+                # pipe axis, draft replicated (VERDICT r2 #3: this path used
+                # to silently replicate the verifier)
+                from flexflow_tpu.serving.pp_spec import PipelineSpecEngine
+
+                ssm = self._ssms[0]
+                ssm_spec, ssm_params = hf_weights.load_params(
+                    ssm.model_dir, dtype=ssm.dtype,
+                    quantize_bits=ssm.quant_bits, mesh=None,
+                )
+                engine = PipelineSpecEngine(
+                    self.spec, self.params, ssm_spec, ssm_params,
+                    mesh=mesh,
+                    beam_width=beam_width, beam_depth=beam_depth,
+                    max_requests_per_batch=max_requests_per_batch,
+                    max_seq_len=max_seq_length,
+                    cache_dtype=self.dtype,
+                )
+                self.rm = SpecRequestManager(engine, fused=True)
+                return
             engines = []
             for ssm in self._ssms:
                 ssm_spec, ssm_params = hf_weights.load_params(
                     ssm.model_dir, dtype=ssm.dtype,
-                    quantize_bits=ssm.quant_bits,
-                    mesh=None if use_pp else mesh,
+                    quantize_bits=ssm.quant_bits, mesh=mesh,
                 )
                 engines.append(SpecEngine(
                     self.spec, self.params, ssm_spec, ssm_params,
@@ -189,8 +215,7 @@ class LLM:
                     max_requests_per_batch=max_requests_per_batch,
                     max_seq_len=max_seq_length,
                     cache_dtype=self.dtype,
-                    mesh=None if use_pp else mesh,
-                    pp_mesh=mesh if use_pp else None,
+                    mesh=mesh,
                 ))
             if len(engines) == 1:
                 self.rm = SpecRequestManager(engines[0])

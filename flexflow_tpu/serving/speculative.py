@@ -53,6 +53,143 @@ def tree_size(width: int, depth: int) -> int:
     return 1 + width * depth
 
 
+def make_depths_vec(width: int, depth: int) -> jnp.ndarray:
+    """Per-tree-slot depth [tree]: slot 0 = 0; 1+(d-1)*W+w = d."""
+    t = tree_size(width, depth)
+    depths_vec = jnp.zeros((t,), jnp.int32)
+    for _d in range(1, depth + 1):
+        depths_vec = depths_vec.at[1 + (_d - 1) * width: 1 + _d * width].set(_d)
+    return depths_vec
+
+
+def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
+    """Build the device-resident draft-tree expansion (traceable function).
+
+    Returns ``draft_phase(ssm_params, ssm_cache, cache_lens, roots) ->
+    (tree_tokens [B,T], tree_parents [B,T], anc_self [B,T,T],
+    (buf_k, buf_v) [L,B,T,KH,D])``. The tree KV stays in-register (never
+    written to the draft cache); the depth loop is statically unrolled
+    (depth <= 8) so tree-buffer writes are static-index updates.
+    Shared by SpecEngine and PipelineSpecEngine (pp_spec.py)."""
+    w, dmax = width, depth
+    tree = tree_size(w, dmax)
+
+    def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
+        b = cache_lens.shape[0]
+        sl, skh, sd = (ssm_spec.num_layers,
+                       ssm_spec.num_kv_heads, ssm_spec.head_dim)
+        cdt = ssm_cache.k.dtype
+        logits, (k0, v0) = decoder.forward_cached(
+            ssm_spec, ssm_params, roots[:, None], ssm_cache,
+            cache_lens, write_cache=False)
+        buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
+        buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
+        buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
+        buf_v = buf_v.at[:, :, 0:1].set(v0.astype(cdt))
+        logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+        beam_logp, beam_tokens = jax.lax.top_k(logp, w)
+        beam_tokens = beam_tokens.astype(jnp.int32)
+
+        anc = jnp.zeros((b, w, tree), bool).at[:, :, 0].set(True)
+        tree_tokens = jnp.zeros((b, tree), jnp.int32).at[:, 0].set(roots)
+        tree_parents = jnp.full((b, tree), -1, jnp.int32)
+        abs_parents = jnp.zeros((b, w), jnp.int32)  # parents of cur beams
+        eye_w = jnp.broadcast_to(jnp.eye(w, dtype=bool)[None], (b, w, w))
+
+        for d in range(1, dmax + 1):
+            base = 1 + (d - 1) * w
+            tree_tokens = tree_tokens.at[:, base:base + w].set(beam_tokens)
+            tree_parents = tree_parents.at[:, base:base + w].set(
+                abs_parents if d > 1 else jnp.zeros((b, w), jnp.int32))
+            positions = jnp.broadcast_to(
+                (cache_lens + d)[:, None], (b, w)).astype(jnp.int32)
+            logits, (kd, vd) = decoder.forward_cached(
+                ssm_spec, ssm_params, beam_tokens, ssm_cache,
+                cache_lens, positions=positions, tree_mask=eye_w,
+                extra_kv=(buf_k, buf_v), extra_mask=anc,
+                write_cache=False)
+            buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
+            buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
+            if d == dmax:
+                break
+            self_slots = base + jnp.arange(w, dtype=jnp.int32)
+            anc_self = anc | (
+                jnp.arange(tree)[None, None, :] == self_slots[None, :, None]
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            cand_logp, cand_tok = jax.lax.top_k(logp, w)  # [B, W, W]
+            total = beam_logp[:, :, None] + cand_logp
+            new_logp, flat_idx = jax.lax.top_k(total.reshape(b, w * w), w)
+            parents = (flat_idx // w).astype(jnp.int32)
+            beam_tokens = jnp.take_along_axis(
+                cand_tok.reshape(b, w * w), flat_idx, axis=-1
+            ).astype(jnp.int32)
+            beam_logp = new_logp
+            anc = jnp.take_along_axis(anc_self, parents[:, :, None], axis=1)
+            abs_parents = base + parents
+
+        # --- ancestor matrix from parents (static loop; parent < child) ---
+        anc_self = jnp.zeros((b, tree, tree), bool)
+        anc_self = anc_self.at[:, 0, 0].set(True)
+        for c in range(1, tree):
+            parent = tree_parents[:, c]  # [B], always < c
+            parent_row = jnp.take_along_axis(
+                anc_self, parent[:, None, None].clip(0)
+                * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
+            row = parent_row.at[:, c].set(True)
+            anc_self = anc_self.at[:, c].set(row)
+        return tree_tokens, tree_parents, anc_self, (buf_k, buf_v)
+
+    return draft_phase
+
+
+def commit_from_buffer(cache, cache_lens, buf_k, buf_v, path_slots):
+    """Write the accepted tree columns from in-register buffers into the
+    cache at [lens, lens+n) — one batch-uniform window commit (n = depth+1
+    static; junk beyond n_acc is overwritten by the next iteration before
+    it can ever be attended)."""
+    idx = path_slots[None, :, :, None, None]  # [1, B, n, 1, 1]
+    gk = jnp.take_along_axis(buf_k, idx, axis=2)  # [L, B, n, KH, D]
+    gv = jnp.take_along_axis(buf_v, idx, axis=2)
+    upd_k = gk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
+    upd_v = gv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+    upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
+    ck, cv = decoder.commit_kv_windows(
+        cache.k, cache.v, upd_k, upd_v, cache_lens
+    )
+    return KVCache(k=ck, v=cv)
+
+
+def greedy_accept_walk(expected, tree_tokens, tree_parents, depth):
+    """Greedy tree acceptance: walk the tree along the verifier's argmax
+    choices (lossless vs incremental greedy decoding).
+
+    Returns (produced [B, depth+1], n_acc [B], from_slots [B, tree]).
+    """
+    b, tree = tree_tokens.shape
+    cur = jnp.zeros((b,), jnp.int32)
+    alive = jnp.ones((b,), bool)
+    n_acc = jnp.ones((b,), jnp.int32)
+    produced = jnp.zeros((b, depth + 1), jnp.int32)
+    from_slots = jnp.broadcast_to(
+        jnp.arange(tree, dtype=jnp.int32)[None], (b, tree))
+    for i in range(depth + 1):
+        exp = jnp.take_along_axis(expected, cur[:, None], axis=1)[:, 0]
+        produced = produced.at[:, i].set(exp)
+        if i == depth:
+            break
+        match = (tree_parents == cur[:, None]) & (
+            tree_tokens == exp[:, None])
+        found = jnp.any(match, axis=-1) & alive
+        child = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        from_slots = from_slots.at[:, i + 1].set(
+            jnp.where(found, child, i + 1))
+        n_acc = n_acc + found.astype(jnp.int32)
+        cur = jnp.where(found, child, cur)
+        alive = found
+    return produced, n_acc, from_slots
+
+
 @jax.jit
 def _apply_overrides_jit(lens, roots, mask, new_lens, new_roots):
     return (
@@ -357,98 +494,10 @@ class SpecEngine:
         # XLA's misaligned-lane DUS path (measured ~45 ms/iteration on a
         # 1.8B verifier before; the caches are donated and stay in place now).
         dmax = self.depth
-        depths_vec = jnp.zeros((tree,), jnp.int32)
-        for _d in range(1, dmax + 1):
-            depths_vec = depths_vec.at[1 + (_d - 1) * w: 1 + _d * w].set(_d)
-
-        def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
-            """Device-resident tree build: returns the flattened tree
-            (tokens/parents), its ancestor matrix (the reference BitMask,
-            batch_config.h:122-136), and the draft's in-register tree KV
-            buffers. The depth loop is STATICALLY unrolled (depth <= 8) so
-            tree-buffer writes are static-index updates."""
-            b = cache_lens.shape[0]
-            sl, skh, sd = (self.ssm_spec.num_layers,
-                           self.ssm_spec.num_kv_heads, self.ssm_spec.head_dim)
-            cdt = ssm_cache.k.dtype
-            logits, (k0, v0) = decoder.forward_cached(
-                self.ssm_spec, ssm_params, roots[:, None], ssm_cache,
-                cache_lens, write_cache=False)
-            buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
-            buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
-            buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
-            buf_v = buf_v.at[:, :, 0:1].set(v0.astype(cdt))
-            logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
-            beam_logp, beam_tokens = jax.lax.top_k(logp, w)
-            beam_tokens = beam_tokens.astype(jnp.int32)
-
-            anc = jnp.zeros((b, w, tree), bool).at[:, :, 0].set(True)
-            tree_tokens = jnp.zeros((b, tree), jnp.int32).at[:, 0].set(roots)
-            tree_parents = jnp.full((b, tree), -1, jnp.int32)
-            abs_parents = jnp.zeros((b, w), jnp.int32)  # parents of cur beams
-            eye_w = jnp.broadcast_to(jnp.eye(w, dtype=bool)[None], (b, w, w))
-
-            for d in range(1, dmax + 1):
-                base = 1 + (d - 1) * w
-                tree_tokens = tree_tokens.at[:, base:base + w].set(beam_tokens)
-                tree_parents = tree_parents.at[:, base:base + w].set(
-                    abs_parents if d > 1 else jnp.zeros((b, w), jnp.int32))
-                positions = jnp.broadcast_to(
-                    (cache_lens + d)[:, None], (b, w)).astype(jnp.int32)
-                logits, (kd, vd) = decoder.forward_cached(
-                    self.ssm_spec, ssm_params, beam_tokens, ssm_cache,
-                    cache_lens, positions=positions, tree_mask=eye_w,
-                    extra_kv=(buf_k, buf_v), extra_mask=anc,
-                    write_cache=False)
-                buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
-                buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
-                if d == dmax:
-                    break
-                self_slots = base + jnp.arange(w, dtype=jnp.int32)
-                anc_self = anc | (
-                    jnp.arange(tree)[None, None, :] == self_slots[None, :, None]
-                )
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-                cand_logp, cand_tok = jax.lax.top_k(logp, w)  # [B, W, W]
-                total = beam_logp[:, :, None] + cand_logp
-                new_logp, flat_idx = jax.lax.top_k(total.reshape(b, w * w), w)
-                parents = (flat_idx // w).astype(jnp.int32)
-                beam_tokens = jnp.take_along_axis(
-                    cand_tok.reshape(b, w * w), flat_idx, axis=-1
-                ).astype(jnp.int32)
-                beam_logp = new_logp
-                anc = jnp.take_along_axis(anc_self, parents[:, :, None], axis=1)
-                abs_parents = base + parents
-
-            # --- ancestor matrix from parents (static loop; parent < child) ---
-            anc_self = jnp.zeros((b, tree, tree), bool)
-            anc_self = anc_self.at[:, 0, 0].set(True)
-            for c in range(1, tree):
-                parent = tree_parents[:, c]  # [B], always < c
-                parent_row = jnp.take_along_axis(
-                    anc_self, parent[:, None, None].clip(0)
-                    * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
-                row = parent_row.at[:, c].set(True)
-                anc_self = anc_self.at[:, c].set(row)
-            return tree_tokens, tree_parents, anc_self, (buf_k, buf_v)
-
-        def commit_from_buffer(cache, cache_lens, buf_k, buf_v, path_slots):
-            """Write the accepted tree columns from the in-register buffers
-            into the cache at [lens, lens+n) — ONE small dynamic window write
-            per slot (n = depth+1 static; junk beyond n_acc is overwritten by
-            the next iteration before it can ever be attended)."""
-            s = cache.max_seq_len
-            n = path_slots.shape[1]
-            idx = path_slots[None, :, :, None, None]  # [1, B, n, 1, 1]
-            gk = jnp.take_along_axis(buf_k, idx, axis=2)  # [L, B, n, KH, D]
-            gv = jnp.take_along_axis(buf_v, idx, axis=2)
-            upd_k = gk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
-            upd_v = gv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
-            upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
-            ck, cv = decoder.commit_kv_windows(
-                cache.k, cache.v, upd_k, upd_v, cache_lens
-            )
-            return KVCache(k=ck, v=cv)
+        depths_vec = make_depths_vec(w, dmax)
+        # draft tree build / accept walk / buffer commit: module-level
+        # implementations shared with PipelineSpecEngine (pp_spec.py)
+        draft_phase = build_draft_phase(self.ssm_spec, w, dmax)
 
         def verify_logits_reg(params, cache, cache_lens, tree_tokens,
                               tree_depths, anc_self):
@@ -474,26 +523,8 @@ class SpecEngine:
             expected = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             # --- greedy accept walk (vectorized over slots) ---
-            cur = jnp.zeros((b,), jnp.int32)
-            alive = jnp.ones((b,), bool)
-            n_acc = jnp.ones((b,), jnp.int32)
-            produced = jnp.zeros((b, dmax + 1), jnp.int32)
-            from_slots = jnp.broadcast_to(
-                jnp.arange(tree, dtype=jnp.int32)[None], (b, tree))
-            for i in range(dmax + 1):
-                exp = jnp.take_along_axis(expected, cur[:, None], axis=1)[:, 0]
-                produced = produced.at[:, i].set(exp)
-                if i == dmax:
-                    break
-                match = (tree_parents == cur[:, None]) & (
-                    tree_tokens == exp[:, None])
-                found = jnp.any(match, axis=-1) & alive
-                child = jnp.argmax(match, axis=-1).astype(jnp.int32)
-                from_slots = from_slots.at[:, i + 1].set(
-                    jnp.where(found, child, i + 1))
-                n_acc = n_acc + found.astype(jnp.int32)
-                cur = jnp.where(found, child, cur)
-                alive = found
+            produced, n_acc, from_slots = greedy_accept_walk(
+                expected, tree_tokens, tree_parents, dmax)
 
             # --- commit accepted KV from the in-register buffers ---
             path = from_slots[:, :dmax + 1]

@@ -157,6 +157,9 @@ def test_pp_via_llm_api_cli_flag_not_silently_replicated():
     llm.tokenizer = object()
     llm.rm = None
     llm._ssms = []
+    llm._peft = []
+    llm.lora = None
+    llm.lora_config = None
 
     orig_load = serve_mod.hf_weights.load_params
     orig_tok = serve_mod.LLM._load_tokenizer
