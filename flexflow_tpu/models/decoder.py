@@ -466,6 +466,7 @@ def forward_cached(
     write_cache: bool = True,  # False: return the new KV instead of writing it
     extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L,B,E,KH,D] x2
     extra_mask: Optional[jnp.ndarray] = None,  # [B, T, E] mask over extra_kv
+    extra_positions: Optional[jnp.ndarray] = None,  # [B, E] abs pos (alibi)
     lora: Optional[Params] = None,
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
@@ -522,8 +523,21 @@ def forward_cached(
         )
         assert extra_mask is not None, "extra_kv requires extra_mask"
         joint_mask = jnp.concatenate([extra_mask, base_mask], axis=-1)
+        if slopes is not None:
+            # ALiBi: extra columns must carry their OWN absolute positions —
+            # defaulting them to the query position zeroes their distance
+            # bias (horizon steps / tree slots sat at rel=0; wrong tokens)
+            assert extra_positions is not None, (
+                "extra_kv under alibi requires extra_positions"
+            )
+            joint_positions = jnp.concatenate(
+                [extra_positions.astype(jnp.int32), positions], axis=1
+            )
+        else:
+            joint_positions = None
     else:
         joint_mask = tree_mask
+        joint_positions = None
 
     def body(h, xs):
         if lora is not None:
@@ -580,6 +594,7 @@ def forward_cached(
                 new_mask=joint_mask,
                 kv_mask=kv_mask,
                 q_positions=positions,
+                new_positions=joint_positions,
                 slopes=slopes,
                 logit_softcap=spec.attn_logit_softcap,
             )

@@ -263,6 +263,8 @@ class InferenceEngine:
                     positions=(cache_lens + i)[:, None],
                     write_cache=False,
                     extra_kv=(sk, sv), extra_mask=emask,
+                    # earlier horizon steps sit at lens+0..lens+n-1 (alibi)
+                    extra_positions=cache_lens[:, None] + steps[None, :],
                     lora=lora, adapter_onehot=onehot,
                     lora_scale=self.lora_scale, offload=self._offload,
                 )

@@ -405,6 +405,208 @@ class PipelineInferenceEngine:
             )
             return out, cache
 
+        # ---- software-pipelined decode horizon (fills the pipeline) ----
+        #
+        # The stepwise decode_n runs n separate pipe passes: n*(M+P-1) ticks,
+        # utilization M/(M+P-1) per step — the bubble repaid every step. Here
+        # the n steps stream CONTINUOUSLY through the stages: stage 0 starts
+        # step s+1 microbatch j the tick after step s's microbatch j leaves
+        # the last stage (its sampled token rides the same ppermute ring
+        # back), so the whole horizon costs n*M + P - 1 ticks — ONE bubble
+        # per horizon. This is the compiled analog of the reference keeping
+        # 4 batches in flight to fill its pipeline
+        # (/root/reference/src/runtime/request_manager.cc:3122-3137).
+        #
+        # Horizon KV is staged in-register per stage ([L/P, B, KH, D, n+1],
+        # column n = scratch for bubble ticks) and attended via
+        # split_cached_attention's in-flight columns; ONE cache commit per
+        # horizon (2x per-stage cache traffic per n tokens, vs per step).
+        # Requires M >= P so the feedback token never arrives late
+        # (num_microbatches defaults to P).
+        def make_piped_horizon(n, greedy_only):
+            ln = spec.num_layers // pp
+            nm = n * m
+
+            def piped(top, stage_layers, ck, cv, tokens0, lens, key, scfg):
+                stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
+                ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
+                stage = jax.lax.axis_index(PIPE_AXIS)
+                if slopes_full is None:
+                    slopes = None
+                elif heads_sharded:
+                    h_loc = spec.num_heads // tp
+                    slopes = jax.lax.dynamic_slice_in_dim(
+                        slopes_full,
+                        jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc)
+                else:
+                    slopes = slopes_full
+
+                tok_buf0 = tokens0.reshape(m, bm)
+                lens_mb = lens.reshape(m, bm)
+                scfg_mb = jax.tree.map(lambda f: f.reshape(m, bm), scfg)
+                stg_shape = (ln, b, ck.shape[2], ck.shape[3], n + 1)
+                stg_k0 = jnp.zeros(stg_shape, ck.dtype)
+                stg_v0 = jnp.zeros(stg_shape, cv.dtype)
+                x_proto = decoder._embed(
+                    spec, top, tok_buf0[0][:, None], lens_mb[0][:, None])
+                acc0 = jnp.zeros((nm, bm), jnp.int32)
+                cols = jnp.arange(n + 1, dtype=jnp.int32)
+
+                def tick(carry, i):
+                    y, t_prev, tok_buf, acc, stg_k, stg_v = carry
+                    ring = [(s_, (s_ + 1) % pp) for s_ in range(pp)]
+                    inc_h = jax.lax.ppermute(y, PIPE_AXIS, ring)
+                    inc_t = jax.lax.ppermute(t_prev, PIPE_AXIS, ring)
+
+                    # stage 0: bank the token that left the last stage at
+                    # tick i-1 (step s, mb j) -> feeds (step s+1, mb j)
+                    arr = i - 1 - (pp - 1)
+                    arr_ok = (stage == 0) & (arr >= 0) & (arr < nm)
+                    arr_mb = jnp.remainder(jnp.clip(arr, 0), m)
+                    tok_buf = jnp.where(
+                        arr_ok,
+                        jax.lax.dynamic_update_index_in_dim(
+                            tok_buf, inc_t, arr_mb, 0),
+                        tok_buf,
+                    )
+
+                    # stage-0 input: embed its pending token for (s0, j0)
+                    idx0 = jnp.clip(i, 0, nm - 1)
+                    s0, j0 = idx0 // m, idx0 % m
+                    tok0 = jax.lax.dynamic_index_in_dim(
+                        tok_buf, j0, keepdims=False)
+                    lens0 = jax.lax.dynamic_index_in_dim(
+                        lens_mb, j0, keepdims=False)
+                    x0 = decoder._embed(
+                        spec, top, tok0[:, None], (lens0 + s0)[:, None])
+                    x = jnp.where(stage == 0, x0, inc_h)
+
+                    # this stage's (step, mb) at this tick
+                    idx = i - stage
+                    valid = (idx >= 0) & (idx < nm)
+                    idxc = jnp.clip(idx, 0, nm - 1)
+                    s_my, j_my = idxc // m, idxc % m
+                    row0 = j_my * bm
+                    lens_row = jax.lax.dynamic_index_in_dim(
+                        lens_mb, j_my, keepdims=False)
+                    pos_my = (lens_row + s_my)[:, None]  # [Bm, 1]
+                    ck_mb = jax.lax.dynamic_slice_in_dim(ck, row0, bm, axis=1)
+                    cv_mb = jax.lax.dynamic_slice_in_dim(cv, row0, bm, axis=1)
+                    sk_mb = jax.lax.dynamic_slice_in_dim(
+                        stg_k, row0, bm, axis=1)
+                    sv_mb = jax.lax.dynamic_slice_in_dim(
+                        stg_v, row0, bm, axis=1)
+                    nmask = jnp.broadcast_to(
+                        ((cols < s_my) | (cols == n))[None, None],
+                        (bm, 1, n + 1),
+                    )
+                    npos = jnp.concatenate(
+                        [lens_row[:, None] + cols[None, :n], pos_my], axis=1)
+
+                    def one_layer(hh, xs):
+                        layer_p, ck_l, cv_l, sk_l, sv_l = xs
+
+                        def attend(q, k, v):
+                            q, k = decoder._maybe_rope(spec, q, k, pos_my)
+                            kc = k.astype(ck.dtype)
+                            vc = v.astype(cv.dtype)
+                            k_st = sk_l[..., :n].transpose(0, 3, 1, 2)
+                            v_st = sv_l[..., :n].transpose(0, 3, 1, 2)
+                            kn = jnp.concatenate([k_st, kc], axis=1)
+                            vn = jnp.concatenate([v_st, vc], axis=1)
+                            out = attn_lib.split_cached_attention(
+                                q, ck_l, cv_l, kn, vn, lens_row,
+                                new_mask=nmask,
+                                q_positions=pos_my,
+                                new_positions=npos,
+                                slopes=slopes,
+                                logit_softcap=spec.attn_logit_softcap,
+                            )
+                            return out, (kc, vc)
+
+                        hh, kv = decoder._layer(spec, layer_p, hh, attend)
+                        return hh, kv
+
+                    y_my, (k_new, v_new) = jax.lax.scan(
+                        one_layer, x,
+                        (stage_layers, ck_mb, cv_mb, sk_mb, sv_mb))
+
+                    # stage the new column (bubble ticks -> scratch col n)
+                    s_w = jnp.where(valid, s_my, n)
+                    upd_k = k_new.transpose(0, 1, 3, 4, 2).astype(stg_k.dtype)
+                    upd_v = v_new.transpose(0, 1, 3, 4, 2).astype(stg_v.dtype)
+                    stg_k = jax.lax.dynamic_update_slice(
+                        stg_k, upd_k, (0, row0, 0, 0, s_w))
+                    stg_v = jax.lax.dynamic_update_slice(
+                        stg_v, upd_v, (0, row0, 0, 0, s_w))
+
+                    # last stage: unembed + sample this microbatch's token
+                    def emit(_):
+                        logits = decoder._unembed(spec, top, y_my)
+                        scfg_rows = jax.tree.map(
+                            lambda f: jax.lax.dynamic_index_in_dim(
+                                f, j_my, keepdims=False),
+                            scfg_mb,
+                        )
+                        key_s = jax.random.fold_in(
+                            jax.random.fold_in(key, s_my), j_my)
+                        return sampling_lib.sample(
+                            logits[:, 0], key_s, scfg_rows,
+                            greedy_only=greedy_only)
+
+                    take = (stage == pp - 1) & valid
+                    t_out = jax.lax.cond(
+                        take, emit, lambda _: jnp.zeros((bm,), jnp.int32),
+                        None)
+                    acc = jnp.where(
+                        take,
+                        jax.lax.dynamic_update_index_in_dim(
+                            acc, t_out, idxc, 0),
+                        acc,
+                    )
+                    return (y_my, t_out, tok_buf, acc, stg_k, stg_v), None
+
+                t0 = jnp.zeros((bm,), jnp.int32)
+                (y, t_prev, tok_buf, acc, stg_k, stg_v), _ = jax.lax.scan(
+                    tick,
+                    (jnp.zeros_like(x_proto), t0, tok_buf0, acc0,
+                     stg_k0, stg_v0),
+                    jnp.arange(nm + pp - 1),
+                )
+                # one commit for the whole horizon window [lens, lens+n)
+                ck, cv = decoder.commit_kv_windows(
+                    ck, cv, stg_k[..., :n], stg_v[..., :n], lens)
+                is_last = (stage == pp - 1).astype(jnp.int32)
+                acc = jax.lax.psum(acc * is_last, PIPE_AXIS)
+                return acc, ck[None], cv[None]
+
+            return jax.shard_map(
+                piped,
+                mesh=mesh,
+                in_specs=(P(), self._layer_specs, cache_spec, cache_spec,
+                          P(), P(), P(), P()),
+                out_specs=(P(), cache_spec, cache_spec),
+                check_vma=False,
+            )
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,),
+            static_argnames=("n", "greedy_only"),
+        )
+        def decode_n_overlap_fn(params, cache, cache_lens, tokens, key, scfg,
+                                n, greedy_only=False):
+            """n decode steps streamed through the pipeline (one bubble)."""
+            run = make_piped_horizon(n, greedy_only)
+            top = {k: v for k, v in params.items() if k != "layers"}
+            with decoder.manual_tp_axis(MODEL_AXIS):
+                acc, ck, cv = run(
+                    top, params["layers"], cache.k, cache.v,
+                    tokens, cache_lens, key, scfg,
+                )
+            # [n*M, Bm] tick-order tokens -> [n, B] slot-order
+            out = acc.reshape(n, m, bm).reshape(n, b)
+            return out, KVCache(ck, cv)
+
         @functools.partial(
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
@@ -429,7 +631,16 @@ class PipelineInferenceEngine:
             return toks, cache
 
         self._decode = decode_fn
-        self._decode_n = decode_n_fn
+        # overlapped horizon needs M >= P (the feedback token must be back
+        # at stage 0 before its microbatch's next step starts)
+        self._decode_n = (
+            decode_n_overlap_fn if m >= pp else decode_n_fn
+        )
+        self._decode_n_stepwise = decode_n_fn
+        self.horizon_ticks = (
+            (lambda n: n * m + pp - 1) if m >= pp
+            else (lambda n: n * (m + pp - 1))
+        )
         self._prefill_batch = prefill_batch_fn
 
     # ------------------------------------------------------------------

@@ -73,6 +73,7 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
     Shared by SpecEngine and PipelineSpecEngine (pp_spec.py)."""
     w, dmax = width, depth
     tree = tree_size(w, dmax)
+    depths_vec = make_depths_vec(w, dmax)
 
     def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
         b = cache_lens.shape[0]
@@ -107,6 +108,8 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
                 ssm_spec, ssm_params, beam_tokens, ssm_cache,
                 cache_lens, positions=positions, tree_mask=eye_w,
                 extra_kv=(buf_k, buf_v), extra_mask=anc,
+                # tree slot c sits at lens + depth(c) (alibi)
+                extra_positions=cache_lens[:, None] + depths_vec[None, :],
                 write_cache=False)
             buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
             buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))

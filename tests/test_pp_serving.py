@@ -138,6 +138,71 @@ def test_pp_horizon_decoding_matches():
     assert out == ref
 
 
+def test_pp_overlapped_horizon_matches_stepwise_and_fills_pipeline():
+    """The software-pipelined horizon (one bubble per horizon) must produce
+    the stepwise path's exact tokens, in fewer ticks: n*M+P-1 < n*(M+P-1)
+    (reference analog: 4 in-flight batches fill the pipeline,
+    request_manager.cc:3122-3137)."""
+    import numpy as np
+    from flexflow_tpu.ops.sampling import SamplingConfig
+
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(9), jnp.float32)
+    eng = _pp_engine(params, make_mesh(pipe=2))
+    n = 6
+    assert eng.horizon_ticks(n) == n * eng.num_microbatches + eng.pp - 1
+    assert eng.horizon_ticks(n) < n * (eng.num_microbatches + eng.pp - 1)
+
+    # seed both paths with identical cache state via one prefill admission
+    key = jax.random.PRNGKey(0)
+    scfg = SamplingConfig.greedy(4)
+    prompts = [[5, 6, 7], [8, 9], [10, 11, 12, 13], [3]]
+    first = eng.fetch(eng.prefill_batch_to_slots_async(
+        prompts, [0, 1, 2, 3], key, scfg))
+    lens = np.array([len(p) for p in prompts], np.int32)
+    toks = np.asarray(first, np.int32)
+
+    # stepwise on a fresh engine with the same state
+    eng2 = _pp_engine(params, make_mesh(pipe=2))
+    eng2.prefill_batch_to_slots_async(prompts, [0, 1, 2, 3], key, scfg)
+
+    out_overlap, eng.cache = eng._decode_n(
+        eng.params, eng.cache, eng._h(lens), eng._h(toks),
+        eng._h(key), eng._htree(scfg), n, greedy_only=True)
+    out_step, eng2.cache = eng2._decode_n_stepwise(
+        eng2.params, eng2.cache, eng2._h(lens), eng2._h(toks),
+        eng2._h(key), eng2._htree(scfg), n, greedy_only=True)
+    assert np.array_equal(eng.fetch(out_overlap), eng2.fetch(out_step))
+
+    # caches agree after the horizon commit (up to fp reduction-order ulps:
+    # the overlapped path splits the softmax sum as [cache | staged] where
+    # the stepwise path has everything committed)
+    np.testing.assert_allclose(
+        eng.fetch(eng.cache.k), eng2.fetch(eng2.cache.k),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_pp_overlapped_horizon_alibi():
+    """ALiBi composes with the overlapped horizon (new_positions plumbing)."""
+    import dataclasses
+
+    aspec = dataclasses.replace(SPEC, pos="alibi")
+    params = params_lib.init_params(aspec, jax.random.PRNGKey(4), jnp.float32)
+    prompts = _prompts(4)
+    ref = _gen(
+        InferenceEngine(aspec, params, max_requests_per_batch=4,
+                        max_seq_len=128, cache_dtype=jnp.float32),
+        prompts, decode_horizon=8, pipelined=True,
+    )
+    out = _gen(
+        PipelineInferenceEngine(
+            aspec, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+            max_seq_len=128, cache_dtype=jnp.float32,
+        ),
+        prompts, decode_horizon=8, pipelined=True,
+    )
+    assert out == ref
+
+
 def test_pp_via_llm_api_cli_flag_not_silently_replicated():
     """`LLM.compile(pipeline_parallelism_degree=N)` must route to the
     stage-resident engine (round-1: it silently replicated weights)."""

@@ -141,6 +141,26 @@ def test_horizon_decode_matches(tiny_params):
     assert got == want
 
 
+def test_horizon_decode_matches_alibi():
+    """Regression (round 3): horizon decoding under ALiBi biased in-horizon
+    extra-KV columns at the QUERY's position (rel distance 0) instead of
+    their own — wrong tokens from the second horizon step on. Gate the
+    horizon path against full recomputation for an alibi spec."""
+    import dataclasses
+
+    aspec = dataclasses.replace(TINY, pos="alibi", num_kv_heads=4)
+    params = params_lib.init_params(aspec, jax.random.PRNGKey(4))
+    prompt = [5, 6, 7]
+    want = greedy_reference(aspec, params, prompt, 12)
+    rm = RequestManager(
+        InferenceEngine(aspec, params, max_requests_per_batch=4,
+                        max_seq_len=64, cache_dtype=jnp.float32),
+        decode_horizon=4,
+    )
+    [req] = rm.generate([prompt], GenerationConfig(max_new_tokens=12))
+    assert req.output_tokens == want
+
+
 def test_horizon_eos_truncates(tiny_params):
     prompt = [3, 17, 91, 5, 8]
     toks = greedy_reference(TINY, tiny_params, prompt, 10)
