@@ -161,12 +161,6 @@ class LLM:
                     "supported (stage-resident weights already hold only "
                     "1/P of the stack per device)"
                 )
-            if max_tokens_per_batch is not None:
-                raise NotImplementedError(
-                    "max_tokens_per_batch (chunked prefill) under "
-                    "pipeline_parallelism_degree>1 is not supported yet; "
-                    "omit the flag to use whole-prompt prefill"
-                )
         if max_tokens_per_batch is None:
             max_tokens_per_batch = 128  # reference default (incr_decoding.cc:138)
         _, self.params = hf_weights.load_params(
@@ -238,6 +232,11 @@ class LLM:
                 self.spec, self.params, mesh=mesh,
                 max_requests_per_batch=max_requests_per_batch,
                 max_seq_len=max_seq_length,
+                max_tokens_per_batch=(
+                    max_tokens_per_batch
+                    if max_tokens_per_batch < max_seq_length
+                    else 0
+                ),
                 cache_dtype=self.dtype,
             )
             self.rm = RequestManager(engine)

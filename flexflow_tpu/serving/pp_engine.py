@@ -117,8 +117,8 @@ class PipelineInferenceEngine:
         self.num_microbatches = m
         self.max_requests = max_requests_per_batch
         self.max_seq_len = max_seq_len
-        self.max_tokens_per_batch = 0  # chunked prefill: not under PP
-        del max_tokens_per_batch
+        # >0 enables chunked prefill (token-budgeted prompt phase)
+        self.max_tokens_per_batch = int(max_tokens_per_batch)
         self.min_prefill_bucket = min_prefill_bucket
         self.lora = None  # PEFT under PP: not yet supported
 
@@ -176,17 +176,25 @@ class PipelineInferenceEngine:
         slopes_full = decoder._alibi_slopes(spec)
         heads_sharded = tp > 1 and spec.num_heads % tp == 0
 
-        def make_piped(prefill: bool):
+        def make_piped(mode: str):
             """Pipelined tick loop over the stage layers (manual region).
 
-            ``prefill=False`` (decode): cached attention against this stage's
-            KV; the per-row commit window starts at ``starts[row]``.
-            ``prefill=True``: pure causal self-attention (fresh slots) and a
-            slot-routed commit at position 0 (``starts`` holds slot ids,
-            -1 = padding row that writes nothing).
+            Modes:
+            - ``decode``: cached attention against this stage's KV; per-row
+              commit window at ``starts[row]`` (slots unused).
+            - ``prefill``: pure causal self-attention (fresh slots), slot-
+              routed commit at position 0 (``slots`` holds slot ids, -1 =
+              padding row that writes nothing; starts unused).
+            - ``chunk``: chunked prefill — cached attention against the
+              already-committed prompt prefix (length ``lens``) with causal
+              masking among the chunk's tokens, slot-routed commit at
+              ``starts`` (the chunk's offset). The reference's token-budget
+              prompt phase (request_manager.cc:860-940).
             """
+            prefill = mode == "prefill"
 
-            def piped(stage_layers, ck, cv, h_mb, pos_mb, lens_mb, starts):
+            def piped(stage_layers, ck, cv, h_mb, pos_mb, lens_mb, starts,
+                      slots):
                 stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
                 ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
                 stage = jax.lax.axis_index(PIPE_AXIS)
@@ -320,7 +328,11 @@ class PipelineInferenceEngine:
                 if prefill:
                     ck, cv = decoder.commit_kv_windows(
                         ck, cv, stg_k, stg_v,
-                        jnp.zeros((b,), jnp.int32), starts,
+                        jnp.zeros((b,), jnp.int32), slots,
+                    )
+                elif mode == "chunk":
+                    ck, cv = decoder.commit_kv_windows(
+                        ck, cv, stg_k, stg_v, starts, slots
                     )
                 else:
                     ck, cv = decoder.commit_kv_windows(
@@ -336,26 +348,30 @@ class PipelineInferenceEngine:
                 mesh=mesh,
                 in_specs=(
                     self._layer_specs, cache_spec, cache_spec,
-                    act, vec2, vec2, P(),
+                    act, vec2, vec2, P(), P(),
                 ),
                 out_specs=(act, cache_spec, cache_spec),
                 check_vma=False,
             )
 
-        run_decode = make_piped(prefill=False)
-        run_prefill = make_piped(prefill=True)
+        run_decode = make_piped("decode")
+        run_prefill = make_piped("prefill")
+        run_chunk = make_piped("chunk")
 
-        def pipe_pass(run, params, cache, tokens, positions, lens, starts):
+        def pipe_pass(run, params, cache, tokens, positions, lens, starts,
+                      slots=None):
             """tokens [B, T] -> (h_out [B, T, D], cache)."""
             t = tokens.shape[1]
             h = decoder._embed(spec, params, tokens, positions)
             h_mb = h.reshape(m, bm, t, -1)
             pos_mb = positions.reshape(m, bm, t)
             lens_mb = lens.reshape(m, bm)
+            if slots is None:
+                slots = jnp.zeros((b,), jnp.int32)
             with decoder.manual_tp_axis(MODEL_AXIS):
                 h_out, ck, cv = run(
                     params["layers"], cache.k, cache.v,
-                    h_mb, pos_mb, lens_mb, starts,
+                    h_mb, pos_mb, lens_mb, starts, slots,
                 )
             return h_out.reshape(b, t, -1), KVCache(ck, cv)
 
@@ -621,7 +637,8 @@ class PipelineInferenceEngine:
             )
             h_out, cache = pipe_pass(
                 run_prefill, params, cache, tokens, positions,
-                jnp.zeros((nb,), jnp.int32), slots,
+                jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), jnp.int32),
+                slots,
             )
             logits = decoder._unembed(spec, params, h_out)
             last = jnp.take_along_axis(
@@ -630,6 +647,29 @@ class PipelineInferenceEngine:
             toks = sampling_lib.sample(last, key, scfg, greedy_only=greedy_only)
             return toks, cache
 
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+        )
+        def chunk_prefill_fn(params, cache, tokens, starts, slots, last_idx,
+                             key, scfg, greedy_only=False):
+            """One [B, C] prompt chunk: cached attention against the
+            committed prefix (length ``starts``), causal within the chunk,
+            slot-routed window commit at ``starts``. Returns each row's
+            sampled token from its ``last_idx`` position (the caller keeps
+            only the final chunk's)."""
+            nb, c = tokens.shape
+            positions = starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None]
+            h_out, cache = pipe_pass(
+                run_chunk, params, cache, tokens, positions, starts, starts,
+                slots,
+            )
+            logits = decoder._unembed(spec, params, h_out)
+            last = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1)[:, 0]
+            toks = sampling_lib.sample(last, key, scfg, greedy_only=greedy_only)
+            return toks, cache
+
+        self._chunk_prefill = chunk_prefill_fn
         self._decode = decode_fn
         # overlapped horizon needs M >= P (the feedback token must be back
         # at stage 0 before its microbatch's next step starts)
@@ -703,9 +743,49 @@ class PipelineInferenceEngine:
 
     def prefill_to_slot_async(self, prompt_tokens, slot, key, scfg1,
                               adapter_id=-1):
+        n = len(prompt_tokens)
+        if self.max_tokens_per_batch and n > self.max_tokens_per_batch:
+            return self._chunked_prefill_to_slot(
+                prompt_tokens, slot, key, scfg1)
         return self.prefill_batch_to_slots_async(
             [prompt_tokens], [slot], key, scfg1
         )[0]
+
+    def _chunked_prefill_to_slot(self, prompt_tokens, slot, key, scfg1):
+        """Token-budgeted prompt admission through the pipeline: [1 real row
+        + pad rows] chunks of max_tokens_per_batch, each a piped pass with
+        cached attention against the committed prefix and a slot-routed
+        window commit (reference chunked prefill,
+        request_manager.cc:860-940)."""
+        c = self.max_tokens_per_batch
+        nb = self.max_requests
+        n = len(prompt_tokens)
+        # the pipe pass reads cache rows POSITIONALLY (microbatch slices),
+        # so the request must occupy batch row == its cache slot
+        temp = np.zeros((nb,), np.float32)
+        top_p = np.ones((nb,), np.float32)
+        top_k = np.zeros((nb,), np.int32)
+        temp[slot] = np.asarray(scfg1.temperature).reshape(-1)[0]
+        top_p[slot] = np.asarray(scfg1.top_p).reshape(-1)[0]
+        top_k[slot] = np.asarray(scfg1.top_k).reshape(-1)[0]
+        scfg = SamplingConfig(temperature=temp, top_p=top_p, top_k=top_k)
+        slot_arr = np.full((nb,), -1, np.int32)
+        slot_arr[slot] = slot
+        tok = None
+        done = 0
+        while done < n:
+            mlen = min(c, n - done)
+            padded = np.zeros((nb, c), np.int32)
+            padded[slot, :mlen] = prompt_tokens[done:done + mlen]
+            starts = np.full((nb,), done, np.int32)
+            last_idx = np.full((nb,), mlen - 1, np.int32)
+            tok, self.cache = self._chunk_prefill(
+                self.params, self.cache, self._h(padded), self._h(starts),
+                self._h(slot_arr), self._h(last_idx), self._h(key),
+                self._htree(scfg), greedy_only=self._greedy_only(scfg),
+            )
+            done += mlen
+        return tok[slot]
 
     def prefill_to_slot(self, prompt_tokens, slot, key, scfg1, adapter_id=-1):
         return int(

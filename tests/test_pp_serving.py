@@ -203,6 +203,30 @@ def test_pp_overlapped_horizon_alibi():
     assert out == ref
 
 
+def test_pp_chunked_prefill_matches():
+    """max_tokens_per_batch under PP: prompts above the budget admit through
+    chunked piped passes (reference token-budget prompt phase,
+    request_manager.cc:860-940) with exact outputs vs whole-prompt
+    admission — round 2 silently zeroed the flag."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(2), jnp.float32)
+    prompts = [list(range(2, 30)), [7, 8, 9], list(range(40, 60)), [5]]
+    ref = _gen(_pp_engine(params, make_mesh(pipe=2)), prompts)
+    eng = PipelineInferenceEngine(
+        SPEC, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+        max_seq_len=128, max_tokens_per_batch=8, cache_dtype=jnp.float32,
+    )
+    assert eng.max_tokens_per_batch == 8
+    out = _gen(eng, prompts)
+    assert out == ref
+    # TP composes with the chunked path too
+    eng_tp = PipelineInferenceEngine(
+        SPEC, params, mesh=make_mesh(pipe=2, model=2),
+        max_requests_per_batch=4, max_seq_len=128, max_tokens_per_batch=8,
+        cache_dtype=jnp.float32,
+    )
+    assert _gen(eng_tp, prompts) == ref
+
+
 def test_pp_via_llm_api_cli_flag_not_silently_replicated():
     """`LLM.compile(pipeline_parallelism_degree=N)` must route to the
     stage-resident engine (round-1: it silently replicated weights)."""
