@@ -38,6 +38,7 @@ class FFConfig:
     num_microbatches: int = 0  # 0 -> = pipeline degree
     expert_parallel: bool = False
     only_data_parallel: bool = False  # skip layout search (config.h:180)
+    auto_parallel: bool = False  # Unity-lite layout search in compile()
 
     # auto-parallelization search (reference --budget/--alpha)
     search_budget: int = 8
@@ -113,6 +114,8 @@ class FFConfig:
         }
         boolean = {
             "--only-data-parallel": "only_data_parallel",
+            "-auto-parallelism": "auto_parallel",
+            "--auto-parallelism": "auto_parallel",
             "--fusion": "fusion",
             "--profiling": "profiling",
             "--inference-debugging": "inference_debugging",

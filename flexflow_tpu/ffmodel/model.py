@@ -687,9 +687,17 @@ class FFModel:
         optimizer=None,
         loss_type: str = "sparse_categorical_crossentropy",
         metrics: Sequence[str] = ("accuracy",),
+        auto_parallel: bool = False,
     ) -> None:
         """Initialize params and build the fused jitted step functions
-        (reference FFModel::compile, model.cc:3615)."""
+        (reference FFModel::compile, model.cc:3615).
+
+        ``auto_parallel=True`` mirrors the reference running graph_optimize
+        inside compile (model.cc:3636-3641): on a multi-device host the
+        first ``fit`` batch triggers a measured (dp, tp) layout search over
+        the DAG (dense kernels column-sharded over the model axis, batch
+        over the data axis) and the winning layout's jitted steps replace
+        the single-device ones. Report in ``self.auto_report``."""
         key = jax.random.PRNGKey(self._seed)
         params, state = {}, {}
         for node in self._nodes:
@@ -753,7 +761,89 @@ class FFModel:
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step)
         self._forward = jax.jit(forward_fn)
+        self._train_step_fn = train_step  # unjitted (auto-parallel re-jits)
+        self.auto_report = None
+        self._pending_auto = bool(auto_parallel) and len(jax.devices()) > 1
         self._compiled = True
+
+    def _auto_parallelize(self, bx, by, log_fn: Callable = print) -> None:
+        """Measured (dp, tp) layout search over the DAG (Unity-lite;
+        reference graph_optimize inside compile, model.cc:3636-3641).
+
+        Candidates: dp*tp == n_devices, dp | batch. Dense kernels with an
+        output dim divisible by tp shard column-parallel over the model
+        axis; everything else replicates; the batch shards over data.
+        Each candidate's REAL train step is compiled and timed; the winner
+        replaces the jitted steps and re-places params/opt state."""
+        import time as _time
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from flexflow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+        n = len(jax.devices())
+        batch = by.shape[0]
+        cands = [
+            (dp, n // dp) for dp in range(1, n + 1)
+            if n % dp == 0 and batch % dp == 0
+        ]
+
+        def param_specs(tp):
+            specs = {}
+            for name, node_p in self.params.items():
+                specs[name] = {}
+                for k, w in node_p.items():
+                    if (k == "w" and w.ndim == 2 and tp > 1
+                            and w.shape[-1] % tp == 0):
+                        specs[name][k] = P(None, MODEL_AXIS)
+                    else:
+                        specs[name][k] = P()
+            return specs
+
+        report, best = [], None
+        rng = jax.random.PRNGKey(0)
+        bxj = [jnp.asarray(a) for a in bx]
+        byj = jnp.asarray(by)
+        for dp, tp in cands:
+            mesh = make_mesh(data=dp, model=tp)
+            pshard = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), param_specs(tp),
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            bspec = NamedSharding(mesh, P(DATA_AXIS))
+            try:
+                params = jax.device_put(self.params, pshard)
+                opt_state = self.optimizer.init(params)
+                step = jax.jit(
+                    self._train_step_fn,
+                    in_shardings=(None, None, None, None,
+                                  [bspec] * len(bxj), bspec),
+                )
+                out = step(params, self.state, opt_state, rng, bxj, byj)
+                jax.block_until_ready(out)  # compile + warmup
+                t0 = _time.perf_counter()
+                out = step(params, self.state, opt_state, rng, bxj, byj)
+                jax.block_until_ready(out)
+                dt = _time.perf_counter() - t0
+            except Exception as e:  # illegal layout for this DAG
+                report.append({"layout": f"dp={dp} tp={tp}",
+                               "error": f"{type(e).__name__}: {e}"})
+                continue
+            report.append({"layout": f"dp={dp} tp={tp}", "measured_s": dt})
+            if best is None or dt < best[0]:
+                best = (dt, dp, tp, mesh, pshard, bspec, step)
+        self.auto_report = report
+        if best is None:
+            log_fn("[auto-parallel] no candidate layout compiled; staying "
+                   "single-device")
+            return
+        _, dp, tp, mesh, pshard, bspec, step = best
+        log_fn(f"[auto-parallel] chose dp={dp} tp={tp} over "
+               f"{len(report)} candidates")
+        self.params = jax.device_put(self.params, pshard)
+        self.opt_state = self.optimizer.init(self.params)
+        self._train_step = step
+        self._batch_sharding = bspec
 
     # ------------------------------------------------------------------
     # executor (reference python fit/eval, flexflow_cffi.py:4517,4561)
@@ -773,6 +863,12 @@ class FFModel:
             log_every: int = 0) -> List[dict]:
         assert self._compiled, "call compile() first"
         xs = x if isinstance(x, (list, tuple)) else [x]
+        if getattr(self, "_pending_auto", False):
+            self._pending_auto = False
+            first = next(self._batches(list(xs) + [y], batch_size), None)
+            if first is not None:
+                *bx, by = first
+                self._auto_parallelize(bx, by, log_fn=log_fn)
         rng = jax.random.PRNGKey(self._seed + 1)
         history = []
         for epoch in range(epochs):

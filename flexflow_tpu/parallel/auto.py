@@ -184,6 +184,143 @@ def optimize_layout(
     return best, report
 
 
+def layout_mesh(layout: Layout, n_devices: Optional[int] = None):
+    """Build the mesh a Layout describes."""
+    from flexflow_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=layout.data, pipe=layout.pipe, model=layout.model)
+
+
+def optimize_train_layout(
+    spec: ModelSpec,
+    params,
+    optimizer,
+    *,
+    batch_size: int,
+    seq_len: int,
+    loss: str = "sparse_categorical_crossentropy",
+    n_devices: Optional[int] = None,
+    measure_top_k: int = 3,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[Layout, List[Dict]]:
+    """Measured layout search for the Trainer (``Trainer(mesh="auto")``).
+
+    Builds a real Trainer per candidate layout and times one train step on
+    synthetic data — the reference runs graph_optimize inside every
+    ``FFModel::compile`` (model.cc:3636-3641); here the product entry points
+    call this before building their step functions."""
+    import numpy as np
+
+    from flexflow_tpu.training.trainer import Trainer
+
+    vocab = spec.vocab_size
+    rng = np.random.RandomState(0)
+    toks = rng.randint(1, vocab, size=(batch_size, seq_len)).astype(np.int32)
+    labels = np.roll(toks, -1, axis=1)
+
+    def step_factory(layout: Layout):
+        mesh = layout_mesh(layout)
+        tr = Trainer(
+            spec, params, optimizer, mesh=mesh,
+            pipeline_stages=layout.pipe if layout.pipe > 1 else 1,
+            num_microbatches=layout.num_microbatches,
+            loss=loss,
+        )
+
+        def run():
+            tr.train_step(toks, labels)
+            jax.block_until_ready(tr.params)
+
+        return run
+
+    best, report = optimize_layout(
+        spec, step_factory, n_devices=n_devices, batch_size=batch_size,
+        seq_len=seq_len, measure_top_k=measure_top_k,
+    )
+    log_fn(f"[auto-parallel] chose layout {best} "
+           f"(measured {len(report)} candidates)")
+    for r in report:
+        log_fn(f"[auto-parallel]   {r['layout']}: "
+               f"analytic {r['analytic_s']:.4g}s measured "
+               f"{r['measured_s']:.4g}s")
+    return best, report
+
+
+def optimize_serving_layout(
+    spec: ModelSpec,
+    params,
+    *,
+    batch_size: int,
+    max_seq_len: int,
+    cache_dtype=None,
+    n_devices: Optional[int] = None,
+    measure_top_k: int = 2,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[Layout, List[Dict]]:
+    """Measured serving-layout search (``LLM.compile(auto_parallel=True)``,
+    CLI ``-auto-parallelism``): candidates are TPxPP factorizations (serving
+    keeps data == 1 like the reference, inference_manager.cc:69), costed
+    analytically then timed on a real decode step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = n_devices or len(jax.devices())
+    dtype = cache_dtype if cache_dtype is not None else jnp.bfloat16
+
+    def step_factory(layout: Layout):
+        from flexflow_tpu.ops.sampling import SamplingConfig
+        from flexflow_tpu.serving.engine import InferenceEngine
+        from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
+
+        mesh = layout_mesh(layout)
+        if layout.pipe > 1:
+            eng = PipelineInferenceEngine(
+                spec, params, mesh=mesh,
+                max_requests_per_batch=batch_size, max_seq_len=max_seq_len,
+                cache_dtype=dtype,
+            )
+        else:
+            eng = InferenceEngine(
+                spec, params, max_requests_per_batch=batch_size,
+                max_seq_len=max_seq_len, cache_dtype=dtype,
+                mesh=mesh if n > 1 else None,
+            )
+        lens = np.full((batch_size,), 8, np.int32)
+        toks = np.ones((batch_size,), np.int32)
+        key = jax.random.PRNGKey(0)
+        scfg = SamplingConfig.greedy(batch_size)
+
+        def run():
+            eng.decode(lens, toks, key, scfg)
+
+        return run
+
+    candidates = [
+        lo for lo in enumerate_layouts(n, spec, batch_size) if lo.data == 1
+    ]
+    if not candidates:
+        raise ValueError(f"no legal serving layouts for {n} devices")
+    ranked = sorted(
+        candidates,
+        key=lambda lo: analytic_cost(lo, spec, batch_size, max_seq_len),
+    )
+    report, best, best_t = [], None, float("inf")
+    for i, lo in enumerate(ranked):
+        if i >= measure_top_k and best is not None:
+            break
+        t = measure_layout(step_factory, lo)
+        report.append({
+            "layout": str(lo),
+            "analytic_s": analytic_cost(lo, spec, batch_size, max_seq_len),
+            "measured_s": t,
+        })
+        if t < best_t:
+            best, best_t = lo, t
+    log_fn(f"[auto-parallel] serving layout {best} "
+           f"(measured {len(report)} candidates)")
+    return best, report
+
+
 # ---------------------------------------------------------------------------
 # per-op cost cache + simulated runtime (reference Simulator analog)
 # ---------------------------------------------------------------------------

@@ -72,6 +72,7 @@ class LLM:
         self._peft: List[tuple] = []  # [(LoraConfig, adapter_dir or None)]
         self.lora = None
         self.lora_config = None
+        self.auto_report = None  # -auto-parallelism layout search report
 
     # ------------------------------------------------------------------
 
@@ -119,6 +120,7 @@ class LLM:
         ssms: Sequence["SSM"] = (),
         merge_ssm_trees: bool = False,
         offload: Optional[bool] = None,
+        auto_parallel: Optional[bool] = None,
     ) -> None:
         """Load weights, build the engine (+ optional speculative pipeline).
 
@@ -130,8 +132,41 @@ class LLM:
 
         if offload is None:
             offload = _ffconfig.cpu_offload
+        if auto_parallel is None:
+            auto_parallel = getattr(_ffconfig, "auto_parallel", False)
         for s in ssms:
             self.register_ssm(s)
+
+        # Unity-lite serving layout search (-auto-parallelism; the analog of
+        # the reference running graph_optimize inside compile,
+        # model.cc:3636-3641): when degree flags are omitted on a
+        # multi-device host, pick TPxPP by analytic rank + measured decode
+        import jax as _jax
+
+        degrees_omitted = (
+            tensor_parallelism_degree == 1
+            and pipeline_parallelism_degree == 1
+            and data_parallelism_degree == 1
+            and context_parallel_degree == 1
+        )
+        if (auto_parallel and degrees_omitted
+                and len(_jax.devices()) > 1 and not self._ssms
+                and not self._peft and self.quant_bits is None):
+            from flexflow_tpu.models import params as _params_lib
+            from flexflow_tpu.parallel.auto import optimize_serving_layout
+
+            probe_params = _params_lib.init_params(
+                self.spec, _jax.random.PRNGKey(0), self.dtype
+            )
+            layout, self.auto_report = optimize_serving_layout(
+                self.spec, probe_params,
+                batch_size=max_requests_per_batch,
+                max_seq_len=max_seq_length,
+                cache_dtype=self.dtype,
+            )
+            del probe_params
+            tensor_parallelism_degree = layout.model
+            pipeline_parallelism_degree = layout.pipe
 
         mesh = None
         degree = (tensor_parallelism_degree * data_parallelism_degree

@@ -41,10 +41,34 @@ class Trainer:
         pipeline_stages: int = 1,
         num_microbatches: Optional[int] = None,
         loss: str = "sparse_categorical_crossentropy",
+        auto_batch_size: int = 8,
+        auto_seq_len: int = 128,
     ):
         """``pipeline_stages`` > 1 runs the forward through the explicit
         ppermute pipeline (parallel/pipeline.py) over the mesh's pipe axis
-        (layer params get stage-sliced); DP/TP stay under GSPMD."""
+        (layer params get stage-sliced); DP/TP stay under GSPMD.
+
+        ``mesh="auto"`` runs the Unity-lite layout search
+        (parallel/auto.py optimize_train_layout — the analog of the
+        reference running graph_optimize inside FFModel::compile,
+        model.cc:3636-3641): legal (dp, pp, tp) factorizations of the
+        device count are ranked analytically, the top candidates are
+        measured with real train steps at (auto_batch_size, auto_seq_len),
+        and the winner becomes this Trainer's mesh (report in
+        ``self.auto_report``)."""
+        self.auto_report = None
+        if isinstance(mesh, str):
+            if mesh != "auto":
+                raise ValueError(f"mesh must be a Mesh or 'auto', got {mesh!r}")
+            from flexflow_tpu.parallel import auto as auto_lib
+
+            layout, self.auto_report = auto_lib.optimize_train_layout(
+                spec, params, optimizer,
+                batch_size=auto_batch_size, seq_len=auto_seq_len, loss=loss,
+            )
+            mesh = auto_lib.layout_mesh(layout)
+            pipeline_stages = layout.pipe if layout.pipe > 1 else 1
+            num_microbatches = layout.num_microbatches
         self.spec = spec
         self.optimizer = optimizer
         self.mesh = mesh

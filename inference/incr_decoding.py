@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "runtime allocator on TPU")
     p.add_argument("--profiling", action="store_true",
                    help="per-phase wall-time report (reference --profiling)")
+    p.add_argument("-auto-parallelism", "--auto-parallelism",
+                   dest="auto_parallel", action="store_true",
+                   help="Unity-lite layout search: pick TPxPP when degree "
+                        "flags are omitted on a multi-device host")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -86,6 +90,7 @@ def main(argv=None):
         data_parallelism_degree=args.dp,
         context_parallel_degree=args.cp,
         offload=args.offload,
+        auto_parallel=args.auto_parallel,
     )
 
     prompts = ["Three tips for staying healthy are: "]
