@@ -119,7 +119,16 @@ class FFModel:
     def tanh(self, x): return self._unary("tanh", x)
     def elu(self, x): return self._unary("elu", x)
     def gelu(self, x): return self._unary("gelu", x)
+    def silu(self, x): return self._unary("silu", x)
+    def hardswish(self, x): return self._unary("hardswish", x)
+    def hardsigmoid(self, x): return self._unary("hardsigmoid", x)
     def identity(self, x): return self._unary("identity", x)
+
+    def leaky_relu(self, x, negative_slope: float = 0.01):
+        return self._unary("leaky_relu", x, negative_slope=negative_slope)
+
+    def clamp(self, x, min_val=None, max_val=None):
+        return self._unary("clamp", x, min_val=min_val, max_val=max_val)
     def pow(self, x, exponent: float): return self._unary("pow", x, exponent=exponent)
     def scalar_add(self, x, scalar: float): return self._unary("scalar_add", x, scalar=scalar)
     def scalar_sub(self, x, scalar: float): return self._unary("scalar_sub", x, scalar=scalar)
@@ -304,6 +313,27 @@ class FFModel:
 
     def cast(self, x, dtype, name: str = ""):
         [t] = self._add("cast", [x], dict(dtype=dtype), [x.shape], [dtype], name)
+        return t
+
+    def slice_tensor(self, x, slices, name: str = ""):
+        """Basic indexing: per-dim entry is an int (dim squeezed) or a
+        (start, stop, step) triple (any may be None). Dims beyond
+        ``len(slices)`` pass through (torch ``x[...]`` getitem semantics)."""
+        shape = []
+        norm = []
+        for i, s in enumerate(x.shape):
+            if i < len(slices):
+                sl = slices[i]
+                if isinstance(sl, int):
+                    norm.append(sl % s)
+                    continue  # dim squeezed
+                start, stop, step = sl
+                norm.append((start, stop, step))
+                shape.append(len(range(*slice(start, stop, step).indices(s))))
+            else:
+                shape.append(s)
+        [t] = self._add("slice", [x], dict(slices=tuple(norm)),
+                        [tuple(shape)], [x.dtype], name)
         return t
 
     def reverse(self, x, axis: int, name: str = ""):
@@ -505,13 +535,26 @@ class FFModel:
         a = node.attrs
         op = node.op
         if op in ("exp", "log", "sin", "cos", "sqrt", "relu", "sigmoid",
-                  "tanh", "elu", "gelu", "identity", "rsqrt"):
+                  "tanh", "elu", "gelu", "identity", "rsqrt", "silu",
+                  "hardswish", "hardsigmoid"):
             fn = {"exp": jnp.exp, "log": jnp.log, "sin": jnp.sin,
                   "cos": jnp.cos, "sqrt": jnp.sqrt, "rsqrt": jax.lax.rsqrt,
                   "relu": act_lib.relu, "sigmoid": jax.nn.sigmoid,
                   "tanh": jnp.tanh, "elu": jax.nn.elu, "gelu": act_lib.gelu,
+                  "silu": jax.nn.silu, "hardswish": jax.nn.hard_swish,
+                  "hardsigmoid": jax.nn.hard_sigmoid,
                   "identity": lambda x: x}[op]
             return [fn(xs[0])], s
+        if op == "leaky_relu":
+            return [jax.nn.leaky_relu(xs[0], a["negative_slope"])], s
+        if op == "clamp":
+            return [jnp.clip(xs[0], a["min_val"], a["max_val"])], s
+        if op == "slice":
+            idx = tuple(
+                sl if isinstance(sl, int) else slice(*sl)
+                for sl in a["slices"]
+            )
+            return [xs[0][idx]], s
         if op == "pow":
             return [jnp.power(xs[0], a["exponent"])], s
         if op == "scalar_add":

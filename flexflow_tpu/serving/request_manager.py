@@ -532,6 +532,18 @@ class RequestManager:
         if self.timer is not None:
             for line in self.timer.report():
                 print(line)
+            # per-op timing in the reference's per-kernel bracket style
+            # (linear_kernels.cu:144-178) — once per workload drain
+            if not getattr(self, "_per_op_printed", False):
+                self._per_op_printed = True
+                from flexflow_tpu.serving.engine import InferenceEngine
+                from flexflow_tpu.utils.profiling import per_op_profile
+
+                if type(self.engine) is InferenceEngine:
+                    for line in per_op_profile(
+                        self.engine.spec, self.engine.params
+                    ):
+                        print(line)
 
     def generate(
         self,

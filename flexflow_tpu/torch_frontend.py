@@ -24,6 +24,51 @@ def _pair(v):
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
 
+def _adaptive_pool(ff, x, output_size, pool_type):
+    """AdaptiveAvg/MaxPool2d for divisible sizes: kernel = stride = in/out
+    (matches torch exactly in the divisible case, which is every
+    torchvision classifier head)."""
+    oh, ow = _pair(output_size)
+    _, _, h, w = x.shape
+    if h % oh or w % ow:
+        raise NotImplementedError(
+            f"adaptive pool needs divisible sizes, got {h}x{w} -> {oh}x{ow}"
+        )
+    sh, sw = h // oh, w // ow
+    return ff.pool2d(x, sh, sw, sh, sw, 0, 0, pool_type)
+
+
+def _getitem_tensor(ff, x, idx):
+    """torch basic indexing on a traced tensor -> DSL slice op."""
+    if not isinstance(idx, tuple):
+        idx = (idx,)
+    norm = []
+    for i, e in enumerate(idx):
+        if e is Ellipsis:
+            # expand ellipsis to full slices for the skipped dims
+            rest = len(idx) - i - 1
+            norm.extend([(None, None, None)] * (x.ndim - len(norm) - rest))
+        elif isinstance(e, slice):
+            norm.append((e.start, e.stop, e.step))
+        elif isinstance(e, int):
+            norm.append(e)
+        else:
+            raise NotImplementedError(f"tensor getitem index {e!r}")
+    return ff.slice_tensor(x, norm)
+
+
+def _reduce_dims(node, x, argpos=1):
+    dims = node.kwargs.get(
+        "dim", node.args[argpos] if len(node.args) > argpos else None)
+    keep = bool(node.kwargs.get("keepdim", False))
+    if dims is None:
+        dims = list(range(x.ndim))
+    if isinstance(dims, int):
+        dims = [dims]
+    dims = [d % x.ndim for d in dims]
+    return dims, keep
+
+
 def from_torch_module(
     module,
     input_shapes: Sequence[Tuple[int, ...]],
@@ -141,12 +186,28 @@ def from_torch_module(
                              s.weight.detach().numpy())}))
             elif isinstance(sub, tnn.ReLU):
                 out = ff.relu(x)
+            elif isinstance(sub, tnn.ReLU6):
+                out = ff.clamp(x, 0.0, 6.0)
             elif isinstance(sub, tnn.Sigmoid):
                 out = ff.sigmoid(x)
             elif isinstance(sub, tnn.Tanh):
                 out = ff.tanh(x)
             elif isinstance(sub, tnn.GELU):
                 out = ff.gelu(x)
+            elif isinstance(sub, tnn.SiLU):
+                out = ff.silu(x)
+            elif isinstance(sub, tnn.Hardswish):
+                out = ff.hardswish(x)
+            elif isinstance(sub, tnn.Hardsigmoid):
+                out = ff.hardsigmoid(x)
+            elif isinstance(sub, tnn.LeakyReLU):
+                out = ff.leaky_relu(x, sub.negative_slope)
+            elif isinstance(sub, tnn.ELU):
+                out = ff.elu(x)
+            elif isinstance(sub, tnn.AdaptiveAvgPool2d):
+                out = _adaptive_pool(ff, x, sub.output_size, "avg")
+            elif isinstance(sub, tnn.AdaptiveMaxPool2d):
+                out = _adaptive_pool(ff, x, sub.output_size, "max")
             elif isinstance(sub, tnn.Softmax):
                 out = ff.softmax(x, axis=sub.dim if sub.dim is not None else -1)
             elif isinstance(sub, tnn.Dropout):
@@ -196,8 +257,22 @@ def from_torch_module(
             elif fn is torch.exp:
                 out = ff.exp(args[0])
             elif fn is operator.getitem:
-                out = args[0][node.args[1]]
-            elif fn is torch.matmul:
+                out = (
+                    _getitem_tensor(ff, args[0], node.args[1])
+                    if isinstance(args[0], Tensor)
+                    else args[0][node.args[1]]
+                )
+            elif fn is getattr:
+                attr = node.args[1]
+                if attr == "shape" and isinstance(args[0], Tensor):
+                    out = tuple(int(d) for d in args[0].shape)
+                elif attr == "ndim" and isinstance(args[0], Tensor):
+                    out = args[0].ndim
+                elif attr == "dtype" and isinstance(args[0], Tensor):
+                    out = args[0].dtype
+                else:
+                    raise NotImplementedError(f"getattr {attr!r}")
+            elif fn in (torch.matmul, operator.matmul, torch.bmm):
                 out = ff.batch_matmul(args[0], args[1])
             elif fn in (operator.pow, torch.pow):
                 out = ff.pow(args[0], float(node.args[1]))
@@ -234,6 +309,80 @@ def from_torch_module(
                 perm = list(range(args[0].ndim))
                 perm[d0], perm[d1] = perm[d1], perm[d0]
                 out = ff.transpose(args[0], perm)
+            elif fn is torch.permute:
+                out = ff.transpose(args[0], list(node.args[1]))
+            elif fn is torch.reshape:
+                out = ff.reshape(args[0], list(node.args[1]))
+            elif fn is torch.squeeze:
+                if len(node.args) > 1:
+                    d = node.args[1] % args[0].ndim
+                    shape = [s for i, s in enumerate(args[0].shape) if i != d]
+                else:
+                    shape = [s for s in args[0].shape if s != 1]
+                out = ff.reshape(args[0], shape)
+            elif fn is torch.sum:
+                dims, keep = _reduce_dims(node, args[0])
+                out = ff.reduce_sum(args[0], dims, keepdims=keep)
+            elif fn is torch.clamp:
+                lo = node.kwargs.get(
+                    "min", node.args[1] if len(node.args) > 1 else None)
+                hi = node.kwargs.get(
+                    "max", node.args[2] if len(node.args) > 2 else None)
+                out = ff.clamp(args[0], lo, hi)
+            elif fn is operator.neg or fn is torch.neg:
+                out = ff.scalar_multiply(args[0], -1.0)
+            elif fn is torch.chunk:
+                n_chunks = node.args[1]
+                dim = node.kwargs.get(
+                    "dim", node.args[2] if len(node.args) > 2 else 0)
+                total = args[0].shape[dim]
+                base = -(-total // n_chunks)
+                sizes = [base] * (total // base)
+                if total % base:
+                    sizes.append(total % base)
+                out = tuple(ff.split(args[0], sizes, axis=dim))
+            elif fn is torch.stack:
+                dim = node.kwargs.get(
+                    "dim", node.args[1] if len(node.args) > 1 else 0)
+                parts = [t(a) for a in node.args[0]]
+                dim = dim % (parts[0].ndim + 1)
+                expanded = []
+                for pt in parts:
+                    shape = list(pt.shape)
+                    shape.insert(dim, 1)
+                    expanded.append(ff.reshape(pt, shape))
+                out = ff.concat(expanded, axis=dim)
+            elif fn is F.silu:
+                out = ff.silu(args[0])
+            elif fn is F.hardswish:
+                out = ff.hardswish(args[0])
+            elif fn is F.hardsigmoid:
+                out = ff.hardsigmoid(args[0])
+            elif fn is F.leaky_relu:
+                slope = node.kwargs.get(
+                    "negative_slope",
+                    node.args[1] if len(node.args) > 1 else 0.01)
+                out = ff.leaky_relu(args[0], slope)
+            elif fn is F.relu6:
+                out = ff.clamp(args[0], 0.0, 6.0)
+            elif fn in (F.max_pool2d, F.avg_pool2d):
+                kh, kw = _pair(node.kwargs.get(
+                    "kernel_size",
+                    node.args[1] if len(node.args) > 1 else 1))
+                stride = node.kwargs.get(
+                    "stride", node.args[2] if len(node.args) > 2 else None)
+                sh, sw = _pair(stride) if stride else (kh, kw)
+                ph, pw = _pair(node.kwargs.get(
+                    "padding", node.args[3] if len(node.args) > 3 else 0))
+                kind = "max" if fn is F.max_pool2d else "avg"
+                out = ff.pool2d(args[0], kh, kw, sh, sw, ph, pw, kind)
+            elif fn is F.adaptive_avg_pool2d:
+                out = _adaptive_pool(
+                    ff, args[0],
+                    node.kwargs.get(
+                        "output_size",
+                        node.args[1] if len(node.args) > 1 else 1),
+                    "avg")
             else:
                 raise NotImplementedError(f"torch function {fn}")
             mark(node, out)
@@ -241,7 +390,10 @@ def from_torch_module(
             x = t(node.args[0])
             m = node.target
             if m == "view" or m == "reshape":
-                shape = [a if a != -1 else -1 for a in node.args[1:]]
+                # dims may be traced values (x.size(0) etc.) -> resolve
+                shape = [t(a) for a in node.args[1:]]
+                if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+                    shape = list(shape[0])
                 concrete = list(shape)
                 if -1 in concrete:
                     known = int(np.prod([s for s in concrete if s != -1]))
@@ -329,6 +481,45 @@ def from_torch_module(
                 out = ff.tanh(x)
             elif m == "exp":
                 out = ff.exp(x)
+            elif m == "size":
+                shp = tuple(int(d) for d in x.shape)
+                out = shp[node.args[1]] if len(node.args) > 1 else shp
+            elif m in ("dim", "ndimension"):
+                out = x.ndim
+            elif m == "sum":
+                dims, keep = _reduce_dims(node, x)
+                out = ff.reduce_sum(x, dims, keepdims=keep)
+            elif m == "chunk":
+                n_chunks = node.args[1]
+                dim = node.kwargs.get(
+                    "dim", node.args[2] if len(node.args) > 2 else 0)
+                total = x.shape[dim]
+                base = -(-total // n_chunks)
+                sizes = [base] * (total // base)
+                if total % base:
+                    sizes.append(total % base)
+                out = tuple(ff.split(x, sizes, axis=dim))
+            elif m in ("add", "sub", "mul", "div", "truediv"):
+                other = t(node.args[1])
+                pair = {
+                    "add": (ff.add, ff.scalar_add),
+                    "sub": (ff.subtract, ff.scalar_sub),
+                    "mul": (ff.multiply, ff.scalar_multiply),
+                    "div": (ff.divide, ff.scalar_true_divide),
+                    "truediv": (ff.divide, ff.scalar_true_divide),
+                }[m]
+                out = (pair[0](x, other) if isinstance(other, Tensor)
+                       else pair[1](x, float(other)))
+            elif m == "neg":
+                out = ff.scalar_multiply(x, -1.0)
+            elif m == "clamp":
+                lo = node.kwargs.get(
+                    "min", node.args[1] if len(node.args) > 1 else None)
+                hi = node.kwargs.get(
+                    "max", node.args[2] if len(node.args) > 2 else None)
+                out = ff.clamp(x, lo, hi)
+            elif m == "bmm":
+                out = ff.batch_matmul(x, t(node.args[1]))
             else:
                 raise NotImplementedError(f"torch method {m}")
             mark(node, out)

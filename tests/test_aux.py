@@ -163,3 +163,61 @@ def test_step_timer():
     lines = t.report()
     assert any("decode" in l and "count 2" in l for l in lines)
     assert any("prefill" in l for l in lines)
+
+
+def test_per_op_profile_reference_style():
+    """--profiling per-op report (reference per-kernel brackets,
+    linear_kernels.cu:144-178): every decoder op gets its own timed line."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu import specs
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.utils.profiling import per_op_profile
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=128, hidden_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+        intermediate_size=128, max_position_embeddings=128, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    lines = per_op_profile(spec, params, batch=2, seq=8, cache_len=32, reps=2)
+    text = "\n".join(lines)
+    for op in ("RMSNorm", "Linear (qkv)", "IncMultiHeadSelfAttention",
+               "Linear (o_proj)", "MLP", "Embedding", "LMHead"):
+        assert op in text, (op, text)
+    assert text.count("forward time =") >= 7, text
+
+
+def test_profiling_flag_prints_per_op(capsys):
+    """RequestManager drains -> [Profile] per-op lines appear under
+    --profiling."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu import specs
+    from flexflow_tpu.config import config as ffconfig
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=128, hidden_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+        intermediate_size=128, max_position_embeddings=128, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    old = ffconfig.profiling
+    ffconfig.profiling = True
+    try:
+        eng = InferenceEngine(spec, params, max_requests_per_batch=2,
+                              max_seq_len=64, cache_dtype=jnp.float32)
+        rm = RequestManager(eng)
+        rm.generate([[3, 4, 5]], GenerationConfig(max_new_tokens=4))
+    finally:
+        ffconfig.profiling = old
+    out = capsys.readouterr().out
+    assert "IncMultiHeadSelfAttention forward time =" in out
+    assert "[Profile]" in out
