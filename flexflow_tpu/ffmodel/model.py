@@ -741,6 +741,18 @@ class FFModel:
         the DAG (dense kernels column-sharded over the model axis, batch
         over the data axis) and the winning layout's jitted steps replace
         the single-device ones. Report in ``self.auto_report``."""
+        from flexflow_tpu.config import config as _ffconfig
+
+        # graph substitutions before tracing (reference substitution.cc
+        # GraphXfer rewrites, run inside compile; gated by --fusion)
+        self.substitution_report = {}
+        if getattr(_ffconfig, "fusion", True):
+            from flexflow_tpu.ffmodel.substitutions import optimize_graph
+
+            self._nodes, self._inputs, self.substitution_report = (
+                optimize_graph(self._nodes, self._inputs)
+            )
+
         key = jax.random.PRNGKey(self._seed)
         params, state = {}, {}
         for node in self._nodes:

@@ -1,0 +1,170 @@
+"""Graph substitution engine: pattern rewrites over the FFModel DAG.
+
+TPU-native distillation of the reference's substitution engine
+(/root/reference/src/runtime/substitution.cc:1920 ``GraphXfer`` — source
+pattern -> destination pattern rewrites searched over the PCG). XLA already
+performs kernel-level fusion, so the payoff here is GRAPH-level: collapsing
+operator chains before tracing shrinks the jitted program and feeds XLA
+pre-fused ops (dense+activation runs as one matmul epilogue), mirroring the
+reference's fuse-activation / eliminate-noop xfers.
+
+Rules (each a ``(name, matcher)`` applied to fixpoint):
+- ``fuse-activation``: dense/conv2d/conv2d_transpose followed by its only
+  consumer relu/sigmoid/tanh/gelu/elu -> folded into the op's epilogue
+  (reference fuse_add_relu-style xfers).
+- ``fuse-bn-relu``: batch_norm + relu -> batch_norm(relu=True) (the
+  reference's fused BN-ReLU operator).
+- ``eliminate-identity``: identity nodes drop out.
+- ``collapse-reshape``: reshape(reshape(x)) -> reshape(x).
+- ``eliminate-split-concat``: concat(split(x)) over the same axis in
+  original order -> x.
+- dead-code elimination from the output root.
+
+``optimize_graph`` is called inside ``FFModel.compile`` (gated by
+``FFConfig.fusion``, the reference's --fusion flag) — the reference runs its
+substitution search inside compile too (model.cc:3636-3641).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+
+def optimize_graph(nodes, input_ids):
+    """Rewrite the node list; returns (new_nodes, new_input_ids, report).
+
+    ``nodes`` are ``_Node`` records whose ``inputs`` hold Tensors referencing
+    (node_id, out_index); node ids are list positions. Parameterized nodes
+    keep their names (params/state/regularizers are name-keyed).
+    """
+    nodes = [dataclasses.replace(n, inputs=list(n.inputs),
+                                 attrs=dict(n.attrs)) for n in nodes]
+    redirect: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    deleted = set()
+    report: Dict[str, int] = {}
+
+    def resolve(ref):
+        while ref in redirect:
+            ref = redirect[ref]
+        return ref
+
+    def consumers():
+        out: Dict[int, List[int]] = {i: [] for i in range(len(nodes))}
+        for j, n in enumerate(nodes):
+            if j in deleted:
+                continue
+            for t in n.inputs:
+                src = resolve((t.node, t.index))[0]
+                out[src].append(j)
+        return out
+
+    ACT_OPS = {"relu", "sigmoid", "tanh", "gelu", "elu"}
+    FUSABLE = {"dense", "conv2d", "conv2d_transpose"}
+
+    changed = True
+    rounds = 0
+    while changed and rounds < 10:
+        changed = False
+        rounds += 1
+        cons = consumers()
+        for j, n in enumerate(nodes):
+            if j in deleted:
+                continue
+            srcs = [resolve((t.node, t.index)) for t in n.inputs]
+
+            if n.op == "identity":
+                redirect[(j, 0)] = srcs[0]
+                deleted.add(j)
+                report["eliminate-identity"] = (
+                    report.get("eliminate-identity", 0) + 1)
+                changed = True
+                continue
+
+            if n.op in ACT_OPS and len(srcs) == 1:
+                i, oi = srcs[0]
+                prod = nodes[i]
+                if (oi == 0 and prod.op in FUSABLE
+                        and prod.attrs.get("activation") is None
+                        and cons.get(i) == [j]):
+                    prod.attrs["activation"] = n.op
+                    redirect[(j, 0)] = (i, 0)
+                    deleted.add(j)
+                    report["fuse-activation"] = (
+                        report.get("fuse-activation", 0) + 1)
+                    changed = True
+                    continue
+                if (oi == 0 and n.op == "relu" and prod.op == "batch_norm"
+                        and not prod.attrs.get("relu")
+                        and cons.get(i) == [j]):
+                    prod.attrs["relu"] = True
+                    redirect[(j, 0)] = (i, 0)
+                    deleted.add(j)
+                    report["fuse-bn-relu"] = report.get("fuse-bn-relu", 0) + 1
+                    changed = True
+                    continue
+
+            if n.op == "reshape" and len(srcs) == 1:
+                i, oi = srcs[0]
+                prod = nodes[i]
+                if oi == 0 and prod.op == "reshape" and cons.get(i) == [j]:
+                    # skip the inner reshape entirely
+                    n.inputs = list(prod.inputs)
+                    deleted.add(i)
+                    report["collapse-reshape"] = (
+                        report.get("collapse-reshape", 0) + 1)
+                    changed = True
+                    continue
+
+            if n.op == "concat":
+                src_nodes = {s[0] for s in srcs}
+                if len(src_nodes) == 1:
+                    i = next(iter(src_nodes))
+                    prod = nodes[i]
+                    if (prod.op == "split"
+                            and prod.attrs.get("axis") == n.attrs.get("axis")
+                            and [s[1] for s in srcs]
+                            == list(range(len(prod.out_shapes)))
+                            and len(srcs) == len(prod.out_shapes)):
+                        redirect[(j, 0)] = resolve(
+                            (prod.inputs[0].node, prod.inputs[0].index))
+                        deleted.add(j)
+                        report["eliminate-split-concat"] = (
+                            report.get("eliminate-split-concat", 0) + 1)
+                        changed = True
+                        continue
+
+    # --- dead-code elimination from the output root (last live node) ---
+    root = resolve((len(nodes) - 1, 0))[0]
+    live = set(input_ids)
+    stack = [root]
+    while stack:
+        i = stack.pop()
+        if i in live:
+            continue
+        live.add(i)
+        for t in nodes[i].inputs:
+            stack.append(resolve((t.node, t.index))[0])
+    dropped = [i for i in range(len(nodes))
+               if i not in live or i in deleted]
+    if dropped:
+        report["dead-code"] = sum(
+            1 for i in dropped if i not in deleted)
+
+    # --- rebuild with remapped ids (graph order preserved; root last) ---
+    keep = [i for i in range(len(nodes)) if i in live and i not in deleted]
+    # the apply() executor returns the LAST node's output: move the root to
+    # the end (everything after it is dead and already dropped)
+    if keep and keep[-1] != root:
+        keep = [i for i in keep if i != root] + [root]
+    idmap = {old: new for new, old in enumerate(keep)}
+    new_nodes = []
+    for old in keep:
+        n = nodes[old]
+        new_inputs = []
+        for t in n.inputs:
+            src, oi = resolve((t.node, t.index))
+            new_inputs.append(dataclasses.replace(t, node=idmap[src], index=oi))
+        new_nodes.append(dataclasses.replace(n, inputs=new_inputs))
+    new_input_ids = [idmap[i] for i in input_ids if i in idmap]
+    return new_nodes, new_input_ids, report
