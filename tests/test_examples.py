@@ -64,3 +64,19 @@ def test_resnext_training_example():
 
     hist = main(batch_size=4, epochs=1, samples=8)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_mlp_unify_training_example():
+    """Reference examples/cpp/MLP_Unify (two-tower dense stack)."""
+    from examples.mlp_unify import main
+
+    hist = main([])
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_split_training_example():
+    """Reference examples/python/native/split.py (concat/split towers)."""
+    from examples.split_test import main
+
+    hist = main(epochs=1, batch=4)
+    assert np.isfinite(hist[-1]["loss"])
