@@ -7,25 +7,37 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 # Lanes (reference gpu-ci.yml splits stages; the driver's CI budget is a few
-# minutes): default = fast lane (critical-path tests, <5 min); "full" runs
-# everything.
+# minutes). Tests measured >~10 s carry @pytest.mark.slow (tests/conftest.py):
+#   fast (default): critical-path files minus slow + the bench-spec gate, <5 min
+#   full:           entire suite minus slow, ~12 min
+#   all:            everything including slow
 LANE="${1:-fast}"
 
 if [ "$LANE" = "fast" ]; then
-  echo "== FAST lane: critical-path tests (run './ci.sh full' for all) =="
-  python -m pytest -x -q \
+  echo "== FAST lane: critical path ('./ci.sh full' / './ci.sh all' for more) =="
+  python -m pytest -x -q -m "not slow" \
     tests/test_serving.py tests/test_speculative.py \
-    tests/test_hf_alignment.py tests/test_pp_serving.py \
+    tests/test_hf_alignment.py tests/test_pp_serving.py tests/test_pp_spec.py \
     tests/test_quant.py tests/test_training.py
+  # the bench-spec gate always runs (the bench file must never ship broken)
+  python -m pytest -x -q tests/test_bench_spec.py
+elif [ "$LANE" = "full" ]; then
+  echo "== FULL lane: suite minus slow-marked (CPU, 8 virtual devices) =="
+  python -m pytest tests/ -x -q -m "not slow"
 else
-  echo "== FULL lane: entire suite (CPU, 8 virtual devices) =="
+  echo "== ALL lane: entire suite including slow =="
   python -m pytest tests/ -x -q
 fi
 
+# NOTE: JAX_PLATFORMS=cpu is NOT enough here — the ambient axon boot hook
+# can override it and device init then blocks on the (possibly wedged)
+# tunnel. jax.config.update('jax_platforms', 'cpu') BEFORE any device use is
+# the reliable CPU pin (same reason tests/conftest.py sets both).
 echo "== graft entry: single-chip forward compile check =="
 JAX_PLATFORMS=cpu python -c "
-import __graft_entry__ as g
 import jax
+jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
 fn, args = g.entry()
 jax.jit(fn).lower(*args).compile()
 print('entry() compiles OK')
@@ -34,6 +46,9 @@ print('entry() compiles OK')
 echo "== graft entry: 8-device SPMD dry run =="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 import __graft_entry__ as g
 g.dryrun_multichip(8)
 print('dryrun_multichip(8) OK')
