@@ -39,6 +39,7 @@ class FFConfig:
     expert_parallel: bool = False
     only_data_parallel: bool = False  # skip layout search (config.h:180)
     auto_parallel: bool = False  # Unity-lite layout search in compile()
+    substitution_json: Optional[str] = None  # rule file (config.h:197)
 
     # auto-parallelization search (reference --budget/--alpha)
     search_budget: int = 8
@@ -111,6 +112,7 @@ class FFConfig:
             "--max-requests-per-batch": ("max_requests_per_batch", int),
             "--max-tokens-per-batch": ("max_tokens_per_batch", int),
             "--max-sequence-length": ("max_sequence_length", int),
+            "--substitution-json": ("substitution_json", str),
         }
         boolean = {
             "--only-data-parallel": "only_data_parallel",

@@ -747,10 +747,15 @@ class FFModel:
         # GraphXfer rewrites, run inside compile; gated by --fusion)
         self.substitution_report = {}
         if getattr(_ffconfig, "fusion", True):
-            from flexflow_tpu.ffmodel.substitutions import optimize_graph
+            from flexflow_tpu.ffmodel.substitutions import (
+                load_rules, optimize_graph,
+            )
 
+            rules = None
+            if getattr(_ffconfig, "substitution_json", None):
+                rules = load_rules(_ffconfig.substitution_json)
             self._nodes, self._inputs, self.substitution_report = (
-                optimize_graph(self._nodes, self._inputs)
+                optimize_graph(self._nodes, self._inputs, rules)
             )
 
         key = jax.random.PRNGKey(self._seed)

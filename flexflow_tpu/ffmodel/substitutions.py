@@ -28,16 +28,52 @@ substitution search inside compile too (model.cc:3636-3641).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+import json
+from typing import Dict, List, Optional, Set, Tuple
+
+ALL_RULES = frozenset({
+    "fuse-activation",
+    "fuse-bn-relu",
+    "eliminate-identity",
+    "collapse-reshape",
+    "eliminate-split-concat",
+})
 
 
-def optimize_graph(nodes, input_ids):
+def load_rules(path: str) -> Set[str]:
+    """Load a substitution rule file (reference --substitution-json,
+    config.h:197 / substitution_loader.cc). Format::
+
+        {"rules": ["fuse-activation", ...]}        # enable exactly these
+        {"disable": ["collapse-reshape", ...]}     # all built-ins minus
+
+    The reference loads TASO-style source/destination pattern graphs; the
+    TPU build's rewrites target XLA-level graph shrinking, so the file
+    selects among the built-in rules rather than describing new patterns.
+    """
+    with open(path) as f:
+        doc = json.load(f)
+    if "rules" in doc:
+        rules = set(doc["rules"])
+    elif "disable" in doc:
+        rules = set(ALL_RULES) - set(doc["disable"])
+    else:
+        raise ValueError(f"{path}: expected a 'rules' or 'disable' key")
+    unknown = rules - ALL_RULES
+    if unknown:
+        raise ValueError(f"{path}: unknown substitution rules {sorted(unknown)}")
+    return rules
+
+
+def optimize_graph(nodes, input_ids, rules: Optional[Set[str]] = None):
     """Rewrite the node list; returns (new_nodes, new_input_ids, report).
 
     ``nodes`` are ``_Node`` records whose ``inputs`` hold Tensors referencing
     (node_id, out_index); node ids are list positions. Parameterized nodes
     keep their names (params/state/regularizers are name-keyed).
     """
+    if rules is None:
+        rules = ALL_RULES
     nodes = [dataclasses.replace(n, inputs=list(n.inputs),
                                  attrs=dict(n.attrs)) for n in nodes]
     redirect: Dict[Tuple[int, int], Tuple[int, int]] = {}
@@ -73,7 +109,7 @@ def optimize_graph(nodes, input_ids):
                 continue
             srcs = [resolve((t.node, t.index)) for t in n.inputs]
 
-            if n.op == "identity":
+            if n.op == "identity" and "eliminate-identity" in rules:
                 redirect[(j, 0)] = srcs[0]
                 deleted.add(j)
                 report["eliminate-identity"] = (
@@ -85,6 +121,7 @@ def optimize_graph(nodes, input_ids):
                 i, oi = srcs[0]
                 prod = nodes[i]
                 if (oi == 0 and prod.op in FUSABLE
+                        and "fuse-activation" in rules
                         and prod.attrs.get("activation") is None
                         and cons.get(i) == [j]):
                     prod.attrs["activation"] = n.op
@@ -95,6 +132,7 @@ def optimize_graph(nodes, input_ids):
                     changed = True
                     continue
                 if (oi == 0 and n.op == "relu" and prod.op == "batch_norm"
+                        and "fuse-bn-relu" in rules
                         and not prod.attrs.get("relu")
                         and cons.get(i) == [j]):
                     prod.attrs["relu"] = True
@@ -104,7 +142,8 @@ def optimize_graph(nodes, input_ids):
                     changed = True
                     continue
 
-            if n.op == "reshape" and len(srcs) == 1:
+            if (n.op == "reshape" and len(srcs) == 1
+                    and "collapse-reshape" in rules):
                 i, oi = srcs[0]
                 prod = nodes[i]
                 if oi == 0 and prod.op == "reshape" and cons.get(i) == [j]:
@@ -116,7 +155,7 @@ def optimize_graph(nodes, input_ids):
                     changed = True
                     continue
 
-            if n.op == "concat":
+            if n.op == "concat" and "eliminate-split-concat" in rules:
                 src_nodes = {s[0] for s in srcs}
                 if len(src_nodes) == 1:
                     i = next(iter(src_nodes))

@@ -43,12 +43,18 @@ class Layout:
 
 @dataclasses.dataclass
 class MachineModel:
-    """Analytic machine description (reference SimpleMachineModel analog)."""
+    """Analytic machine description (reference SimpleMachineModel analog).
+
+    Attaching a ``topology`` (parallel/topology.TorusTopology) upgrades the
+    comm terms from flat-bandwidth estimates to per-axis ring-collective
+    costs with DCN spill — the reference's EnhancedMachineModel/network-sim
+    tier (simulator.h:280, network.cc)."""
 
     chip_flops: float = 197e12  # v5e bf16 peak
     hbm_bw: float = 819e9
     ici_bw: float = 4.5e10  # per-link bytes/s (v5e 2D torus, one direction)
     hbm_bytes: float = 16e9
+    topology: Optional[object] = None  # parallel.topology.TorusTopology
 
 
 def enumerate_layouts(
@@ -99,22 +105,41 @@ def analytic_cost(
 
     # TP: 2 allreduces per layer per microbatch pass (activations B*T*D)
     comm = 0.0
-    if layout.model > 1:
-        bytes_ar = 2 * l * tokens * d * 2 * 2 * (layout.model - 1) / layout.model
-        comm += bytes_ar / (m.ici_bw * layout.data * layout.pipe)
-    # DP: gradient allreduce of all params
+    topo = m.topology
     n_params = l * (4 * d * d + mlp_mults * d * f) + v * d
-    if layout.data > 1:
-        comm += (2 * n_params * 4 * (layout.data - 1) / layout.data) / m.ici_bw
-    # PP bubble: (P-1)/(M+P-1) of the pipe is idle; plus inter-stage
-    # activation hops (fwd + bwd) over ICI
-    bubble = 1.0
-    if layout.pipe > 1:
-        mb = layout.num_microbatches
-        bubble = (mb + layout.pipe - 1) / mb
-        comm += (
-            2 * (layout.pipe - 1) * tokens * d * 2 / (m.ici_bw * layout.data)
-        )
+    if topo is not None:
+        # per-axis ring collectives over the torus (DCN spill for axes
+        # that don't fit) — parallel/topology.TorusTopology
+        if layout.model > 1:
+            bytes_act = 2 * l * tokens * d * 2 / (layout.data * layout.pipe)
+            comm += topo.all_reduce_time(bytes_act, layout.model)
+        if layout.data > 1:
+            comm += topo.all_reduce_time(2 * n_params * 4, layout.data)
+        bubble = 1.0
+        if layout.pipe > 1:
+            mb = layout.num_microbatches
+            bubble = (mb + layout.pipe - 1) / mb
+            comm += 2 * (layout.pipe - 1) * topo.ppermute_time(
+                tokens * d * 2 / layout.data)
+    else:
+        if layout.model > 1:
+            bytes_ar = (2 * l * tokens * d * 2 * 2
+                        * (layout.model - 1) / layout.model)
+            comm += bytes_ar / (m.ici_bw * layout.data * layout.pipe)
+        # DP: gradient allreduce of all params
+        if layout.data > 1:
+            comm += (2 * n_params * 4
+                     * (layout.data - 1) / layout.data) / m.ici_bw
+        # PP bubble: (P-1)/(M+P-1) of the pipe is idle; plus inter-stage
+        # activation hops (fwd + bwd) over ICI
+        bubble = 1.0
+        if layout.pipe > 1:
+            mb = layout.num_microbatches
+            bubble = (mb + layout.pipe - 1) / mb
+            comm += (
+                2 * (layout.pipe - 1) * tokens * d * 2
+                / (m.ici_bw * layout.data)
+            )
 
     # HBM capacity filter: params(+grads+adam) per device
     bytes_per_dev = n_params * 16 / (layout.model * layout.pipe)

@@ -205,3 +205,75 @@ def test_llm_auto_parallel_serving_layout(monkeypatch):
           else None)
     assert wq is not None
     assert len({s.device for s in wq.addressable_shards}) > 1
+
+
+def test_torus_topology_collective_costs():
+    """Closed-form ring-collective costs (reference network-sim analog)."""
+    from flexflow_tpu.parallel.topology import TorusTopology
+
+    topo = TorusTopology(dims=(4, 4), link_bw=1e9, dcn_bw=1e8)
+    # all_reduce = 2(k-1)/k * B / bw; full-axis ring gets both directions
+    assert np.isclose(topo.all_reduce_time(1e9, 4), 2 * 3 / 4 * 1e9 / 2e9)
+    assert np.isclose(topo.all_gather_time(1e9, 4), 3 / 4 * 1e9 / 2e9)
+    assert topo.all_reduce_time(1e9, 1) == 0.0
+    # monotone in k at fixed bytes (sub-axis rings, one direction)
+    t2, t8 = topo.all_reduce_time(1e9, 2), topo.all_reduce_time(1e9, 8)
+    assert t2 < t8
+    # axis beyond the slice spills to DCN (10x slower here)
+    t32 = topo.all_reduce_time(1e9, 32)
+    assert t32 > 10 * t8 / 2
+    # placement: 4x4 fits (4, 4); a 32-way axis does not
+    place = topo.assign_axes({"model": 4, "data": 4})
+    assert place == {"model": True, "data": True}
+    assert topo.assign_axes({"model": 32})["model"] is False
+
+
+def test_analytic_cost_with_topology():
+    """MachineModel + topology ranks layouts sanely and penalizes DCN."""
+    from flexflow_tpu.parallel.auto import MachineModel, analytic_cost
+    from flexflow_tpu.parallel.topology import TorusTopology
+
+    m = MachineModel(topology=TorusTopology(dims=(4, 4)))
+    c_dp = analytic_cost(Layout(8, 1, 1), TINY, 8, 64, m)
+    c_tp = analytic_cost(Layout(1, 1, 4) if TINY.num_heads % 4 == 0
+                         else Layout(1, 1, 2), TINY, 8, 64, m)
+    assert np.isfinite(c_dp) and np.isfinite(c_tp)
+    # same layout on a tiny topology (DCN spill) must cost more
+    m_small = MachineModel(topology=TorusTopology(dims=(2,), dcn_bw=1e8))
+    assert (analytic_cost(Layout(8, 1, 1), TINY, 8, 64, m_small)
+            >= analytic_cost(Layout(8, 1, 1), TINY, 8, 64, m))
+
+
+def test_substitution_json_loader(tmp_path):
+    """--substitution-json rule files (reference substitution_loader.cc)."""
+    import json as _json
+
+    from flexflow_tpu.ffmodel.substitutions import ALL_RULES, load_rules
+
+    p = tmp_path / "rules.json"
+    p.write_text(_json.dumps({"rules": ["fuse-activation"]}))
+    assert load_rules(str(p)) == {"fuse-activation"}
+    p.write_text(_json.dumps({"disable": ["collapse-reshape"]}))
+    assert load_rules(str(p)) == set(ALL_RULES) - {"collapse-reshape"}
+    p.write_text(_json.dumps({"rules": ["bogus"]}))
+    try:
+        load_rules(str(p))
+        assert False, "unknown rule must raise"
+    except ValueError:
+        pass
+
+    # rules actually gate the rewrite
+    from flexflow_tpu.ffmodel import FFModel
+    from flexflow_tpu.ffmodel.substitutions import optimize_graph
+
+    ff = FFModel()
+    x = ff.create_tensor((2, 8))
+    h = ff.dense(x, 8)
+    h = ff.relu(h)
+    ff.identity(h)
+    _, _, rep_all = optimize_graph(ff._nodes, ff._inputs)
+    assert rep_all.get("fuse-activation") == 1
+    _, _, rep_lim = optimize_graph(ff._nodes, ff._inputs,
+                                   {"eliminate-identity"})
+    assert "fuse-activation" not in rep_lim
+    assert rep_lim.get("eliminate-identity") == 1
