@@ -247,7 +247,11 @@ class LLM:
                     mesh=mesh,
                 ))
             if len(engines) == 1:
-                self.rm = SpecRequestManager(engines[0])
+                # fused: one device dispatch per speculative iteration
+                # (draft tree + verify + accept + commit as one XLA program;
+                # outputs identical to the unfused path — gated by
+                # tests/test_speculative.py::test_fused_spec_equals_incremental)
+                self.rm = SpecRequestManager(engines[0], fused=True)
             else:
                 from flexflow_tpu.serving.spec_manager import (
                     MultiSSMSpecManager,
