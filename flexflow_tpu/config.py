@@ -58,6 +58,7 @@ class FFConfig:
     # scheduler
     decode_horizon: int = 16
     pipeline_depth: int = 2  # in-flight horizons (reference depth 4)
+    spec_horizon: int = 4  # device-chained speculative iterations
 
     # numerics / quantization (-4bit/-8bit-quantization, --offload)
     data_type: str = "bfloat16"

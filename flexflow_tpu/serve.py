@@ -181,6 +181,14 @@ class LLM:
         # PP engine stages the layer stack itself: load params unsharded and
         # let PipelineInferenceEngine place them stage-resident (the round-1
         # replicate-over-pipe fallback is gone)
+        # spec horizon: chain iterations device-resident, but never let the
+        # per-request speculation margin (horizon * (tree+1), spec_manager
+        # register_request) eat more than ~1/4 of the context window
+        _tree = 1 + beam_width * beam_depth
+        spec_horizon = max(1, min(
+            _ffconfig.spec_horizon, max_seq_length // (4 * (_tree + 1))
+        ))
+
         use_pp = pipeline_parallelism_degree > 1
         if use_pp:
             # no silent capability degradation under PP (VERDICT r2 weak #4):
@@ -230,7 +238,11 @@ class LLM:
                     max_seq_len=max_seq_length,
                     cache_dtype=self.dtype,
                 )
-                self.rm = SpecRequestManager(engine, fused=True)
+                self.rm = SpecRequestManager(
+                    engine, fused=True,
+                    spec_horizon=spec_horizon,
+                    pipelined=spec_horizon > 1,
+                )
                 return
             engines = []
             for ssm in self._ssms:
@@ -248,10 +260,15 @@ class LLM:
                 ))
             if len(engines) == 1:
                 # fused: one device dispatch per speculative iteration
-                # (draft tree + verify + accept + commit as one XLA program;
-                # outputs identical to the unfused path — gated by
-                # tests/test_speculative.py::test_fused_spec_equals_incremental)
-                self.rm = SpecRequestManager(engines[0], fused=True)
+                # (draft tree + verify + accept + commit as one XLA program);
+                # spec_horizon chains iterations device-resident and
+                # pipelined overlaps fetch with the next horizon — outputs
+                # identical (tests/test_speculative.py fused/pipelined gates)
+                self.rm = SpecRequestManager(
+                    engines[0], fused=True,
+                    spec_horizon=spec_horizon,
+                    pipelined=spec_horizon > 1,
+                )
             else:
                 from flexflow_tpu.serving.spec_manager import (
                     MultiSSMSpecManager,
@@ -278,7 +295,12 @@ class LLM:
                 ),
                 cache_dtype=self.dtype,
             )
-            self.rm = RequestManager(engine)
+            self.rm = RequestManager(
+                engine,
+                decode_horizon=_ffconfig.decode_horizon,
+                pipelined=_ffconfig.decode_horizon > 1,
+                pipeline_depth=_ffconfig.pipeline_depth,
+            )
         else:
             if self._peft:
                 import jax as _jax
@@ -312,7 +334,12 @@ class LLM:
                 lora_config=self.lora_config,
                 offload=offload,
             )
-            self.rm = RequestManager(engine)
+            self.rm = RequestManager(
+                engine,
+                decode_horizon=_ffconfig.decode_horizon,
+                pipelined=_ffconfig.decode_horizon > 1,
+                pipeline_depth=_ffconfig.pipeline_depth,
+            )
 
     def _load_tokenizer(self):
         if self.tokenizer is None:
