@@ -189,14 +189,38 @@ class LLM:
             _ffconfig.spec_horizon, max_seq_length // (4 * (_tree + 1))
         ))
 
+        # PEFT adapter stacks (built before engine selection; both the base
+        # and PP engines consume them)
+        if self._peft:
+            import jax as _jax2
+
+            from flexflow_tpu.peft.lora import (
+                init_lora_params, load_hf_adapter_into_slot,
+            )
+
+            self.lora_config = self._peft[0][0]
+            self.lora = init_lora_params(
+                self.spec, self.lora_config, len(self._peft),
+                _jax2.random.PRNGKey(0), self.dtype,
+            )
+            for slot_i, (cfg_i, path_i) in enumerate(self._peft):
+                if path_i is not None:
+                    self.lora = load_hf_adapter_into_slot(
+                        path_i, self.spec, self.lora, slot_i, cfg_i
+                    )
+
         use_pp = pipeline_parallelism_degree > 1
         if use_pp:
             # no silent capability degradation under PP (VERDICT r2 weak #4):
             # every unsupported flag combination is an explicit error
-            if self._peft:
+            if self._peft and tensor_parallelism_degree > 1:
                 raise NotImplementedError(
-                    "PEFT adapters under pipeline_parallelism_degree>1 are "
-                    "not supported yet; use TP/DP serving for LoRA requests"
+                    "LoRA adapters under pipeline parallelism require "
+                    "tensor_parallelism_degree == 1"
+                )
+            if self._peft and self._ssms:
+                raise NotImplementedError(
+                    "PEFT with speculative decoding under PP is not supported"
                 )
             if offload:
                 raise NotImplementedError(
@@ -294,6 +318,8 @@ class LLM:
                     else 0
                 ),
                 cache_dtype=self.dtype,
+                lora=self.lora,
+                lora_config=self.lora_config,
             )
             self.rm = RequestManager(
                 engine,
@@ -302,23 +328,6 @@ class LLM:
                 pipeline_depth=_ffconfig.pipeline_depth,
             )
         else:
-            if self._peft:
-                import jax as _jax
-
-                from flexflow_tpu.peft.lora import (
-                    init_lora_params, load_hf_adapter_into_slot,
-                )
-
-                self.lora_config = self._peft[0][0]
-                self.lora = init_lora_params(
-                    self.spec, self.lora_config, len(self._peft),
-                    _jax.random.PRNGKey(0), self.dtype,
-                )
-                for slot, (cfg, path) in enumerate(self._peft):
-                    if path is not None:
-                        self.lora = load_hf_adapter_into_slot(
-                            path, self.spec, self.lora, slot, cfg
-                        )
             engine = InferenceEngine(
                 self.spec, self.params,
                 max_requests_per_batch=max_requests_per_batch,

@@ -92,6 +92,8 @@ class PipelineInferenceEngine:
         min_prefill_bucket: int = 16,
         cache_dtype=jnp.bfloat16,
         num_microbatches: Optional[int] = None,
+        lora=None,
+        lora_config=None,
     ):
         self.spec = spec
         self.mesh = mesh
@@ -120,7 +122,39 @@ class PipelineInferenceEngine:
         # >0 enables chunked prefill (token-budgeted prompt phase)
         self.max_tokens_per_batch = int(max_tokens_per_batch)
         self.min_prefill_bucket = min_prefill_bucket
-        self.lora = None  # PEFT under PP: not yet supported
+        # ---- PEFT: per-request-routed LoRA adapter stacks, stage-stacked
+        # like the layers ([L,N,...] -> [P, L/P, N, ...] pipe-sharded). The
+        # adapter deltas are computed on LOGICAL projection outputs, so TP>1
+        # (locally-sharded projections in the manual region) is rejected.
+        self.lora = lora
+        if lora is not None:
+            if self.tp > 1:
+                raise NotImplementedError(
+                    "LoRA under pipeline parallelism requires "
+                    "tensor_parallelism_degree == 1"
+                )
+            from flexflow_tpu.peft import lora_scaling
+
+            self.lora_scale = (
+                lora_scaling(lora_config) if lora_config else 1.0)
+            self.num_adapters = next(iter(lora.values()))["a"].shape[1]
+            staged_lora = jax.tree.map(
+                lambda a: a.reshape(
+                    self.pp, a.shape[0] // self.pp, *a.shape[1:]),
+                lora,
+            )
+            self._lora_specs = jax.tree.map(
+                lambda a: P(*([PIPE_AXIS] + [None] * (a.ndim - 1))),
+                staged_lora,
+            )
+            self.lora = jax.device_put(
+                staged_lora,
+                jax.tree.map(lambda s: NamedSharding(mesh, s),
+                             self._lora_specs),
+            )
+        else:
+            self.lora_scale = 1.0
+            self.num_adapters = 0
 
         # ---- place params: layers stage-stacked on pipe, rest replicated
         layers = stage_params(params["layers"], self.pp)
@@ -175,6 +209,8 @@ class PipelineInferenceEngine:
         # head-axis sharding condition)
         slopes_full = decoder._alibi_slopes(spec)
         heads_sharded = tp > 1 and spec.num_heads % tp == 0
+        has_lora = self.lora is not None
+        lora_scale = self.lora_scale
 
         def make_piped(mode: str):
             """Pipelined tick loop over the stage layers (manual region).
@@ -194,11 +230,14 @@ class PipelineInferenceEngine:
             prefill = mode == "prefill"
 
             def piped(stage_layers, ck, cv, h_mb, pos_mb, lens_mb, starts,
-                      slots):
+                      slots, *extra):
                 stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
                 ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
                 stage = jax.lax.axis_index(PIPE_AXIS)
                 t = h_mb.shape[2]
+                if has_lora:
+                    lora_st, onehot = extra
+                    lora_stage = jax.tree.map(lambda a: a[0], lora_st)
                 if slopes_full is None:
                     slopes = None
                 elif heads_sharded:
@@ -230,11 +269,22 @@ class PipelineInferenceEngine:
                             cv, row0, x.shape[0], axis=1
                         )
 
+                    if has_lora:
+                        oh_mb = jax.lax.dynamic_slice_in_dim(
+                            onehot, row0, x.shape[0], axis=0)
+
                     def one_layer(hh, xs):
                         if prefill:
-                            layer_p = xs
+                            layer_p = xs[0] if has_lora else xs
                         else:
-                            layer_p, ck_l, cv_l = xs
+                            layer_p, ck_l, cv_l = xs[:3]
+                        if has_lora:
+                            layer_p = {
+                                **layer_p,
+                                "_lora": xs[-1],
+                                "_lora_onehot": oh_mb,
+                                "_lora_scale": lora_scale,
+                            }
 
                         def attend(q, k, v):
                             q, k = decoder._maybe_rope(spec, q, k, pos)
@@ -264,10 +314,14 @@ class PipelineInferenceEngine:
                         return hh, kv
 
                     xs = (
-                        stage_layers
+                        (stage_layers,)
                         if prefill
                         else (stage_layers, ck_mb, cv_mb)
                     )
+                    if has_lora:
+                        xs = xs + (lora_stage,)
+                    elif prefill:
+                        xs = stage_layers
                     y, (k_new, v_new) = jax.lax.scan(one_layer, x, xs)
                     return y, k_new, v_new
 
@@ -343,13 +397,16 @@ class PipelineInferenceEngine:
                 acc = jax.lax.psum(acc * is_last, PIPE_AXIS)
                 return acc, ck[None], cv[None]
 
+            in_specs = (
+                self._layer_specs, cache_spec, cache_spec,
+                act, vec2, vec2, P(), P(),
+            )
+            if has_lora:
+                in_specs = in_specs + (self._lora_specs, P())
             return jax.shard_map(
                 piped,
                 mesh=mesh,
-                in_specs=(
-                    self._layer_specs, cache_spec, cache_spec,
-                    act, vec2, vec2, P(), P(),
-                ),
+                in_specs=in_specs,
                 out_specs=(act, cache_spec, cache_spec),
                 check_vma=False,
             )
@@ -359,7 +416,7 @@ class PipelineInferenceEngine:
         run_chunk = make_piped("chunk")
 
         def pipe_pass(run, params, cache, tokens, positions, lens, starts,
-                      slots=None):
+                      slots=None, lora=None, onehot=None):
             """tokens [B, T] -> (h_out [B, T, D], cache)."""
             t = tokens.shape[1]
             h = decoder._embed(spec, params, tokens, positions)
@@ -368,10 +425,16 @@ class PipelineInferenceEngine:
             lens_mb = lens.reshape(m, bm)
             if slots is None:
                 slots = jnp.zeros((b,), jnp.int32)
+            extra = ()
+            if has_lora:
+                if onehot is None:
+                    onehot = jnp.zeros(
+                        (b, self.num_adapters), jnp.float32)
+                extra = (lora, onehot)
             with decoder.manual_tp_axis(MODEL_AXIS):
                 h_out, ck, cv = run(
                     params["layers"], cache.k, cache.v,
-                    h_mb, pos_mb, lens_mb, starts, slots,
+                    h_mb, pos_mb, lens_mb, starts, slots, *extra,
                 )
             return h_out.reshape(b, t, -1), KVCache(ck, cv)
 
@@ -379,10 +442,11 @@ class PipelineInferenceEngine:
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
         def decode_fn(params, cache, cache_lens, tokens, key, scfg,
-                      greedy_only=False):
+                      lora=None, onehot=None, greedy_only=False):
             h_out, cache = pipe_pass(
                 run_decode, params, cache, tokens[:, None],
                 cache_lens[:, None], cache_lens, cache_lens,
+                lora=lora, onehot=onehot,
             )
             logits = decoder._unembed(spec, params, h_out)
             nt = sampling_lib.sample(
@@ -395,7 +459,7 @@ class PipelineInferenceEngine:
             static_argnames=("n", "greedy_only"),
         )
         def decode_n_fn(params, cache, cache_lens, tokens, key, scfg, n,
-                        greedy_only=False):
+                        lora=None, onehot=None, greedy_only=False):
             """n chained decode steps (device-resident horizon).
 
             Each step commits its stage KV (2x the per-stage cache slice —
@@ -408,6 +472,7 @@ class PipelineInferenceEngine:
                 h_out, cache = pipe_pass(
                     run_decode, params, cache, toks[:, None],
                     lens_i[:, None], lens_i, lens_i,
+                    lora=lora, onehot=onehot,
                 )
                 logits = decoder._unembed(spec, params, h_out)
                 nt = sampling_lib.sample(
@@ -443,10 +508,14 @@ class PipelineInferenceEngine:
             ln = spec.num_layers // pp
             nm = n * m
 
-            def piped(top, stage_layers, ck, cv, tokens0, lens, key, scfg):
+            def piped(top, stage_layers, ck, cv, tokens0, lens, key, scfg,
+                      *extra):
                 stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
                 ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
                 stage = jax.lax.axis_index(PIPE_AXIS)
+                if has_lora:
+                    lora_st, onehot = extra
+                    lora_stage = jax.tree.map(lambda a: a[0], lora_st)
                 if slopes_full is None:
                     slopes = None
                 elif heads_sharded:
@@ -519,8 +588,19 @@ class PipelineInferenceEngine:
                     npos = jnp.concatenate(
                         [lens_row[:, None] + cols[None, :n], pos_my], axis=1)
 
+                    if has_lora:
+                        oh_mb = jax.lax.dynamic_slice_in_dim(
+                            onehot, row0, bm, axis=0)
+
                     def one_layer(hh, xs):
-                        layer_p, ck_l, cv_l, sk_l, sv_l = xs
+                        layer_p, ck_l, cv_l, sk_l, sv_l = xs[:5]
+                        if has_lora:
+                            layer_p = {
+                                **layer_p,
+                                "_lora": xs[-1],
+                                "_lora_onehot": oh_mb,
+                                "_lora_scale": lora_scale,
+                            }
 
                         def attend(q, k, v):
                             q, k = decoder._maybe_rope(spec, q, k, pos_my)
@@ -543,9 +623,10 @@ class PipelineInferenceEngine:
                         hh, kv = decoder._layer(spec, layer_p, hh, attend)
                         return hh, kv
 
-                    y_my, (k_new, v_new) = jax.lax.scan(
-                        one_layer, x,
-                        (stage_layers, ck_mb, cv_mb, sk_mb, sv_mb))
+                    h_xs = (stage_layers, ck_mb, cv_mb, sk_mb, sv_mb)
+                    if has_lora:
+                        h_xs = h_xs + (lora_stage,)
+                    y_my, (k_new, v_new) = jax.lax.scan(one_layer, x, h_xs)
 
                     # stage the new column (bubble ticks -> scratch col n)
                     s_w = jnp.where(valid, s_my, n)
@@ -596,11 +677,14 @@ class PipelineInferenceEngine:
                 acc = jax.lax.psum(acc * is_last, PIPE_AXIS)
                 return acc, ck[None], cv[None]
 
+            h_in_specs = (P(), self._layer_specs, cache_spec, cache_spec,
+                          P(), P(), P(), P())
+            if has_lora:
+                h_in_specs = h_in_specs + (self._lora_specs, P())
             return jax.shard_map(
                 piped,
                 mesh=mesh,
-                in_specs=(P(), self._layer_specs, cache_spec, cache_spec,
-                          P(), P(), P(), P()),
+                in_specs=h_in_specs,
                 out_specs=(P(), cache_spec, cache_spec),
                 check_vma=False,
             )
@@ -610,14 +694,19 @@ class PipelineInferenceEngine:
             static_argnames=("n", "greedy_only"),
         )
         def decode_n_overlap_fn(params, cache, cache_lens, tokens, key, scfg,
-                                n, greedy_only=False):
+                                n, lora=None, onehot=None, greedy_only=False):
             """n decode steps streamed through the pipeline (one bubble)."""
             run = make_piped_horizon(n, greedy_only)
             top = {k: v for k, v in params.items() if k != "layers"}
+            extra = ()
+            if has_lora:
+                if onehot is None:
+                    onehot = jnp.zeros((b, self.num_adapters), jnp.float32)
+                extra = (lora, onehot)
             with decoder.manual_tp_axis(MODEL_AXIS):
                 acc, ck, cv = run(
                     top, params["layers"], cache.k, cache.v,
-                    tokens, cache_lens, key, scfg,
+                    tokens, cache_lens, key, scfg, *extra,
                 )
             # [n*M, Bm] tick-order tokens -> [n, B] slot-order
             out = acc.reshape(n, m, bm).reshape(n, b)
@@ -627,7 +716,7 @@ class PipelineInferenceEngine:
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
         def prefill_batch_fn(params, cache, tokens, lengths, slots, key, scfg,
-                             greedy_only=False):
+                             lora=None, onehot=None, greedy_only=False):
             """Batched admission under PP: [B, bucket] rows (padded to the
             full slot count so the pipeline row shape is uniform; pad rows
             carry slot -1 and write nothing)."""
@@ -638,7 +727,7 @@ class PipelineInferenceEngine:
             h_out, cache = pipe_pass(
                 run_prefill, params, cache, tokens, positions,
                 jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), jnp.int32),
-                slots,
+                slots, lora=lora, onehot=onehot,
             )
             logits = decoder._unembed(spec, params, h_out)
             last = jnp.take_along_axis(
@@ -651,7 +740,8 @@ class PipelineInferenceEngine:
             jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
         )
         def chunk_prefill_fn(params, cache, tokens, starts, slots, last_idx,
-                             key, scfg, greedy_only=False):
+                             key, scfg, lora=None, onehot=None,
+                             greedy_only=False):
             """One [B, C] prompt chunk: cached attention against the
             committed prefix (length ``starts``), causal within the chunk,
             slot-routed window commit at ``starts``. Returns each row's
@@ -661,7 +751,7 @@ class PipelineInferenceEngine:
             positions = starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None]
             h_out, cache = pipe_pass(
                 run_chunk, params, cache, tokens, positions, starts, starts,
-                slots,
+                slots, lora=lora, onehot=onehot,
             )
             logits = decoder._unembed(spec, params, h_out)
             last = jnp.take_along_axis(
@@ -703,6 +793,22 @@ class PipelineInferenceEngine:
     def _greedy_only(scfg: SamplingConfig) -> bool:
         return bool(np.all(np.asarray(scfg.temperature) <= 0.0))
 
+    def _onehot(self, adapter_ids, n_rows=None):
+        """[B] adapter ids (-1 = base) -> [B, N] routing one-hot (or None)."""
+        if self.lora is None:
+            return None
+        rows = n_rows or self.max_requests
+        ids = (
+            np.full((rows,), -1, np.int64)
+            if adapter_ids is None
+            else np.asarray(adapter_ids)
+        )
+        oh = np.zeros((rows, self.num_adapters), np.float32)
+        for i, a in enumerate(ids[:rows]):
+            if a >= 0:
+                oh[i, int(a)] = 1.0
+        return self._h(oh)
+
     def prefill_bucket(self, prompt_len: int) -> int:
         from flexflow_tpu.serving.engine import _round_up_pow2
 
@@ -734,9 +840,13 @@ class PipelineInferenceEngine:
             ),
             top_k=np.pad(np.asarray(scfg.top_k, np.int32), (0, nb - real_nb)),
         )
+        adp = None
+        if adapter_ids is not None:
+            adp = list(adapter_ids) + [-1] * (nb - real_nb)
         toks, self.cache = self._prefill_batch(
             self.params, self.cache, self._h(padded), self._h(lengths),
             self._h(slot_arr), self._h(key), self._htree(scfg),
+            lora=self.lora, onehot=self._onehot(adp, nb),
             greedy_only=self._greedy_only(scfg),
         )
         return toks[:real_nb]
@@ -746,12 +856,13 @@ class PipelineInferenceEngine:
         n = len(prompt_tokens)
         if self.max_tokens_per_batch and n > self.max_tokens_per_batch:
             return self._chunked_prefill_to_slot(
-                prompt_tokens, slot, key, scfg1)
+                prompt_tokens, slot, key, scfg1, adapter_id)
         return self.prefill_batch_to_slots_async(
-            [prompt_tokens], [slot], key, scfg1
+            [prompt_tokens], [slot], key, scfg1, adapter_ids=[adapter_id]
         )[0]
 
-    def _chunked_prefill_to_slot(self, prompt_tokens, slot, key, scfg1):
+    def _chunked_prefill_to_slot(self, prompt_tokens, slot, key, scfg1,
+                                 adapter_id=-1):
         """Token-budgeted prompt admission through the pipeline: [1 real row
         + pad rows] chunks of max_tokens_per_batch, each a piped pass with
         cached attention against the committed prefix and a slot-routed
@@ -779,10 +890,13 @@ class PipelineInferenceEngine:
             padded[slot, :mlen] = prompt_tokens[done:done + mlen]
             starts = np.full((nb,), done, np.int32)
             last_idx = np.full((nb,), mlen - 1, np.int32)
+            adp = np.full((nb,), -1, np.int64)
+            adp[slot] = adapter_id
             tok, self.cache = self._chunk_prefill(
                 self.params, self.cache, self._h(padded), self._h(starts),
                 self._h(slot_arr), self._h(last_idx), self._h(key),
-                self._htree(scfg), greedy_only=self._greedy_only(scfg),
+                self._htree(scfg), lora=self.lora, onehot=self._onehot(adp),
+                greedy_only=self._greedy_only(scfg),
             )
             done += mlen
         return tok[slot]
@@ -800,6 +914,7 @@ class PipelineInferenceEngine:
             self._h(np.asarray(cache_lens, np.int32)),
             self._h(np.asarray(tokens, np.int32)),
             self._h(key), self._htree(scfg),
+            lora=self.lora, onehot=self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
         )
         return self.fetch(nt)
@@ -814,6 +929,7 @@ class PipelineInferenceEngine:
                 if not isinstance(tokens, jax.Array) else tokens
             ),
             self._h(key), self._htree(scfg), n,
+            lora=self.lora, onehot=self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
         )
         return out
