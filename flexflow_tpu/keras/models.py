@@ -55,9 +55,11 @@ class Model:
         self.name = name
 
     def compile(self, optimizer=None, loss="sparse_categorical_crossentropy",
-                metrics=("accuracy",)):
+                metrics=("accuracy",), auto_parallel=False):
+        """``auto_parallel=True`` runs the Unity-lite measured layout
+        search on the first fit batch (FFModel.compile(auto_parallel))."""
         self.ff.compile(optimizer=optimizer, loss_type=_LOSS_MAP[loss],
-                        metrics=metrics)
+                        metrics=metrics, auto_parallel=auto_parallel)
 
     @property
     def ffmodel(self):
@@ -137,7 +139,8 @@ class Sequential(Model):
         self.ff = ff
 
     def compile(self, optimizer=None, loss="sparse_categorical_crossentropy",
-                metrics=("accuracy",)):
+                metrics=("accuracy",), auto_parallel=False):
         if self.ff is None:
             self._build()
-        super().compile(optimizer=optimizer, loss=loss, metrics=metrics)
+        super().compile(optimizer=optimizer, loss=loss, metrics=metrics,
+                        auto_parallel=auto_parallel)

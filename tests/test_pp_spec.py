@@ -173,3 +173,19 @@ def test_pp_spec_via_llm_api():
     eng = llm.rm.engine
     assert isinstance(eng, PipelineSpecEngine)
     assert eng.llm_params["layers"]["wq"].sharding.spec[0] == PIPE_AXIS
+
+
+def test_pp_spec_sampling_requests_complete():
+    """Stochastic verification through the PP spec engine: sampled requests
+    complete with plausible outputs (exactness is a greedy-only property;
+    the sampling walk is gated distributionally in test_spec_sampling)."""
+    llm, ssm = _params()
+    eng = _pp_spec_engine(llm, ssm, make_mesh(pipe=2))
+    rm = SpecRequestManager(eng, fused=True)
+    reqs = rm.generate(
+        _prompts(3),
+        GenerationConfig(max_new_tokens=12, temperature=0.8, top_p=0.9),
+    )
+    for r in reqs:
+        assert len(r.output_tokens) == 12
+        assert all(0 <= t < 256 for t in r.output_tokens)
