@@ -38,12 +38,8 @@ from flexflow_tpu.models import decoder
 from flexflow_tpu.models.decoder import KVCache
 from flexflow_tpu.ops import attention as attn_lib
 from flexflow_tpu.ops import sampling as sampling_lib
-from flexflow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
-from flexflow_tpu.parallel.pipeline import stage_params
-from flexflow_tpu.serving.pp_engine import (
-    PipelineInferenceEngine,
-    _staged_layer_specs,
-)
+from flexflow_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
+from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
 from flexflow_tpu.serving.spec_sampling import tree_sample_walk
 from flexflow_tpu.serving.speculative import (
     MAX_SPEC_TREE_TOKEN_NUM,
