@@ -17,7 +17,8 @@ of hanging the driver. Env knobs:
 - FF_BENCH_SPEC=0            skip the 7B spec phase entirely
 - FF_BENCH_SPEC_TIMEOUT=sec  budget for the 7B phase   (default 2700)
 - FF_BENCH_HEADLINE_TIMEOUT  budget for the 160M phase (default 1800)
-- FF_BENCH_PROBE_TIMEOUT     per-attempt probe budget  (default 900)
+- FF_BENCH_PROBE_TIMEOUT     per-attempt probe budget  (default 600)
+- FF_BENCH_PROBE_ATTEMPTS    probe retries             (default 2)
 """
 
 import json
@@ -73,12 +74,13 @@ def _run_phase(cmd, timeout_s, name):
 
 def _probe_backend():
     """Fail fast (with retry) if the TPU backend is wedged/unreachable."""
-    budget = int(os.environ.get("FF_BENCH_PROBE_TIMEOUT", "900"))
+    budget = int(os.environ.get("FF_BENCH_PROBE_TIMEOUT", "600"))
+    attempts = int(os.environ.get("FF_BENCH_PROBE_ATTEMPTS", "2"))
     code = ("import jax, jax.numpy as jnp; "
             "x = jnp.ones((128,128), jnp.bfloat16); "
             "print('probe ok', (x@x).sum(), jax.devices())")
-    for attempt in range(3):
-        _log(f"backend probe attempt {attempt + 1}/3")
+    for attempt in range(attempts):
+        _log(f"backend probe attempt {attempt + 1}/{attempts}")
         proc = subprocess.Popen(
             [sys.executable, "-c", code], start_new_session=True,
             stdout=sys.stderr, stderr=sys.stderr,
@@ -101,7 +103,8 @@ def _probe_backend():
 
 def main():
     if not _probe_backend():
-        _log("TPU backend unavailable after 3 probes — aborting capture")
+        _log("TPU backend unavailable — aborting capture (wedged tunnel: "
+             "device init hangs; see /tmp/tpu_health.log pattern from r3)")
         sys.exit(2)
 
     headline_budget = int(os.environ.get("FF_BENCH_HEADLINE_TIMEOUT", "1800"))

@@ -69,9 +69,13 @@ def main():
     # the timed run hits zero compiles even on a cold compile cache.
     t_w = time.perf_counter()
     for blen in (20, 40, 80):  # buckets 32, 64, 128
+        print(f"[headline +{time.perf_counter() - t_w:6.1f}s] warmup "
+              f"bucket for prompt len {blen}", file=sys.stderr, flush=True)
         warm = [[1] * blen for _ in range(batch)]
         rm.generate(warm, GenerationConfig(max_new_tokens=horizon))
     warm_s = time.perf_counter() - t_w
+    print(f"[headline] warmup done in {warm_s:.1f}s; measuring",
+          file=sys.stderr, flush=True)
     rm.timer = StepTimer()  # reset phases: report the measured run only
 
     t0 = time.perf_counter()
