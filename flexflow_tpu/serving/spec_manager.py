@@ -207,9 +207,22 @@ class SpecRequestManager:
 
     # ------------------------------------------------------------------
 
+    def _clamped_horizon(self, active) -> int:
+        """Drain-aware horizon: each fused iteration yields >= 1 token per
+        slot, so never chain more iterations than the largest remaining
+        token budget across active requests (retiring waves stop paying
+        for full horizons; the analog of the RequestManager's drain-aware
+        dispatch)."""
+        rem = max(
+            (self._slots[s].config.max_new_tokens
+             - len(self._slots[s].output_tokens))
+            for s in active
+        )
+        return max(1, min(self.spec_horizon, rem))
+
     def _step_fused(self, active) -> bool:
         lens_before = self._cache_lens.copy()
-        h = self.spec_horizon
+        h = self._clamped_horizon(active)
         sampling = any(self._temperature[s] > 0.0 for s in active)
         if sampling:
             scfg = SamplingConfig(
@@ -269,7 +282,7 @@ class SpecRequestManager:
         lens/roots stay on device between dispatches; admissions merge in via
         a compiled [B] override scatter). EOS/retire lag one extra horizon —
         the same contract as the incremental pipelined scheduler."""
-        h = self.spec_horizon
+        h = self._clamped_horizon(active)
         b = self.engine.max_requests
         if self._dev_lens is None:
             self._dev_lens = self.engine._h(
