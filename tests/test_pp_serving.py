@@ -332,3 +332,19 @@ def test_pp_lora_rejects_tp():
         assert False, "LoRA + TP under PP must raise"
     except NotImplementedError:
         pass
+
+
+def test_pp_overlapped_horizon_token_banking_m_gt_p():
+    """num_microbatches > pipe stages: the feedback token arrives EARLY and
+    must be banked per microbatch until its next step starts."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(0), jnp.float32)
+    prompts = _prompts(4)
+    ref = _single_device_ref(params, prompts, decode_horizon=8,
+                             pipelined=True)
+    eng = PipelineInferenceEngine(
+        SPEC, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+        max_seq_len=128, cache_dtype=jnp.float32, num_microbatches=4,
+    )
+    assert eng.horizon_ticks(8) == 8 * 4 + 1
+    out = _gen(eng, prompts, decode_horizon=8, pipelined=True)
+    assert out == ref
