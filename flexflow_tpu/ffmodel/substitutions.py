@@ -95,7 +95,7 @@ def optimize_graph(nodes, input_ids, rules: Optional[Set[str]] = None):
                 out[src].append(j)
         return out
 
-    ACT_OPS = {"relu", "sigmoid", "tanh", "gelu", "elu"}
+    ACT_OPS = {"relu", "sigmoid", "tanh", "gelu", "elu", "silu"}
     FUSABLE = {"dense", "conv2d", "conv2d_transpose"}
 
     changed = True

@@ -506,11 +506,10 @@ def forward_cached(
 
     if write_start is None:
         write_start = cache_lens
-    # clamp: out-of-range windows land in the cache's tail scratch region
-    # (never attended — the scheduler retires requests before the cache fills)
-    write_start = jnp.clip(
-        write_start.astype(jnp.int32), 0, cache.max_seq_len - t
-    )
+    # out-of-range window columns simply drop (commit_kv_windows writes only
+    # in-range positions); clipping the start would shift the window onto
+    # earlier committed positions instead
+    write_start = jnp.clip(write_start.astype(jnp.int32), 0, cache.max_seq_len)
 
     # explicit joint mask over [extra | in-flight] when extra KV is appended
     if extra_kv is not None:
@@ -655,11 +654,15 @@ def commit_kv_windows(
       Amortized over an n-step decode horizon: 2/n cache passes per token.
 
     Rows with ``slot_idx[i] == -1`` write nothing (used by batched-admission
-    padding rows). At most one row may target a given live slot.
+    padding rows). At most one row may target a given live slot. A window
+    extending past the cache end writes only its in-range columns (the
+    position one-hot simply has no match beyond S-1) — clipping the START
+    instead would shift the whole window and overwrite earlier positions
+    (round-3 review: the chunked-prefill final partial window hit this).
     """
     l, b, kh, d, s = ck.shape
     t = upd_k.shape[4]
-    starts = jnp.clip(starts.astype(jnp.int32), 0, s - t)
+    starts = jnp.clip(starts.astype(jnp.int32), 0, s)
     # Exactness: bf16 values survive the one-hot matmul bit-for-bit at any
     # precision (0/1 weights; bf16->f32->bf16 roundtrip is identity). For
     # wider dtypes the TPU's default one-pass bf16 MXU decomposition WOULD

@@ -158,14 +158,16 @@ def measure_layout(
     """Compile + time the real step for a layout (measure_operator_cost)."""
     try:
         step = step_factory(layout)
+        for _ in range(warmup):
+            step()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            step()
+        return (time.perf_counter() - t0) / reps
     except Exception:
+        # a candidate that fails to build OR run (compile error, OOM) is
+        # skipped, not fatal to the search (round-3 review)
         return float("inf")
-    for _ in range(warmup):
-        step()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        step()
-    return (time.perf_counter() - t0) / reps
 
 
 def optimize_layout(
@@ -339,8 +341,14 @@ def optimize_serving_layout(
             "analytic_s": analytic_cost(lo, spec, batch_size, max_seq_len),
             "measured_s": t,
         })
-        if t < best_t:
+        if t < best_t and t != float("inf"):
             best, best_t = lo, t
+    if best is None:
+        # every measured candidate failed: fall back to single device so
+        # compile() degrades instead of crashing (round-3 review)
+        best = Layout(1, 1, 1)
+        log_fn("[auto-parallel] all measured candidates failed; falling "
+               "back to single-device layout")
     log_fn(f"[auto-parallel] serving layout {best} "
            f"(measured {len(report)} candidates)")
     return best, report

@@ -152,19 +152,57 @@ class LLM:
         if (auto_parallel and degrees_omitted
                 and len(_jax.devices()) > 1 and not self._ssms
                 and not self._peft and self.quant_bits is None):
-            from flexflow_tpu.models import params as _params_lib
-            from flexflow_tpu.parallel.auto import optimize_serving_layout
+            from flexflow_tpu.parallel.auto import (
+                MachineModel, analytic_cost, enumerate_layouts,
+                optimize_serving_layout,
+            )
 
-            probe_params = _params_lib.init_params(
-                self.spec, _jax.random.PRNGKey(0), self.dtype
+            sp = self.spec
+            mlp_mults = 3 if sp.act == "silu_gate" else 2
+            n_params = (
+                sp.num_layers * (
+                    sp.hidden_size
+                    * (sp.num_heads + 2 * sp.num_kv_heads) * sp.head_dim
+                    + sp.num_heads * sp.head_dim * sp.hidden_size
+                    + mlp_mults * sp.hidden_size * sp.intermediate_size
+                ) + 2 * sp.vocab_size * sp.hidden_size
             )
-            layout, self.auto_report = optimize_serving_layout(
-                self.spec, probe_params,
-                batch_size=max_requests_per_batch,
-                max_seq_len=max_seq_length,
-                cache_dtype=self.dtype,
-            )
-            del probe_params
+            bpp = 2 if self.dtype == jnp.bfloat16 else 4
+            machine = MachineModel()
+            if n_params * bpp > 0.35 * machine.hbm_bytes:
+                # the unsharded measurement probe would not fit one chip:
+                # rank analytically only (round-3 review — OOM before the
+                # first candidate for exactly the models that need PP/TP)
+                cands = [
+                    lo for lo in enumerate_layouts(
+                        len(_jax.devices()), sp, max_requests_per_batch)
+                    if lo.data == 1
+                ]
+                layout = min(cands, key=lambda lo: analytic_cost(
+                    lo, sp, max_requests_per_batch, max_seq_length, machine))
+                self.auto_report = [{
+                    "layout": str(layout),
+                    "analytic_s": analytic_cost(
+                        layout, sp, max_requests_per_batch,
+                        max_seq_length, machine),
+                    "measured_s": None,
+                    "note": "analytic-only (unsharded probe exceeds HBM)",
+                }]
+                print(f"[auto-parallel] serving layout {layout} "
+                      f"(analytic-only: model too large for probe)")
+            else:
+                from flexflow_tpu.models import params as _params_lib
+
+                probe_params = _params_lib.init_params(
+                    sp, _jax.random.PRNGKey(0), self.dtype
+                )
+                layout, self.auto_report = optimize_serving_layout(
+                    sp, probe_params,
+                    batch_size=max_requests_per_batch,
+                    max_seq_len=max_seq_length,
+                    cache_dtype=self.dtype,
+                )
+                del probe_params
             tensor_parallelism_degree = layout.model
             pipeline_parallelism_degree = layout.pipe
 

@@ -56,6 +56,22 @@ from flexflow_tpu.parallel.pipeline import _MODEL_AXIS_POS, stage_params
 from flexflow_tpu.specs import ModelSpec
 
 
+
+def _stage_slopes(spec: ModelSpec, tp: int):
+    """Per-TP-shard ALiBi slope slice (call INSIDE the manual region).
+
+    The head-sharding condition must match _staged_layer_specs' wq rule;
+    shared by the decode/prefill/chunk tick loops, the overlapped horizon,
+    and pp_spec's tree verify (round-3 review: three stale-prone copies)."""
+    slopes_full = decoder._alibi_slopes(spec)
+    if slopes_full is None:
+        return None
+    if tp > 1 and spec.num_heads % tp == 0:
+        h_loc = spec.num_heads // tp
+        return jax.lax.dynamic_slice_in_dim(
+            slopes_full, jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc)
+    return slopes_full
+
 def _staged_layer_specs(layers, mesh: Mesh):
     """PartitionSpecs for stage-stacked layer params [P, L/P, ...]."""
     tp = mesh.shape[MODEL_AXIS]
@@ -204,11 +220,6 @@ class PipelineInferenceEngine:
         cache_spec = self._cache_spec
         act = P()  # [M, Bm, T, D] replicated (dp == 1)
         vec2 = P()  # [M, Bm]
-        # ALiBi (MPT-class): per-head slopes, sliced to this TP shard's head
-        # block inside the manual region (matches _staged_layer_specs' wq
-        # head-axis sharding condition)
-        slopes_full = decoder._alibi_slopes(spec)
-        heads_sharded = tp > 1 and spec.num_heads % tp == 0
         has_lora = self.lora is not None
         lora_scale = self.lora_scale
 
@@ -238,16 +249,7 @@ class PipelineInferenceEngine:
                 if has_lora:
                     lora_st, onehot = extra
                     lora_stage = jax.tree.map(lambda a: a[0], lora_st)
-                if slopes_full is None:
-                    slopes = None
-                elif heads_sharded:
-                    h_loc = spec.num_heads // tp
-                    slopes = jax.lax.dynamic_slice_in_dim(
-                        slopes_full,
-                        jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc,
-                    )
-                else:
-                    slopes = slopes_full
+                slopes = _stage_slopes(spec, tp)
 
                 def stage_body(x, pos, lens, row0):
                     """This stage's layers on one microbatch.
@@ -516,15 +518,7 @@ class PipelineInferenceEngine:
                 if has_lora:
                     lora_st, onehot = extra
                     lora_stage = jax.tree.map(lambda a: a[0], lora_st)
-                if slopes_full is None:
-                    slopes = None
-                elif heads_sharded:
-                    h_loc = spec.num_heads // tp
-                    slopes = jax.lax.dynamic_slice_in_dim(
-                        slopes_full,
-                        jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc)
-                else:
-                    slopes = slopes_full
+                slopes = _stage_slopes(spec, tp)
 
                 tok_buf0 = tokens0.reshape(m, bm)
                 lens_mb = lens.reshape(m, bm)

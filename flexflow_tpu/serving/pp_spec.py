@@ -39,7 +39,10 @@ from flexflow_tpu.models.decoder import KVCache
 from flexflow_tpu.ops import attention as attn_lib
 from flexflow_tpu.ops import sampling as sampling_lib
 from flexflow_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
-from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
+from flexflow_tpu.serving.pp_engine import (
+    PipelineInferenceEngine,
+    _stage_slopes,
+)
 from flexflow_tpu.serving.spec_sampling import tree_sample_walk
 from flexflow_tpu.serving.speculative import (
     MAX_SPEC_TREE_TOKEN_NUM,
@@ -144,8 +147,6 @@ class PipelineSpecEngine:
         stg_spec = P(PIPE_AXIS, None, None, kh_shard, None, None)
         depths_vec = make_depths_vec(w, dmax)
         draft_phase = build_draft_phase(ssm_spec, w, dmax)
-        slopes_full = decoder._alibi_slopes(llm_spec)
-        heads_sharded = tp > 1 and llm_spec.num_heads % tp == 0
 
         def piped_verify(stage_layers, ck, cv, h_mb, pos_mb, lens_mb, anc_mb):
             """Pipelined tree verification (manual region, one stage/device).
@@ -157,14 +158,7 @@ class PipelineSpecEngine:
             stage_layers = jax.tree.map(lambda a: a[0], stage_layers)
             ck, cv = ck[0], cv[0]  # [L/P, B, KH_loc, D, S]
             stage = jax.lax.axis_index(PIPE_AXIS)
-            if slopes_full is None:
-                slopes = None
-            elif heads_sharded:
-                h_loc = llm_spec.num_heads // tp
-                slopes = jax.lax.dynamic_slice_in_dim(
-                    slopes_full, jax.lax.axis_index(MODEL_AXIS) * h_loc, h_loc)
-            else:
-                slopes = slopes_full
+            slopes = _stage_slopes(llm_spec, tp)
 
             def stage_body(x, pos, lens, anc, row0):
                 ck_mb = jax.lax.dynamic_slice_in_dim(

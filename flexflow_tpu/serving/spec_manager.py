@@ -218,7 +218,13 @@ class SpecRequestManager:
              - len(self._slots[s].output_tokens))
             for s in active
         )
-        return max(1, min(self.spec_horizon, rem))
+        # round up to a power of two so the static-n fused program compiles
+        # at most log2(spec_horizon)+1 distinct horizons (round-3 review:
+        # an unbucketed clamp recompiled at every drain value)
+        h = 1
+        while h < rem and h < self.spec_horizon:
+            h *= 2
+        return min(h, self.spec_horizon)
 
     def _step_fused(self, active) -> bool:
         lens_before = self._cache_lens.copy()

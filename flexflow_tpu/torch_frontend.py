@@ -316,10 +316,16 @@ def from_torch_module(
             elif fn is torch.squeeze:
                 if len(node.args) > 1:
                     d = node.args[1] % args[0].ndim
-                    shape = [s for i, s in enumerate(args[0].shape) if i != d]
+                    if args[0].shape[d] != 1:  # torch: no-op unless size 1
+                        out = args[0]
+                    else:
+                        out = ff.reshape(
+                            args[0],
+                            [s for i, s in enumerate(args[0].shape)
+                             if i != d])
                 else:
-                    shape = [s for s in args[0].shape if s != 1]
-                out = ff.reshape(args[0], shape)
+                    out = ff.reshape(
+                        args[0], [s for s in args[0].shape if s != 1])
             elif fn is torch.sum:
                 dims, keep = _reduce_dims(node, args[0])
                 out = ff.reduce_sum(args[0], dims, keepdims=keep)
@@ -432,10 +438,13 @@ def from_torch_module(
             elif m == "squeeze":
                 if len(node.args) > 1:
                     d = node.args[1] % x.ndim
-                    shape = [s for i, s in enumerate(x.shape) if i != d]
+                    if x.shape[d] != 1:  # torch: no-op unless size 1
+                        out = x
+                    else:
+                        out = ff.reshape(
+                            x, [s for i, s in enumerate(x.shape) if i != d])
                 else:
-                    shape = [s for s in x.shape if s != 1]
-                out = ff.reshape(x, shape)
+                    out = ff.reshape(x, [s for s in x.shape if s != 1])
             elif m in ("to", "float", "double", "half", "type_as"):
                 dmap = {torch.float32: jnp.float32,
                         torch.float64: jnp.float32,
@@ -501,6 +510,15 @@ def from_torch_module(
                 out = tuple(ff.split(x, sizes, axis=dim))
             elif m in ("add", "sub", "mul", "div", "truediv"):
                 other = t(node.args[1])
+                if node.kwargs.get("rounding_mode") is not None:
+                    raise NotImplementedError(
+                        "div with rounding_mode is not supported")
+                alpha = node.kwargs.get("alpha", 1)
+                if alpha != 1:  # torch: x.add(y, alpha=a) == x + a*y
+                    assert m in ("add", "sub"), m
+                    other = (ff.scalar_multiply(other, float(alpha))
+                             if isinstance(other, Tensor)
+                             else float(other) * float(alpha))
                 pair = {
                     "add": (ff.add, ff.scalar_add),
                     "sub": (ff.subtract, ff.scalar_sub),

@@ -277,3 +277,46 @@ def test_substitution_json_loader(tmp_path):
                                    {"eliminate-identity"})
     assert "fuse-activation" not in rep_lim
     assert rep_lim.get("eliminate-identity") == 1
+
+
+def test_llm_auto_parallel_large_model_analytic_only(monkeypatch):
+    """A model too large for an unsharded measurement probe must rank
+    analytically instead of OOMing (round-3 review)."""
+    import flexflow_tpu.serve as serve_mod
+    from flexflow_tpu.serve import LLM
+
+    big = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=32000, hidden_size=4096,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        intermediate_size=11008, max_position_embeddings=2048, norm_eps=1e-6,
+    )
+
+    llm = LLM.__new__(LLM)
+    llm.model_dir = "<big>"
+    llm.dtype = jnp.bfloat16
+    llm.quant_bits = None
+    llm.output_file = None
+    llm.spec = big
+    llm.params = None
+    llm.tokenizer = object()
+    llm.rm = None
+    llm._ssms = []
+    llm._peft = []
+    llm.lora = None
+    llm.lora_config = None
+    llm.auto_report = None
+
+    chosen = {}
+
+    def fake_load(model_dir, spec=None, **kw):
+        raise RuntimeError("stop after layout choice")
+
+    monkeypatch.setattr(serve_mod.hf_weights, "load_params", fake_load)
+    monkeypatch.setattr(LLM, "_load_tokenizer", lambda self: None)
+    try:
+        llm.compile(max_requests_per_batch=8, max_seq_length=256,
+                    auto_parallel=True)
+    except RuntimeError as e:
+        assert "stop after layout choice" in str(e)
+    assert llm.auto_report and llm.auto_report[0]["measured_s"] is None
+    assert "analytic-only" in llm.auto_report[0]["note"]

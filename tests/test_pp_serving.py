@@ -348,3 +348,30 @@ def test_pp_overlapped_horizon_token_banking_m_gt_p():
     assert eng.horizon_ticks(8) == 8 * 4 + 1
     out = _gen(eng, prompts, decode_horizon=8, pipelined=True)
     assert out == ref
+
+
+def test_pp_chunked_prefill_final_partial_window():
+    """Regression (round-3 review): PP chunk windows crossing the cache end
+    must not shift onto earlier positions (see base-engine twin test)."""
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(2), jnp.float32)
+    prompt = list(range(2, 52))  # 50 tokens
+    ref = _gen(_pp_engine(params, make_mesh(pipe=2)), [prompt])[0][:6]
+    eng = PipelineInferenceEngine(
+        SPEC, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+        max_seq_len=128, max_tokens_per_batch=24, cache_dtype=jnp.float32,
+    )
+    # use a seq len where the final window overflows: 50 + 24 > 64
+    eng64 = PipelineInferenceEngine(
+        SPEC, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+        max_seq_len=64, max_tokens_per_batch=24, cache_dtype=jnp.float32,
+    )
+    ref64 = _gen(
+        PipelineInferenceEngine(
+            SPEC, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+            max_seq_len=64, cache_dtype=jnp.float32,
+        ),
+        [prompt],
+    )[0][:6]
+    got = _gen(eng64, [prompt])[0][:6]
+    assert got == ref64
+    assert _gen(eng, [prompt])[0][:6] == ref

@@ -297,3 +297,21 @@ def test_drain_aware_horizon_dispatch():
     assert all(len(r.output_tokens) == 10 for r in reqs)
     # 1 from prefill + 9 remaining -> pow2 bucket 16 (not 64), maybe twice
     assert rm.total_decoding_steps <= 32, rm.total_decoding_steps
+
+
+def test_chunked_prefill_final_partial_window(tiny_params):
+    """Regression (round-3 review): a final chunk whose fixed-width commit
+    window crossed the cache end used to get its START clipped, shifting
+    the whole window onto earlier committed positions and corrupting the
+    prompt KV. Out-of-range columns must simply drop."""
+    prompt = list(range(2, 52))  # 50 tokens; budget 24 -> windows 0/24/48..72
+    base = RequestManager(make_engine(tiny_params))  # max_seq_len=64
+    [want] = base.generate([prompt], GenerationConfig(max_new_tokens=6))
+
+    chunked_engine = InferenceEngine(
+        TINY, tiny_params, max_requests_per_batch=4, max_seq_len=64,
+        max_tokens_per_batch=24, cache_dtype=jnp.float32,
+    )
+    [got] = RequestManager(chunked_engine).generate(
+        [prompt], GenerationConfig(max_new_tokens=6))
+    assert got.output_tokens == want.output_tokens
