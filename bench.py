@@ -42,25 +42,31 @@ def _run_phase(cmd, timeout_s, name):
     Forwards the child's metric lines (stdout) to our stdout and everything
     else to stderr; on overrun kills the exact process group we started
     (never by pattern). Returns the list of metric JSON lines captured."""
+    import tempfile
+
     _log(f"phase {name}: {' '.join(cmd)} (budget {timeout_s}s)")
     t0 = time.perf_counter()
-    proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
-        start_new_session=True, text=True, cwd=os.path.dirname(
-            os.path.abspath(__file__)),
-    )
-    metrics = []
-    try:
-        out, _ = proc.communicate(timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        _log(f"phase {name}: BUDGET EXCEEDED after {timeout_s}s — killing "
-             f"pgid {proc.pid}")
+    # stdout goes to a temp file (not a pipe) so metrics the child printed
+    # BEFORE a budget kill still get captured and forwarded
+    with tempfile.TemporaryFile(mode="w+") as outf:
+        proc = subprocess.Popen(
+            cmd, stdout=outf, stderr=sys.stderr,
+            start_new_session=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
         try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        proc.wait()
-        return metrics
+            proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            _log(f"phase {name}: BUDGET EXCEEDED after {timeout_s}s — "
+                 f"killing pgid {proc.pid}")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+        outf.seek(0)
+        out = outf.read()
+    metrics = []
     for line in (out or "").splitlines():
         if line.startswith(_METRIC_PREFIX):
             print(line, flush=True)
