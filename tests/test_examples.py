@@ -80,3 +80,12 @@ def test_split_training_example():
 
     hist = main(epochs=1, batch=4)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_bert_proxy_training_example():
+    """Reference examples/python/native/bert_proxy_native.py (hand-built
+    MHA from dense/reshape/transpose/batch_matmul)."""
+    from examples.bert_proxy import main
+
+    hist = main([])
+    assert np.isfinite(hist[-1]["loss"])
