@@ -89,3 +89,18 @@ def test_bert_proxy_training_example():
 
     hist = main([])
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_cifar10_cnn_training_example():
+    from examples.cifar10_cnn import main
+
+    hist = main(epochs=1, batch=4, samples=16)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_multi_head_attention_training_example():
+    from examples.multi_head_attention import main
+
+    hist = main(epochs=2, batch=4, seq=8, hidden=32)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] <= hist[0]["loss"] + 1e-3
