@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""OpenAI-compatible serving endpoint (stdlib-only).
+
+The reference ships a Triton Inference Server backend prototype as its
+standard-protocol serving surface; the TPU build's analog is the de-facto
+standard LLM serving protocol instead: ``POST /v1/completions`` and
+``POST /v1/chat/completions`` over the same background-serving LLM the
+other entrypoints use. Zero extra dependencies (http.server), so it runs
+in hermetic environments; any OpenAI client pointed at the base URL works.
+
+    FF_MODEL_DIR=/path/to/model python -m inference.entrypoint.openai_server
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _chat_to_prompt(messages):
+    """Minimal chat templating (the reference's chat.py style)."""
+    parts = []
+    for m in messages:
+        parts.append(f"{m.get('role', 'user')}: {m.get('content', '')}")
+    parts.append("assistant:")
+    return "\n".join(parts)
+
+
+def make_handler(llm, model_name: str):
+    lock = threading.Lock()  # generate() is driven one request batch at a time
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": model_name, "object": "model"}]})
+            elif self.path in ("/health", "/healthz"):
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": {"message": "not found"}})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._json(400, {"error": {"message": "bad json"}})
+
+            chat = self.path == "/v1/chat/completions"
+            if self.path not in ("/v1/completions", "/v1/chat/completions"):
+                return self._json(404, {"error": {"message": "not found"}})
+            if req.get("stream"):
+                return self._json(400, {"error": {
+                    "message": "streaming not supported"}})
+
+            if chat:
+                prompt = _chat_to_prompt(req.get("messages", []))
+            else:
+                prompt = req.get("prompt", "")
+                if isinstance(prompt, list):
+                    prompt = prompt[0] if prompt else ""
+
+            with lock:
+                [res] = llm.generate(
+                    prompt,
+                    max_new_tokens=int(req.get("max_tokens", 128)),
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                )
+            created = int(time.time())
+            rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            try:
+                n_prompt = len(
+                    llm.tokenizer(prompt, return_tensors=None)["input_ids"])
+            except Exception:
+                n_prompt = 0
+            usage = {
+                "prompt_tokens": n_prompt,
+                "completion_tokens": len(res.output_tokens),
+                "total_tokens": n_prompt + len(res.output_tokens),
+            }
+            if chat:
+                self._json(200, {
+                    "id": rid, "object": "chat.completion",
+                    "created": created, "model": model_name,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant",
+                                    "content": res.output_text},
+                        "finish_reason": "stop",
+                    }],
+                    "usage": usage,
+                })
+            else:
+                self._json(200, {
+                    "id": rid, "object": "text_completion",
+                    "created": created, "model": model_name,
+                    "choices": [{
+                        "index": 0, "text": res.output_text,
+                        "finish_reason": "stop", "logprobs": None,
+                    }],
+                    "usage": usage,
+                })
+
+    return Handler
+
+
+def serve(llm=None, host: str = "0.0.0.0", port: int = 8000,
+          model_name: str = "flexflow-tpu"):
+    if llm is None:
+        from flexflow_tpu.serve import LLM
+
+        model_dir = os.environ["FF_MODEL_DIR"]
+        model_name = os.path.basename(model_dir.rstrip("/")) or model_name
+        llm = LLM(model_dir)
+        llm.compile(
+            max_requests_per_batch=int(os.environ.get("FF_MAX_BATCH", 8)),
+            max_seq_length=int(os.environ.get("FF_MAX_SEQ", 256)),
+        )
+    llm.start_server()
+    srv = ThreadingHTTPServer((host, port), make_handler(llm, model_name))
+    print(f"OpenAI-compatible server on http://{host}:{port}/v1")
+    try:
+        srv.serve_forever()
+    finally:
+        llm.stop_server()
+
+
+if __name__ == "__main__":
+    serve(port=int(os.environ.get("FF_PORT", 8000)))

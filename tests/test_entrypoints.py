@@ -134,3 +134,55 @@ def test_peft_cli_end_to_end(model_dir, tmp_path, capsys):
     llm.compile(max_requests_per_batch=2, max_seq_length=64)
     [res] = llm.generate("hello", max_new_tokens=4, adapter_id=aid)
     assert len(res.output_tokens) == 4
+
+
+def test_openai_compatible_server(model_dir):
+    """OpenAI-protocol endpoint (/v1/completions + /v1/chat/completions +
+    /v1/models) over the background-serving LLM — the TPU build's
+    standard-protocol serving surface (vs the reference's Triton backend
+    prototype)."""
+    import threading
+    import urllib.request
+
+    from inference.entrypoint.openai_server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    llm.start_server()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(llm, "tiny-llama"))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=30
+        ) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"] == "tiny-llama"
+
+        out = post("/v1/completions",
+                   {"prompt": "hello world", "max_tokens": 8})
+        assert out["object"] == "text_completion"
+        assert isinstance(out["choices"][0]["text"], str)
+        assert out["usage"]["completion_tokens"] == 8
+
+        chat = post("/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+        })
+        assert chat["object"] == "chat.completion"
+        assert chat["choices"][0]["message"]["role"] == "assistant"
+    finally:
+        srv.shutdown()
+        llm.stop_server()
