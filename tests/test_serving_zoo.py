@@ -70,3 +70,33 @@ def test_cached_decode_matches_recompute(name):
     rm = RequestManager(engine)
     [req] = rm.generate([prompt], GenerationConfig(max_new_tokens=8))
     assert req.output_tokens == want, name
+
+
+@pytest.mark.parametrize("name", sorted(ZOO))
+def test_pp_serving_matches_base_for_zoo(name):
+    """PP serving (incl. the software-pipelined horizon) must match the
+    base engine for EVERY model family — learned positions, post-LN
+    biases, parallel-attn MQA, ALiBi, GQA and MoE all exercise different
+    stage-body code than LLaMA's rope/rmsnorm (the reference's TP-vs-PP
+    consistency matrix, cpp_inference_tests.sh:205-215, per family)."""
+    from flexflow_tpu.parallel import make_mesh
+    from flexflow_tpu.serving.pp_engine import PipelineInferenceEngine
+
+    spec = ZOO[name]
+    params = params_lib.init_params(spec, jax.random.PRNGKey(1), jnp.float32)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(1, 96, size=rng.randint(3, 12)).tolist()
+               for _ in range(4)]
+
+    def gen(engine):
+        rm = RequestManager(engine, decode_horizon=6, pipelined=True)
+        reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=12))
+        return [r.output_tokens for r in reqs]
+
+    base = gen(InferenceEngine(
+        spec, params, max_requests_per_batch=4, max_seq_len=64,
+        cache_dtype=jnp.float32))
+    pp = gen(PipelineInferenceEngine(
+        spec, params, mesh=make_mesh(pipe=2), max_requests_per_batch=4,
+        max_seq_len=64, cache_dtype=jnp.float32))
+    assert pp == base
