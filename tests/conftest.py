@@ -77,6 +77,8 @@ _SLOW = {
     ("test_entrypoints.py", "test_openai_compatible_server"),
     ("test_pp_serving.py", "test_pp_serving_with_lora_matches_base_engine"),
     ("test_pp_spec.py", "test_pp_spec_sampling_requests_complete"),
+    ("test_pp_spec.py", "test_pp_spec_zoo_families"),
+    ("test_serving_zoo.py", "test_pp_serving_matches_base_for_zoo"),
 }
 
 

@@ -10,6 +10,7 @@ verifier weights must be genuinely stage-resident.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from flexflow_tpu import specs
@@ -189,3 +190,51 @@ def test_pp_spec_sampling_requests_complete():
     for r in reqs:
         assert len(r.output_tokens) == 12
         assert all(0 <= t < 256 for t in r.output_tokens)
+
+
+@pytest.mark.parametrize("family", ["opt", "falcon_mqa", "mpt_alibi"])
+def test_pp_spec_zoo_families(family):
+    """PP spec serving must stay lossless for non-LLaMA verifier families
+    (learned positions, parallel-attn MQA, ALiBi): PP spec == single-device
+    spec == incremental greedy. Draft and verifier are independent random
+    models (acceptance ~0 — the bonus-token path — which still gates the
+    full verify/commit machinery)."""
+    from tests.test_serving_zoo import ZOO
+
+    vspec = ZOO[family]
+    import dataclasses
+    dspec = dataclasses.replace(vspec, num_layers=1)
+    vparams = params_lib.init_params(vspec, jax.random.PRNGKey(0),
+                                    jnp.float32)
+    dparams = params_lib.init_params(dspec, jax.random.PRNGKey(1),
+                                     jnp.float32)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(1, 96, size=rng.randint(3, 10)).tolist()
+               for _ in range(3)]
+
+    incr = RequestManager(
+        InferenceEngine(vspec, vparams, max_requests_per_batch=4,
+                        max_seq_len=160, cache_dtype=jnp.float32)
+    ).generate(prompts, GenerationConfig(max_new_tokens=10))
+    incr_out = [r.output_tokens for r in incr]
+
+    single = SpecEngine(
+        vspec, vparams, dspec, dparams, beam_width=2, beam_depth=3,
+        max_requests_per_batch=4, max_seq_len=160, cache_dtype=jnp.float32,
+    )
+    single_out, _ = _spec_gen_n(single, prompts, 10)
+    assert single_out == incr_out
+
+    pp = PipelineSpecEngine(
+        vspec, vparams, dspec, dparams, mesh=make_mesh(pipe=2),
+        beam_width=2, beam_depth=3, max_requests_per_batch=4,
+        max_seq_len=160, cache_dtype=jnp.float32,
+    )
+    pp_out, _ = _spec_gen_n(pp, prompts, 10)
+    assert pp_out == incr_out
+
+
+def _spec_gen_n(engine, prompts, n):
+    rm = SpecRequestManager(engine, fused=True)
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=n))
+    return [r.output_tokens for r in reqs], rm
