@@ -287,8 +287,9 @@ class RequestManager:
         if len(req.output_tokens) >= req.config.max_new_tokens:
             return True
         total = len(req.prompt_tokens) + len(req.output_tokens)
-        # leave room for one full decode horizon in the KV cache
-        return total + self.decode_horizon > self.engine.max_seq_len
+        # cache genuinely full (the horizon is clamped to the remaining
+        # headroom by _choose_horizon, so no early retirement needed)
+        return total >= self.engine.max_seq_len
 
     def _retire(self, slot: int) -> None:
         req = self._slots[slot]
@@ -341,9 +342,13 @@ class RequestManager:
                 stop_counts[s] = len(sids)
                 stop_ids[s, : len(sids)] = sids
             eos = np.asarray(self.eos_token_ids or [-1], np.int32)
+            # margin 1: retire only when the cache is genuinely full —
+            # _choose_horizon clamps dispatches to the remaining headroom,
+            # so the old leave-room-for-a-full-horizon margin would cut
+            # outputs short near the context limit
             toks, taken, fin = native_scheduler.process_horizon(
                 np.asarray(out_tokens, np.int32), active, counts, max_new,
-                totals, budget, self.decode_horizon, eos,
+                totals, budget, 1, eos,
                 stop_ids, stop_counts,
             )
             for s, r in live:
@@ -401,7 +406,11 @@ class RequestManager:
                 int(self._projected[s]) if projected
                 else len(req.output_tokens)
             )
-            rem = max(rem, req.config.max_new_tokens - done)
+            # remaining = token budget AND cache headroom (so requests can
+            # decode into the LAST cache positions instead of retiring a
+            # full horizon early)
+            room = self.engine.max_seq_len - (len(req.prompt_tokens) + done)
+            rem = max(rem, min(req.config.max_new_tokens - done, room))
         if rem <= 0:
             return 0 if projected else 1
         n = 1

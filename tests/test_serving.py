@@ -315,3 +315,28 @@ def test_chunked_prefill_final_partial_window(tiny_params):
     [got] = RequestManager(chunked_engine).generate(
         [prompt], GenerationConfig(max_new_tokens=6))
     assert got.output_tokens == want.output_tokens
+
+
+def test_horizon_generates_to_context_limit(tiny_params):
+    """Regression (round 3): horizon engines used to retire requests a full
+    horizon EARLY near the context limit (the leave-room margin); the
+    dispatcher now clamps horizons to the remaining headroom so every
+    configuration decodes to the last cache position with identical
+    tokens."""
+    prompt = [3, 17, 91, 5, 8]
+    room = 48 - len(prompt)
+
+    def run(**kw):
+        eng = InferenceEngine(
+            TINY, tiny_params, max_requests_per_batch=2, max_seq_len=48,
+            cache_dtype=jnp.float32,
+        )
+        [r] = RequestManager(eng, **kw).generate(
+            [prompt], GenerationConfig(max_new_tokens=60))
+        return r.output_tokens
+
+    a = run()
+    assert len(a) == room
+    assert run(decode_horizon=8) == a
+    assert run(decode_horizon=8, pipelined=True) == a
+    assert run(decode_horizon=16, pipelined=True, pipeline_depth=3) == a
