@@ -54,6 +54,67 @@ def make_handler(llm, model_name: str):
             else:
                 self._json(404, {"error": {"message": "not found"}})
 
+        def _stream(self, req, prompt, chat):
+            """SSE streaming: the background serving loop grows
+            request.output_tokens continuously; poll it and emit text
+            deltas as OpenAI stream chunks (EXCEEDS the reference, which
+            has no streaming surface)."""
+            from flexflow_tpu.serving.request_manager import (
+                FAILED, GenerationConfig,
+            )
+
+            token_ids = llm.tokenizer(prompt, return_tensors=None)[
+                "input_ids"]
+            cfg = GenerationConfig(
+                max_new_tokens=int(req.get("max_tokens", 128)),
+                temperature=float(req.get("temperature", 0.0)),
+                top_p=float(req.get("top_p", 1.0)),
+            )
+            with lock:
+                guid = llm.rm.register_request(token_ids, cfg)
+            r = llm.rm.get_request(guid)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            created = int(time.time())
+            sent_text = ""
+            obj = "chat.completion.chunk" if chat else "text_completion"
+
+            def emit(delta, finish=None):
+                choice = (
+                    {"index": 0, "delta": (
+                        {"role": "assistant", "content": delta}
+                        if delta else {}),
+                     "finish_reason": finish}
+                    if chat else
+                    {"index": 0, "text": delta, "finish_reason": finish,
+                     "logprobs": None}
+                )
+                chunk = {"id": rid, "object": obj, "created": created,
+                         "model": model_name, "choices": [choice]}
+                self.wfile.write(
+                    b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                self.wfile.flush()
+
+            while True:
+                done = r.done.wait(timeout=0.05) or r.done.is_set()
+                text = llm.tokenizer.decode(
+                    list(r.output_tokens), skip_special_tokens=True)
+                if len(text) > len(sent_text) and text.startswith(sent_text):
+                    emit(text[len(sent_text):])
+                    sent_text = text
+                if done:
+                    break
+            if r.state == FAILED:
+                emit("", finish="error")
+            else:
+                emit("", finish="stop")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             try:
@@ -64,9 +125,6 @@ def make_handler(llm, model_name: str):
             chat = self.path == "/v1/chat/completions"
             if self.path not in ("/v1/completions", "/v1/chat/completions"):
                 return self._json(404, {"error": {"message": "not found"}})
-            if req.get("stream"):
-                return self._json(400, {"error": {
-                    "message": "streaming not supported"}})
 
             if chat:
                 prompt = _chat_to_prompt(req.get("messages", []))
@@ -74,6 +132,9 @@ def make_handler(llm, model_name: str):
                 prompt = req.get("prompt", "")
                 if isinstance(prompt, list):
                     prompt = prompt[0] if prompt else ""
+
+            if req.get("stream"):
+                return self._stream(req, prompt, chat)
 
             with lock:
                 [res] = llm.generate(

@@ -186,3 +186,41 @@ def test_openai_compatible_server(model_dir):
     finally:
         srv.shutdown()
         llm.stop_server()
+
+
+def test_openai_streaming(model_dir):
+    """SSE streaming over the background server: chunks arrive with text
+    deltas, terminated by a stop chunk and [DONE]."""
+    import threading
+    import urllib.request
+
+    from inference.entrypoint.openai_server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    llm.start_server()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(llm, "tiny-llama"))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "hello world", "max_tokens": 8,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            body = r.read().decode()
+        events = [ln[6:] for ln in body.splitlines()
+                  if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0]["text"] for c in chunks)
+        assert len(text) > 0
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    finally:
+        srv.shutdown()
+        llm.stop_server()
