@@ -451,6 +451,49 @@ class LLM:
                     )
         return results
 
+    def generate_stream(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        adapter_id: int = -1,
+        poll_s: float = 0.05,
+    ):
+        """Yield text deltas as the background server decodes (EXCEEDS the
+        reference, which has no streaming surface). Requires
+        ``start_server()``; the final yield completes the output text."""
+        from flexflow_tpu.serving.request_manager import FAILED
+
+        assert self.rm is not None, "call compile() first"
+        assert self.rm._server_thread is not None, (
+            "generate_stream requires start_server()"
+        )
+        cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, top_k=top_k, adapter_id=adapter_id,
+        )
+        tokens = self.tokenizer(prompt, return_tensors=None)["input_ids"]
+        guid = self.rm.register_request(tokens, cfg)
+        req = self.rm.get_request(guid)
+        sent = ""
+        while True:
+            done = req.done.wait(timeout=poll_s) or req.done.is_set()
+            text = self.tokenizer.decode(
+                list(req.output_tokens), skip_special_tokens=True
+            )
+            if len(text) > len(sent) and text.startswith(sent):
+                yield text[len(sent):]
+                sent = text
+            if done:
+                break
+        if req.state == FAILED:
+            raise RuntimeError(
+                f"serving loop failed during generation: {req.error}"
+            )
+
     def start_server(self) -> None:
         """Start the background serving loop — incremental AND speculative
         managers (reference start_background_server serves both,

@@ -117,3 +117,19 @@ def test_spec_infer_cli(model_dir, tmp_path, capsys):
     ])
     assert rc == 0
     assert "verified/step" in capsys.readouterr().out
+
+
+def test_generate_stream(model_dir):
+    """llm.generate_stream yields text deltas that join to the blocking
+    generate() output exactly (greedy determinism)."""
+    from flexflow_tpu.serve import LLM
+
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    [want] = llm.generate("hello world", max_new_tokens=8)
+    llm.start_server()
+    try:
+        got = "".join(llm.generate_stream("hello world", max_new_tokens=8))
+    finally:
+        llm.stop_server()
+    assert got == want.output_text
