@@ -405,6 +405,7 @@ class LLM:
         top_p: float = 1.0,
         top_k: int = 0,
         adapter_id: int = -1,
+        stop_token_ids: Sequence[int] = (),
     ) -> List[GenerationResult]:
         """Tokenize, serve, detokenize (reference serve.py:623).
 
@@ -420,6 +421,7 @@ class LLM:
             top_p=top_p,
             top_k=top_k,
             adapter_id=adapter_id,
+            stop_token_ids=tuple(stop_token_ids),
         )
         token_lists = [
             self.tokenizer(p, return_tensors=None)["input_ids"] for p in prompts
@@ -460,6 +462,7 @@ class LLM:
         top_p: float = 1.0,
         top_k: int = 0,
         adapter_id: int = -1,
+        stop_token_ids: Sequence[int] = (),
         poll_s: float = 0.05,
     ):
         """Yield text deltas as the background server decodes (EXCEEDS the
@@ -474,8 +477,13 @@ class LLM:
         cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, top_k=top_k, adapter_id=adapter_id,
+            stop_token_ids=tuple(stop_token_ids),
         )
-        tokens = self.tokenizer(prompt, return_tensors=None)["input_ids"]
+        if prompt and isinstance(prompt, (list, tuple)) and isinstance(
+                prompt[0], int):
+            tokens = list(prompt)  # already token ids
+        else:
+            tokens = self.tokenizer(prompt, return_tensors=None)["input_ids"]
         guid = self.rm.register_request(tokens, cfg)
         req = self.rm.get_request(guid)
         sent = ""
@@ -484,6 +492,13 @@ class LLM:
             text = self.tokenizer.decode(
                 list(req.output_tokens), skip_special_tokens=True
             )
+            if not done:
+                # hold back a trailing replacement char: a multi-byte
+                # sequence split across byte-fallback tokens decodes to
+                # U+FFFD until its remaining bytes arrive, and yielding it
+                # would poison the prefix-delta accounting
+                while text.endswith("\ufffd"):
+                    text = text[:-1]
             if len(text) > len(sent) and text.startswith(sent):
                 yield text[len(sent):]
                 sent = text

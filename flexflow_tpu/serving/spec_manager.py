@@ -106,6 +106,9 @@ class SpecRequestManager:
 
     # ------------------------------------------------------------------
 
+    def get_request(self, guid: int) -> Request:
+        return self._requests[guid]
+
     def register_request(
         self, prompt_tokens: Sequence[int], config: Optional[GenerationConfig] = None
     ) -> int:

@@ -4,9 +4,10 @@
 The reference ships a Triton Inference Server backend prototype as its
 standard-protocol serving surface; the TPU build's analog is the de-facto
 standard LLM serving protocol instead: ``POST /v1/completions`` and
-``POST /v1/chat/completions`` over the same background-serving LLM the
-other entrypoints use. Zero extra dependencies (http.server), so it runs
-in hermetic environments; any OpenAI client pointed at the base URL works.
+``POST /v1/chat/completions`` (including ``stream=true`` SSE) over the same
+background-serving LLM the other entrypoints use. Zero extra dependencies
+(http.server), so it runs in hermetic environments; any OpenAI client
+pointed at the base URL works.
 
     FF_MODEL_DIR=/path/to/model python -m inference.entrypoint.openai_server
 """
@@ -15,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,9 +30,30 @@ def _chat_to_prompt(messages):
     return "\n".join(parts)
 
 
-def make_handler(llm, model_name: str):
-    lock = threading.Lock()  # generate() is driven one request batch at a time
+def _stop_token_ids(llm, req):
+    """Map the OpenAI ``stop`` parameter to token ids.
 
+    Single-token stop strings map through the tokenizer; multi-token stop
+    sequences are rejected loudly (a 400) rather than silently ignored.
+    ``stop_token_ids`` passes through directly."""
+    ids = list(req.get("stop_token_ids", []))
+    stop = req.get("stop")
+    if stop is None:
+        return ids
+    if isinstance(stop, str):
+        stop = [stop]
+    for s in stop:
+        toks = llm.tokenizer(s, return_tensors=None)["input_ids"]
+        if len(toks) != 1:
+            raise ValueError(
+                f"stop sequence {s!r} tokenizes to {len(toks)} tokens; "
+                "only single-token stop strings are supported"
+            )
+        ids.append(int(toks[0]))
+    return ids
+
+
+def make_handler(llm, model_name: str):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -55,32 +76,22 @@ def make_handler(llm, model_name: str):
                 self._json(404, {"error": {"message": "not found"}})
 
         def _stream(self, req, prompt, chat):
-            """SSE streaming: the background serving loop grows
-            request.output_tokens continuously; poll it and emit text
-            deltas as OpenAI stream chunks (EXCEEDS the reference, which
-            has no streaming surface)."""
-            from flexflow_tpu.serving.request_manager import (
-                FAILED, GenerationConfig,
-            )
-
-            token_ids = llm.tokenizer(prompt, return_tensors=None)[
-                "input_ids"]
-            cfg = GenerationConfig(
+            """SSE streaming via LLM.generate_stream (EXCEEDS the
+            reference, which has no streaming surface)."""
+            gen = llm.generate_stream(
+                prompt,
                 max_new_tokens=int(req.get("max_tokens", 128)),
                 temperature=float(req.get("temperature", 0.0)),
                 top_p=float(req.get("top_p", 1.0)),
+                top_k=int(req.get("top_k", 0)),
+                stop_token_ids=_stop_token_ids(llm, req),
             )
-            with lock:
-                guid = llm.rm.register_request(token_ids, cfg)
-            r = llm.rm.get_request(guid)
-
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             rid = f"cmpl-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
-            sent_text = ""
             obj = "chat.completion.chunk" if chat else "text_completion"
 
             def emit(delta, finish=None):
@@ -99,16 +110,10 @@ def make_handler(llm, model_name: str):
                     b"data: " + json.dumps(chunk).encode() + b"\n\n")
                 self.wfile.flush()
 
-            while True:
-                done = r.done.wait(timeout=0.05) or r.done.is_set()
-                text = llm.tokenizer.decode(
-                    list(r.output_tokens), skip_special_tokens=True)
-                if len(text) > len(sent_text) and text.startswith(sent_text):
-                    emit(text[len(sent_text):])
-                    sent_text = text
-                if done:
-                    break
-            if r.state == FAILED:
+            try:
+                for delta in gen:
+                    emit(delta)
+            except RuntimeError:  # serving loop died mid-stream
                 emit("", finish="error")
             else:
                 emit("", finish="stop")
@@ -126,23 +131,40 @@ def make_handler(llm, model_name: str):
             if self.path not in ("/v1/completions", "/v1/chat/completions"):
                 return self._json(404, {"error": {"message": "not found"}})
 
-            if chat:
-                prompt = _chat_to_prompt(req.get("messages", []))
-            else:
-                prompt = req.get("prompt", "")
-                if isinstance(prompt, list):
-                    prompt = prompt[0] if prompt else ""
+            try:
+                if chat:
+                    prompt = _chat_to_prompt(req.get("messages", []))
+                else:
+                    prompt = req.get("prompt", "")
+                    if isinstance(prompt, list):
+                        if prompt and isinstance(prompt[0], int):
+                            # OpenAI allows token-id-array prompts
+                            prompt = llm.tokenizer.decode(prompt)
+                        else:
+                            prompt = prompt[0] if prompt else ""
 
-            if req.get("stream"):
-                return self._stream(req, prompt, chat)
+                if req.get("stream"):
+                    return self._stream(req, prompt, chat)
 
-            with lock:
+                # the background serving loop batches registrations
+                # continuously; generate() only registers + waits, so
+                # concurrent requests co-occupy batch slots (no lock)
                 [res] = llm.generate(
                     prompt,
                     max_new_tokens=int(req.get("max_tokens", 128)),
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    top_k=int(req.get("top_k", 0)),
+                    stop_token_ids=_stop_token_ids(llm, req),
                 )
+            except ValueError as e:  # oversize prompt, bad stop, ...
+                return self._json(400, {"error": {"message": str(e)}})
+            except RuntimeError as e:  # serving loop died
+                return self._json(503, {"error": {"message": str(e)}})
+            except Exception as e:  # anything else: a JSON 500, not a
+                return self._json(500, {"error": {  # dropped connection
+                    "message": f"{type(e).__name__}: {e}"}})
+
             created = int(time.time())
             rid = f"cmpl-{uuid.uuid4().hex[:24]}"
             try:

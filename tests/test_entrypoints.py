@@ -224,3 +224,53 @@ def test_openai_streaming(model_dir):
     finally:
         srv.shutdown()
         llm.stop_server()
+
+
+def test_openai_error_handling_and_stop(model_dir):
+    """Protocol robustness (round-3 review): oversize prompts get a 400
+    JSON error (not a dropped connection), token-id prompts work, and the
+    `stop` parameter maps through the tokenizer."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from inference.entrypoint.openai_server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    llm = LLM(model_dir, data_type="float32")
+    llm.compile(max_requests_per_batch=2, max_seq_length=64)
+    llm.start_server()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(llm, "tiny-llama"))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(obj, expect=200):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        # oversize prompt -> 400 with a JSON error body
+        code, body = post({"prompt": "x " * 200, "max_tokens": 4})
+        assert code == 400 and "error" in body
+
+        # token-id-array prompt (OpenAI protocol) works
+        code, body = post({"prompt": [3, 17, 9], "max_tokens": 4})
+        assert code == 200
+        assert body["usage"]["completion_tokens"] == 4
+
+        # multi-token stop sequence -> loud 400, not silent ignore
+        code, body = post({"prompt": "hi", "max_tokens": 4,
+                           "stop": ["hello world"]})
+        assert code == 400 and "stop sequence" in body["error"]["message"]
+    finally:
+        srv.shutdown()
+        llm.stop_server()
