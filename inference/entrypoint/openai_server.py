@@ -149,8 +149,9 @@ def make_handler(llm, model_name: str):
                 # the background serving loop batches registrations
                 # continuously; generate() only registers + waits, so
                 # concurrent requests co-occupy batch slots (no lock)
-                [res] = llm.generate(
-                    prompt,
+                n_choices = max(1, int(req.get("n", 1)))
+                results = llm.generate(
+                    [prompt] * n_choices,
                     max_new_tokens=int(req.get("max_tokens", 128)),
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
@@ -172,21 +173,22 @@ def make_handler(llm, model_name: str):
                     llm.tokenizer(prompt, return_tensors=None)["input_ids"])
             except Exception:
                 n_prompt = 0
+            n_out = sum(len(r.output_tokens) for r in results)
             usage = {
                 "prompt_tokens": n_prompt,
-                "completion_tokens": len(res.output_tokens),
-                "total_tokens": n_prompt + len(res.output_tokens),
+                "completion_tokens": n_out,
+                "total_tokens": n_prompt + n_out,
             }
             if chat:
                 self._json(200, {
                     "id": rid, "object": "chat.completion",
                     "created": created, "model": model_name,
                     "choices": [{
-                        "index": 0,
+                        "index": i,
                         "message": {"role": "assistant",
-                                    "content": res.output_text},
+                                    "content": r.output_text},
                         "finish_reason": "stop",
-                    }],
+                    } for i, r in enumerate(results)],
                     "usage": usage,
                 })
             else:
@@ -194,9 +196,9 @@ def make_handler(llm, model_name: str):
                     "id": rid, "object": "text_completion",
                     "created": created, "model": model_name,
                     "choices": [{
-                        "index": 0, "text": res.output_text,
+                        "index": i, "text": r.output_text,
                         "finish_reason": "stop", "logprobs": None,
-                    }],
+                    } for i, r in enumerate(results)],
                     "usage": usage,
                 })
 

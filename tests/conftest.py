@@ -76,6 +76,7 @@ _SLOW = {
     ("test_peft.py", "test_finetune_coscheduled"),
     ("test_entrypoints.py", "test_openai_compatible_server"),
     ("test_entrypoints.py", "test_openai_streaming"),
+    ("test_entrypoints.py", "test_openai_error_handling_and_stop"),
     ("test_pp_serving.py", "test_pp_serving_with_lora_matches_base_engine"),
     ("test_pp_spec.py", "test_pp_spec_sampling_requests_complete"),
     ("test_pp_spec.py", "test_pp_spec_zoo_families"),
