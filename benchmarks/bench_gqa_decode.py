@@ -15,6 +15,9 @@ XLA stays the production path. Run ON THE CHIP:
     python benchmarks/bench_gqa_decode.py --suite gqa
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
+
 import argparse
 import sys
 import time

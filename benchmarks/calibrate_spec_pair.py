@@ -9,7 +9,11 @@ whose agreement matches real published pairs (~0.75-0.85/token).
     python -u -m benchmarks.calibrate_spec_pair
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import numpy as np
 

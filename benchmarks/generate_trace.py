@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Request-trace generator (mirror of reference
 /root/reference/rdelacou/generate_trace.py — Poisson arrivals with realistic
@@ -6,6 +7,9 @@ timestamps + ShareGPT lengths, we synthesize from the same family of
 distributions since the environment has no dataset egress)."""
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import argparse
 import json

@@ -10,7 +10,11 @@ update) across sequence lengths.
     python -u -m benchmarks.peft_bwd_benchmark [--seqs 128,256,512]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import argparse
 import json

@@ -8,7 +8,11 @@ adapters routed per request — on the real serving engine.
     python -u -m benchmarks.peft_fwd_benchmark [--batch 8] [--seq 256]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import argparse
 import json

@@ -18,6 +18,9 @@ Each stage prints a [probe] line BEFORE dispatch so the last line in the
 log identifies the hang site.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
+
 import argparse
 import sys
 import time

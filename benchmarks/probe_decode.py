@@ -5,6 +5,9 @@ horizon decode at the bench model config, to attribute the gap between the
 measured step time and the HBM roofline (weights + KV bytes / 819 GB/s).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
+
 import argparse
 import time
 

@@ -8,7 +8,11 @@ through the tunnel (~30-60s per scan) — keep the variant list short.
     python -u -m benchmarks.probe_overhead
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import sys
 import time

@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Request-rate benchmark: replay a Poisson trace against the serving engine.
 
@@ -8,6 +9,9 @@ server, reporting tokens/s, mean/p50/p99 latency and TTFT.
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import argparse
 import json

@@ -31,7 +31,11 @@ Requires llama-style specs: rmsnorm (layernorm's mean-subtraction would mix
 zero and nonzero dims), silu_gate MLP, no biases, same head_dim/rope/vocab.
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import jax
 import jax.numpy as jnp

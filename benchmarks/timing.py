@@ -12,7 +12,11 @@ end, amortizing the RTT. Use ``chain`` to adapt functions whose output can't
 feed their input directly.
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import time
 from typing import Callable

@@ -15,7 +15,11 @@ cut the unpack cost:
     python -u -m benchmarks.tune_int4_variants
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import functools
 

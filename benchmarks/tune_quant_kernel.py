@@ -9,7 +9,11 @@ Methodology (important on this axon-tunneled chip):
     python -u -m benchmarks.tune_quant_kernel
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import functools
 import time
