@@ -102,6 +102,18 @@ class FFModel:
         self._inputs.append(t.node)
         return t
 
+    def constant(self, value, dtype=None, name: str = "") -> Tensor:
+        """Frozen (non-trainable) tensor constant baked into the graph.
+
+        The analog of the reference torch tracer routing module attributes
+        through ATTRIBUTE ops (python/flexflow/torch/model.py); used by the
+        fx frontend for F.linear weights, PReLU slopes, buffers, etc."""
+        arr = np.asarray(value)
+        dt = dtype or (jnp.float32 if arr.dtype.kind == "f" else jnp.int32)
+        [t] = self._add("constant", [], {"value": arr, "dtype": dt},
+                        [arr.shape], [dt], name)
+        return t
+
     # --- elementwise unary (reference ElementUnary, model.h:445-530) ---
 
     def _unary(self, op, x, **attrs):
@@ -122,6 +134,8 @@ class FFModel:
     def silu(self, x): return self._unary("silu", x)
     def hardswish(self, x): return self._unary("hardswish", x)
     def hardsigmoid(self, x): return self._unary("hardsigmoid", x)
+    def softplus(self, x): return self._unary("softplus", x)
+    def mish(self, x): return self._unary("mish", x)
     def identity(self, x): return self._unary("identity", x)
 
     def leaky_relu(self, x, negative_slope: float = 0.01):
@@ -345,6 +359,15 @@ class FFModel:
                         [index.shape], [x.dtype], name)
         return t
 
+    def take(self, x, index: Tensor, axis: int, name: str = ""):
+        """Index rows of ``x`` along ``axis`` (torch F.embedding analog:
+        take(weight, ids, 0) -> ids.shape + weight.shape[1:])."""
+        axis = axis % x.ndim
+        shape = x.shape[:axis] + index.shape + x.shape[axis + 1:]
+        [t] = self._add("take", [x, index], dict(axis=axis),
+                        [shape], [x.dtype], name)
+        return t
+
     def mean(self, x, dims: Sequence[int], keepdims: bool = False, name: str = ""):
         shape = [s for i, s in enumerate(x.shape)
                  if i not in dims or keepdims]
@@ -352,6 +375,34 @@ class FFModel:
             shape = [1 if i in dims else s for i, s in enumerate(x.shape)]
         [t] = self._add("mean", [x], dict(dims=tuple(dims), keepdims=keepdims),
                         [tuple(shape)], [x.dtype], name)
+        return t
+
+    def pad(self, x, pad_width: Sequence[Tuple[int, int]], value: float = 0.0,
+            name: str = ""):
+        """Constant-pad (torch ZeroPad2d / F.pad analog). ``pad_width`` is
+        one (lo, hi) pair per dim, numpy style."""
+        pw = tuple((int(lo), int(hi)) for lo, hi in pad_width)
+        shape = tuple(s + lo + hi for s, (lo, hi) in zip(x.shape, pw))
+        [t] = self._add("pad", [x], {"pad_width": pw, "value": value},
+                        [shape], [x.dtype], name)
+        return t
+
+    def reduce_max(self, x, axes: Sequence[int], keepdims: bool = False,
+                   name: str = ""):
+        return self._reduce("reduce_max", x, axes, keepdims, name)
+
+    def reduce_min(self, x, axes: Sequence[int], keepdims: bool = False,
+                   name: str = ""):
+        return self._reduce("reduce_min", x, axes, keepdims, name)
+
+    def _reduce(self, op, x, axes, keepdims, name):
+        axes = tuple(d % x.ndim for d in axes)
+        shape = tuple(
+            (1 if i in axes else s) for i, s in enumerate(x.shape)
+            if keepdims or i not in axes
+        )
+        [t] = self._add(op, [x], {"axes": axes, "keepdims": keepdims},
+                        [shape], [x.dtype], name)
         return t
 
     def reduce_sum(self, x, axes: Sequence[int], keepdims: bool = False,
@@ -536,15 +587,26 @@ class FFModel:
         op = node.op
         if op in ("exp", "log", "sin", "cos", "sqrt", "relu", "sigmoid",
                   "tanh", "elu", "gelu", "identity", "rsqrt", "silu",
-                  "hardswish", "hardsigmoid"):
+                  "hardswish", "hardsigmoid", "softplus", "mish"):
             fn = {"exp": jnp.exp, "log": jnp.log, "sin": jnp.sin,
                   "cos": jnp.cos, "sqrt": jnp.sqrt, "rsqrt": jax.lax.rsqrt,
                   "relu": act_lib.relu, "sigmoid": jax.nn.sigmoid,
                   "tanh": jnp.tanh, "elu": jax.nn.elu, "gelu": act_lib.gelu,
                   "silu": jax.nn.silu, "hardswish": jax.nn.hard_swish,
                   "hardsigmoid": jax.nn.hard_sigmoid,
+                  "softplus": jax.nn.softplus,
+                  "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
                   "identity": lambda x: x}[op]
             return [fn(xs[0])], s
+        if op == "constant":
+            return [jnp.asarray(a["value"], a["dtype"])], s
+        if op == "pad":
+            return [jnp.pad(xs[0], a["pad_width"],
+                            constant_values=a["value"])], s
+        if op == "reduce_max":
+            return [jnp.max(xs[0], axis=a["axes"], keepdims=a["keepdims"])], s
+        if op == "reduce_min":
+            return [jnp.min(xs[0], axis=a["axes"], keepdims=a["keepdims"])], s
         if op == "leaky_relu":
             return [jax.nn.leaky_relu(xs[0], a["negative_slope"])], s
         if op == "clamp":
@@ -647,6 +709,8 @@ class FFModel:
             return [nn_ops.reverse(xs[0], a["axis"])], s
         if op == "gather":
             return [nn_ops.gather(xs[0], xs[1], a["axis"])], s
+        if op == "take":
+            return [jnp.take(xs[0], xs[1], axis=a["axis"])], s
         if op == "mean":
             return [jnp.mean(xs[0], axis=a["dims"], keepdims=a["keepdims"])], s
         if op == "reduce_sum":

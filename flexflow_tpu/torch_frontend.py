@@ -38,6 +38,42 @@ def _adaptive_pool(ff, x, output_size, pool_type):
     return ff.pool2d(x, sh, sw, sh, sw, 0, 0, pool_type)
 
 
+def _quad(padding):
+    """torch 2d padding spec -> (left, right, top, bottom)."""
+    if isinstance(padding, int):
+        return padding, padding, padding, padding
+    p = tuple(padding)
+    assert len(p) == 4, f"expected int or 4-tuple padding, got {p}"
+    return p  # (l, r, t, b)
+
+
+def _upsample_nearest(ff, x, scale_factor):
+    """Nearest-neighbor integer upsample via reshape+concat replication."""
+    sh, sw = _pair(scale_factor)
+    sh, sw = int(sh), int(sw)
+    b, c, h, w = x.shape
+    y = ff.reshape(x, [b, c, h, 1, w])
+    y = ff.concat([y] * sh, axis=3)
+    y = ff.reshape(y, [b, c, h * sh, w, 1])
+    y = ff.concat([y] * sw, axis=4)
+    return ff.reshape(y, [b, c, h * sh, w * sw])
+
+
+def _expand_to(ff, x, sizes):
+    """torch .expand: broadcast singleton dims to ``sizes`` (-1 = keep)."""
+    tgt = []
+    pad = len(sizes) - x.ndim
+    xs = (1,) * pad + tuple(x.shape)
+    for i, want in enumerate(sizes):
+        tgt.append(xs[i] if want == -1 else int(want))
+    if pad:
+        x = ff.reshape(x, list(xs))
+    if tuple(tgt) == xs:
+        return x
+    # broadcast by adding a zeros constant of the target shape
+    return ff.add(x, ff.constant(np.zeros(tgt, np.float32)))
+
+
 def _getitem_tensor(ff, x, idx):
     """torch basic indexing on a traced tensor -> DSL slice op."""
     if not isinstance(idx, tuple):
@@ -204,6 +240,48 @@ def from_torch_module(
                 out = ff.leaky_relu(x, sub.negative_slope)
             elif isinstance(sub, tnn.ELU):
                 out = ff.elu(x)
+            elif isinstance(sub, tnn.Conv1d):
+                # [B, C, L] -> conv2d over a height-1 plane -> [B, C', L']
+                assert sub.groups == 1, "grouped conv1d unsupported"
+                k, st, pd = (sub.kernel_size[0], sub.stride[0],
+                             sub.padding[0])
+                bb, cc, ll = x.shape
+                x4 = ff.reshape(x, [bb, cc, 1, ll])
+                y = ff.conv2d(x4, sub.out_channels, 1, k, 1, st, 0, pd,
+                              use_bias=sub.bias is not None, name=node.name)
+                out = ff.reshape(y, [y.shape[0], y.shape[1], y.shape[3]])
+                if transfer_weights:
+                    weight_loads.append((node.name, _conv1d_loader(sub)))
+            elif isinstance(sub, tnn.PReLU):
+                # prelu(x) = relu(x) + a * min(x, 0); slope(s) enter as a
+                # frozen constant (per-channel [C] broadcasts over [B,C,H,W])
+                w = sub.weight.detach().numpy()
+                neg = ff.min(x, ff.constant(np.zeros((), np.float32)))
+                if w.size == 1:
+                    scaled = ff.scalar_multiply(neg, float(w.reshape(())))
+                else:
+                    cshape = (w.size,) + (1,) * (x.ndim - 2)
+                    scaled = ff.multiply(
+                        neg, ff.constant(w.reshape(cshape)))
+                out = ff.add(ff.relu(x), scaled)
+            elif isinstance(sub, tnn.Softplus):
+                assert sub.beta == 1 and sub.threshold >= 20, \
+                    "nonstandard Softplus params unsupported"
+                out = ff.softplus(x)
+            elif isinstance(sub, tnn.Mish):
+                out = ff.mish(x)
+            elif isinstance(sub, tnn.GLU):
+                d = sub.dim % x.ndim
+                half = x.shape[d] // 2
+                a_t, b_t = ff.split(x, [half, half], axis=d)
+                out = ff.multiply(a_t, ff.sigmoid(b_t))
+            elif isinstance(sub, (tnn.ZeroPad2d, tnn.ConstantPad2d)):
+                pl, pr, pt, pb = _quad(sub.padding)
+                val = float(getattr(sub, "value", 0.0))
+                out = ff.pad(x, [(0, 0), (0, 0), (pt, pb), (pl, pr)], val)
+            elif isinstance(sub, tnn.Upsample):
+                assert sub.mode == "nearest", "only nearest Upsample"
+                out = _upsample_nearest(ff, x, sub.scale_factor)
             elif isinstance(sub, tnn.AdaptiveAvgPool2d):
                 out = _adaptive_pool(ff, x, sub.output_size, "avg")
             elif isinstance(sub, tnn.AdaptiveMaxPool2d):
@@ -250,7 +328,16 @@ def from_torch_module(
                 dim = node.kwargs.get("dim", node.args[1] if len(node.args) > 1 else -1)
                 out = ff.softmax(args[0], axis=dim)
             elif fn is torch.flatten:
-                out = ff.flat(args[0])
+                sd = node.kwargs.get(
+                    "start_dim", node.args[1] if len(node.args) > 1 else 0)
+                ed = node.kwargs.get(
+                    "end_dim", node.args[2] if len(node.args) > 2 else -1)
+                xt = args[0]
+                sd, ed = sd % xt.ndim, ed % xt.ndim
+                merged = int(np.prod(xt.shape[sd:ed + 1]))
+                out = ff.reshape(
+                    xt,
+                    list(xt.shape[:sd]) + [merged] + list(xt.shape[ed + 1:]))
             elif fn is torch.cat:
                 dim = node.kwargs.get("dim", node.args[1] if len(node.args) > 1 else 0)
                 out = ff.concat([t(a) for a in node.args[0]], axis=dim)
@@ -389,6 +476,90 @@ def from_torch_module(
                         "output_size",
                         node.args[1] if len(node.args) > 1 else 1),
                     "avg")
+            elif fn is F.linear:
+                # weight arrives as a traced constant [O, I]
+                w = args[1]
+                y = ff.batch_matmul(args[0], ff.transpose(w, [1, 0]))
+                b_arg = node.kwargs.get(
+                    "bias", args[2] if len(args) > 2 else None)
+                out = y if b_arg is None else ff.add(y, t(b_arg) if isinstance(
+                    b_arg, torch.fx.Node) else b_arg)
+            elif fn is F.layer_norm:
+                eps = node.kwargs.get("eps", 1e-5)
+                nd = len(node.args[1])  # normalized_shape
+                dims = list(range(args[0].ndim - nd, args[0].ndim))
+                mu = ff.mean(args[0], dims, keepdims=True)
+                xc = ff.subtract(args[0], mu)
+                var = ff.mean(ff.multiply(xc, xc), dims, keepdims=True)
+                y = ff.multiply(xc, ff.rsqrt(ff.scalar_add(var, float(eps))))
+                w_arg = node.kwargs.get(
+                    "weight", args[2] if len(args) > 2 else None)
+                b_arg = node.kwargs.get(
+                    "bias", args[3] if len(args) > 3 else None)
+                if w_arg is not None:
+                    y = ff.multiply(y, t(w_arg) if isinstance(
+                        w_arg, torch.fx.Node) else w_arg)
+                if b_arg is not None:
+                    y = ff.add(y, t(b_arg) if isinstance(
+                        b_arg, torch.fx.Node) else b_arg)
+                out = y
+            elif fn is F.pad:
+                spec_p = list(node.args[1])
+                assert node.kwargs.get("mode", "constant") == "constant", \
+                    "only constant-mode F.pad"
+                val = float(node.kwargs.get("value") or 0.0)
+                # torch pad spec runs minor-dim first in (lo, hi) pairs
+                pw = [(0, 0)] * args[0].ndim
+                for i in range(len(spec_p) // 2):
+                    pw[args[0].ndim - 1 - i] = (spec_p[2 * i],
+                                                spec_p[2 * i + 1])
+                out = ff.pad(args[0], pw, val)
+            elif fn is F.softplus:
+                out = ff.softplus(args[0])
+            elif fn is F.mish:
+                out = ff.mish(args[0])
+            elif fn is F.glu:
+                dim = node.kwargs.get(
+                    "dim", node.args[1] if len(node.args) > 1 else -1)
+                dim = dim % args[0].ndim
+                half = args[0].shape[dim] // 2
+                a_t, b_t = ff.split(args[0], [half, half], axis=dim)
+                out = ff.multiply(a_t, ff.sigmoid(b_t))
+            elif fn is F.prelu:
+                w = args[1]
+                neg = ff.min(args[0], ff.constant(np.zeros((), np.float32)))
+                out = ff.add(ff.relu(args[0]), ff.multiply(neg, w))
+            elif fn in (torch.maximum, torch.minimum):
+                out = (ff.max if fn is torch.maximum else ff.min)(
+                    args[0], args[1])
+            elif fn in (torch.amax, torch.amin):
+                dims, keep = _reduce_dims(node, args[0])
+                red = ff.reduce_max if fn is torch.amax else ff.reduce_min
+                out = red(args[0], dims, keepdims=keep)
+            elif fn in (torch.abs, operator.abs):
+                out = ff.max(args[0], ff.scalar_multiply(args[0], -1.0))
+            elif fn in (torch.max, torch.min) and (
+                    len(node.args) > 1 or "dim" in node.kwargs):
+                if len(node.args) > 1 and isinstance(args[1], Tensor):
+                    out = (ff.max if fn is torch.max else ff.min)(
+                        args[0], args[1])
+                else:
+                    dims, keep = _reduce_dims(node, args[0])
+                    red = ff.reduce_max if fn is torch.max else ff.reduce_min
+                    # torch.max(x, dim) returns (values, indices); indices
+                    # resolve only for a trailing-dim argmax
+                    vals = red(args[0], dims, keepdims=keep)
+                    idx = (ff.argmax(args[0]) if fn is torch.max
+                           and list(dims) == [args[0].ndim - 1] and not keep
+                           else None)
+                    out = (vals, idx)
+            elif fn is F.interpolate:
+                assert node.kwargs.get("mode", "nearest") == "nearest", \
+                    "only nearest interpolate"
+                out = _upsample_nearest(
+                    ff, args[0], node.kwargs.get("scale_factor"))
+            elif fn is F.embedding:
+                out = ff.take(args[1], args[0], axis=0)  # w [V,D], ids [...]
             else:
                 raise NotImplementedError(f"torch function {fn}")
             mark(node, out)
@@ -407,7 +578,14 @@ def from_torch_module(
                     concrete[concrete.index(-1)] = total // abs(known)
                 out = ff.reshape(x, concrete)
             elif m == "flatten":
-                out = ff.flat(x)
+                sd = node.kwargs.get(
+                    "start_dim", node.args[1] if len(node.args) > 1 else 0)
+                ed = node.kwargs.get(
+                    "end_dim", node.args[2] if len(node.args) > 2 else -1)
+                sd, ed = sd % x.ndim, ed % x.ndim
+                merged = int(np.prod(x.shape[sd:ed + 1]))
+                out = ff.reshape(
+                    x, list(x.shape[:sd]) + [merged] + list(x.shape[ed + 1:]))
             elif m in ("transpose",):
                 d0, d1 = node.args[1], node.args[2]
                 perm = list(range(x.ndim))
@@ -538,15 +716,62 @@ def from_torch_module(
                 out = ff.clamp(x, lo, hi)
             elif m == "bmm":
                 out = ff.batch_matmul(x, t(node.args[1]))
+            elif m == "expand":
+                sizes = [t(a) for a in node.args[1:]]
+                if len(sizes) == 1 and isinstance(sizes[0], (tuple, list)):
+                    sizes = list(sizes[0])
+                out = _expand_to(ff, x, sizes)
+            elif m == "expand_as":
+                out = _expand_to(ff, x, list(t(node.args[1]).shape))
+            elif m == "repeat":
+                reps = [t(a) for a in node.args[1:]]
+                if len(reps) == 1 and isinstance(reps[0], (tuple, list)):
+                    reps = list(reps[0])
+                pad_nd = len(reps) - x.ndim
+                if pad_nd:
+                    x = ff.reshape(x, [1] * pad_nd + list(x.shape))
+                out = x
+                for d, r in enumerate(reps):
+                    if r > 1:
+                        out = ff.concat([out] * int(r), axis=d)
+            elif m == "masked_fill":
+                mask, val = t(node.args[1]), float(t(node.args[2]))
+                m_f = ff.cast(mask, x.dtype)
+                keep = ff.scalar_add(ff.scalar_multiply(m_f, -1.0), 1.0)
+                out = ff.add(ff.multiply(x, keep),
+                             ff.scalar_multiply(m_f, val))
+            elif m in ("amax", "amin"):
+                dims, keep = _reduce_dims(node, x)
+                red = ff.reduce_max if m == "amax" else ff.reduce_min
+                out = red(x, dims, keepdims=keep)
+            elif m in ("max", "min") and (
+                    len(node.args) > 1 or "dim" in node.kwargs):
+                other = t(node.args[1]) if len(node.args) > 1 else None
+                if isinstance(other, Tensor):
+                    out = (ff.max if m == "max" else ff.min)(x, other)
+                else:
+                    dims, keep = _reduce_dims(node, x)
+                    red = ff.reduce_max if m == "max" else ff.reduce_min
+                    vals = red(x, dims, keepdims=keep)
+                    idx = (ff.argmax(x) if m == "max"
+                           and list(dims) == [x.ndim - 1] and not keep
+                           else None)
+                    out = (vals, idx)
+            elif m == "abs":
+                out = ff.max(x, ff.scalar_multiply(x, -1.0))
+            elif m == "rsqrt":
+                out = ff.rsqrt(x)
+            elif m == "sqrt":
+                out = ff.sqrt(x)
+            elif m == "log":
+                out = ff.log(x)
             else:
                 raise NotImplementedError(f"torch method {m}")
             mark(node, out)
         elif node.op == "get_attr":
-            # constant attributes: resolve from the traced module. Scalars
-            # flow into the scalar-op paths; tensor constants are loaded as
-            # frozen weights via a 1-output dense trick is NOT done — only
-            # 0-d/1-element constants are supported (reference torch/model.py
-            # routes constants through ATTRIBUTE ops similarly narrowly).
+            # constant attributes resolve from the traced module: scalars
+            # flow into the scalar-op paths; larger tensors become frozen
+            # constant ops (reference torch/model.py ATTRIBUTE-op analog).
             obj = gm
             for part in node.target.split("."):
                 obj = getattr(obj, part)
@@ -554,9 +779,9 @@ def from_torch_module(
             if np.ndim(val) == 0 or np.size(val) == 1:
                 mark(node, float(np.reshape(val, ())))
             else:
-                raise NotImplementedError(
-                    "get_attr tensor constants > 1 element not supported"
-                )
+                # frozen tensor constant (buffers, F.linear weights, masks):
+                # enters the graph as a constant op
+                mark(node, ff.constant(np.asarray(val)))
         elif node.op == "output":
             pass
 
@@ -586,6 +811,16 @@ def _linear_loader(sub):
 def _conv_loader(sub):
     def load():
         p = {"w": jnp.asarray(sub.weight.detach().numpy())}
+        if sub.bias is not None:
+            p["b"] = jnp.asarray(sub.bias.detach().numpy())
+        return p
+    return load
+
+
+def _conv1d_loader(sub):
+    def load():
+        # torch Conv1d weight [O, I, K] -> height-1 conv2d kernel [O, I, 1, K]
+        p = {"w": jnp.asarray(sub.weight.detach().numpy())[:, :, None, :]}
         if sub.bias is not None:
             p["b"] = jnp.asarray(sub.bias.detach().numpy())
         return p

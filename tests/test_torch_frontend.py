@@ -130,3 +130,91 @@ def test_fx_widened_ops_numeric():
     apply_torch_weights(ff)
     got = np.asarray(ff.forward(x.numpy()))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fx_round3_module_breadth():
+    """Conv1d / PReLU / Softplus / Mish / GLU / ZeroPad2d / Upsample vs torch."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Conv1d(4, 6, 3, stride=2, padding=1)
+            self.prelu = tnn.PReLU(num_parameters=6, init=0.1)
+            self.sp = tnn.Softplus()
+            self.mish = tnn.Mish()
+
+        def forward(self, x):
+            h = self.prelu(self.c1(x))
+            return self.mish(self.sp(h))
+
+    with torch.no_grad():
+        m = M()
+        m.prelu.weight.mul_(torch.arange(1, 7) * 0.3)
+    _compare(m, [(4, 10)])
+
+
+def test_fx_pad_upsample_glu():
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pad = tnn.ZeroPad2d((1, 2, 0, 1))
+            self.up = tnn.Upsample(scale_factor=2, mode="nearest")
+            self.conv = tnn.Conv2d(2, 4, 3)
+
+        def forward(self, x):
+            h = self.up(self.pad(x))
+            h = self.conv(h)
+            return F.glu(h, dim=1)
+
+    _compare(M(), [(2, 5, 5)])
+
+
+def test_fx_functional_linear_layernorm_embedding():
+    """F.linear/F.layer_norm with get_attr constant weights; F.embedding."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = tnn.Parameter(torch.randn(6, 8))
+            self.b = tnn.Parameter(torch.randn(6))
+            self.g = tnn.Parameter(torch.randn(6))
+            self.emb = tnn.Parameter(torch.randn(16, 6))
+
+        def forward(self, x, ids):
+            h = F.linear(x, self.w, self.b)
+            h = F.layer_norm(h, (6,), weight=self.g)
+            return h + F.embedding(ids, self.emb)
+
+    torch.manual_seed(0)
+    m = M().eval()
+    batch = 3
+    from flexflow_tpu.torch_frontend import from_torch_module
+    import jax.numpy as jnp
+    ff = from_torch_module(m, [(4, 8), (4,)], batch_size=batch,
+                           input_dtypes=[jnp.float32, jnp.int32])
+    ff.compile(optimizer=None)
+    apply_torch_weights(ff)
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, 4, 8).astype(np.float32)
+    ids = rng.randint(0, 16, size=(batch, 4)).astype(np.int32)
+    with torch.no_grad():
+        want = m(torch.tensor(x), torch.tensor(ids)).numpy()
+    got = np.asarray(ff.forward([x, ids]))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_fx_tensor_method_breadth():
+    """expand/repeat/masked_fill/amax/abs/flatten(start_dim)/maximum."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("mask", (torch.arange(6) % 2 == 0))
+
+        def forward(self, x):
+            a = x.abs().amax(dim=-1, keepdim=True)      # [B, 4, 1]
+            b = a.expand(-1, 4, 6)                       # broadcast
+            c = x.masked_fill(self.mask, -1.5)
+            d = torch.maximum(b, c).flatten(1)           # [B, 24]
+            e = x.unsqueeze(1).repeat(1, 2, 1, 1)        # [B, 2, 4, 6]
+            return d.sum(dim=-1, keepdim=True) + e.flatten(1).sum(
+                dim=-1, keepdim=True)
+
+    _compare(M(), [(4, 6)])
