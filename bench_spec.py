@@ -176,7 +176,12 @@ def run_spec_benchmarks(
         tps8 = sum(len(r.output_tokens) for r in reqs8) / dt8
         _emit(f"llama{metric_suffix}_int8_incr_tokens_per_sec_chip",
               round(tps8, 2), "tokens/s", 1.0)
-        del eng8, rm8, v8
+        del eng8, rm8, reqs8, v8
+        # RequestManager<->Request cycles keep the 7 GB INT8 engine alive
+        # until a cycle collection; without this the INT4 phase OOMs a
+        # 16 GB chip (observed r3: RESOURCE_EXHAUSTED in the INT4 warmup)
+        import gc
+        gc.collect()
 
     # ---- INT4: spec >= 1.5x its OWN incremental (the reference gate) ----
     _log("fast INT4 verifier build")
@@ -194,6 +199,8 @@ def run_spec_benchmarks(
     incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
     incr_tps = incr_tokens / incr_dt
     del incr_engine, rm  # free the baseline KV cache before the spec engines
+    import gc
+    gc.collect()
 
     _log("INT4 spec engine build")
     # reference defaults: beam width 3, depth 8 (batch_config.h:196-197)
