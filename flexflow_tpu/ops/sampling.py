@@ -86,18 +86,30 @@ def sample(
     cfg: SamplingConfig,
     *,
     greedy_only: bool = False,
+    row_offset=0,
 ) -> jnp.ndarray:
     """Sample one token per row; greedy rows (temperature<=0) take argmax.
 
     ``greedy_only=True`` (static) skips the vocab-sort machinery entirely —
     the scheduler sets it when every active request is greedy, which is the
     reference's ArgMax fast path (src/ops/argmax.cu) vs Sampling op split.
+
+    Row ``r``'s draw is a pure function of ``(key, row_offset + r, logits)``
+    — the key is folded per GLOBAL row, never drawn jointly over the batch —
+    so a request's sampled stream is independent of batch composition:
+    continuous batching, microbatched PP (which passes its ``row_offset``),
+    and the stepwise engines all produce bit-identical tokens for the same
+    per-step key.
     """
     if greedy_only:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     greedy = cfg.temperature <= 0.0
     masked = filtered_logits(logits, cfg)
-    sampled = jax.random.categorical(key, masked, axis=-1)
+    rows = jnp.arange(logits.shape[0], dtype=jnp.int32) + row_offset
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, rows)
+    sampled = jax.vmap(
+        lambda kk, lg: jax.random.categorical(kk, lg, axis=-1)
+    )(keys, masked)
     return jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled).astype(jnp.int32)
 
 

@@ -639,11 +639,14 @@ class PipelineInferenceEngine:
                                 f, j_my, keepdims=False),
                             scfg_mb,
                         )
-                        key_s = jax.random.fold_in(
-                            jax.random.fold_in(key, s_my), j_my)
+                        # per-row keying (sample folds key by global row):
+                        # fold_in(key, step) + row_offset makes this BIT-
+                        # EQUAL to the stepwise decode_n path at any
+                        # temperature, not just distributionally correct
                         return sampling_lib.sample(
-                            logits[:, 0], key_s, scfg_rows,
-                            greedy_only=greedy_only)
+                            logits[:, 0], jax.random.fold_in(key, s_my),
+                            scfg_rows, greedy_only=greedy_only,
+                            row_offset=row0)
 
                     take = (stage == pp - 1) & valid
                     t_out = jax.lax.cond(
