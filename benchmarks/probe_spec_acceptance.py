@@ -1,0 +1,84 @@
+"""Why is on-chip verified/step 1.922 when probe agreement is 0.958?
+
+Measures the draft's teacher-forced agreement in EXACTLY the bench_spec
+regime: the same 8 random 24-token prompts, the INT4 verifier's own
+incremental greedy continuations (through the real InferenceEngine), then
+the (noised) draft teacher-forced on each row. This is the direct
+predictor of tree acceptance; comparing it against the single-sequence
+probe (probe_agreement_7b.py) separates "the pair disagrees on the bench
+distribution" from "the acceptance pipeline loses agreement".
+
+    python -u benchmarks/probe_spec_acceptance.py
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--eps", type=float, default=0.01)
+    args = ap.parse_args()
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[acc +{time.time()-t0:6.1f}s] {msg}", flush=True)
+
+    import bench_spec
+    from benchmarks.spec_pair import fast_quantized_verifier, perturb_params
+    from flexflow_tpu.models import decoder
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    dspec, vspec = bench_spec.DRAFT_7B, bench_spec.VERIFIER_7B
+    log(f"devices {jax.devices()}; draft init")
+    dparams = params_lib.init_params(dspec, jax.random.PRNGKey(0),
+                                     jnp.bfloat16)
+    draft = perturb_params(dparams, args.eps, jax.random.PRNGKey(42))
+    log(f"INT{args.bits} verifier build")
+    vq = fast_quantized_verifier(dspec, dparams, vspec, args.bits)
+
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(1, 32000, size=24).tolist() for _ in range(8)]
+    log("incremental generation (bench prompts, greedy)")
+    eng = InferenceEngine(vspec, vq, max_requests_per_batch=8,
+                          max_seq_len=512)
+    rm = RequestManager(eng, decode_horizon=32, pipelined=True)
+    reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=args.max_new))
+    outs = [r.output_tokens for r in reqs]
+    log(f"generated; lens {[len(o) for o in outs]}; "
+        f"uniq-token-frac {[round(len(set(o))/max(len(o),1),2) for o in outs]}")
+
+    # teacher-forced draft agreement per row
+    agrees = []
+    for i, (p, o) in enumerate(zip(prompts, outs)):
+        seq = list(p) + list(o)
+        full = jnp.asarray([seq], jnp.int32)
+        pos = jnp.arange(len(seq), dtype=jnp.int32)[None]
+        logits, _ = decoder.forward(dspec, draft, full, pos,
+                                    lengths=jnp.asarray([len(seq)]),
+                                    return_kv=True)
+        pred = np.asarray(jnp.argmax(logits, -1))[0]
+        want = np.asarray(o)
+        got = pred[len(p) - 1:len(p) - 1 + len(want)]
+        agrees.append(float((got == want).mean()))
+    log(f"per-row draft agreement: {[round(a, 3) for a in agrees]}")
+    log(f"mean agreement {np.mean(agrees):.3f} "
+        f"(verified/step at depth 8 would be ~"
+        f"{(1 - np.mean(agrees) ** 9) / (1 - np.mean(agrees) + 1e-9):.2f})")
+
+
+if __name__ == "__main__":
+    main()
