@@ -27,7 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=64)
-    ap.add_argument("--eps", type=float, default=0.01)
+    ap.add_argument("--eps", type=float, nargs="*", default=[0.01])
+    ap.add_argument("--matched", action="store_true",
+                    help="quantization-matched drafts (spec_pair."
+                         "quantization_matched_draft) instead of raw bf16")
     args = ap.parse_args()
     t0 = time.time()
 
@@ -35,7 +38,9 @@ def main():
         print(f"[acc +{time.time()-t0:6.1f}s] {msg}", flush=True)
 
     import bench_spec
-    from benchmarks.spec_pair import fast_quantized_verifier, perturb_params
+    from benchmarks.spec_pair import (
+        fast_quantized_verifier, perturb_params, quantization_matched_draft,
+    )
     from flexflow_tpu.models import decoder
     from flexflow_tpu.models import params as params_lib
     from flexflow_tpu.serving import (
@@ -46,7 +51,10 @@ def main():
     log(f"devices {jax.devices()}; draft init")
     dparams = params_lib.init_params(dspec, jax.random.PRNGKey(0),
                                      jnp.bfloat16)
-    draft = perturb_params(dparams, args.eps, jax.random.PRNGKey(42))
+    base = dparams
+    if args.matched:
+        log(f"building quantization-matched draft (INT{args.bits})")
+        base = quantization_matched_draft(dspec, dparams, args.bits)
     log(f"INT{args.bits} verifier build")
     vq = fast_quantized_verifier(dspec, dparams, vspec, args.bits)
 
@@ -61,23 +69,34 @@ def main():
     log(f"generated; lens {[len(o) for o in outs]}; "
         f"uniq-token-frac {[round(len(set(o))/max(len(o),1),2) for o in outs]}")
 
-    # teacher-forced draft agreement per row
-    agrees = []
-    for i, (p, o) in enumerate(zip(prompts, outs)):
-        seq = list(p) + list(o)
-        full = jnp.asarray([seq], jnp.int32)
-        pos = jnp.arange(len(seq), dtype=jnp.int32)[None]
+    @jax.jit
+    def draft_pred(draft, full, length):
+        pos = jnp.arange(full.shape[1], dtype=jnp.int32)[None]
         logits, _ = decoder.forward(dspec, draft, full, pos,
-                                    lengths=jnp.asarray([len(seq)]),
-                                    return_kv=True)
-        pred = np.asarray(jnp.argmax(logits, -1))[0]
-        want = np.asarray(o)
-        got = pred[len(p) - 1:len(p) - 1 + len(want)]
-        agrees.append(float((got == want).mean()))
-    log(f"per-row draft agreement: {[round(a, 3) for a in agrees]}")
-    log(f"mean agreement {np.mean(agrees):.3f} "
-        f"(verified/step at depth 8 would be ~"
-        f"{(1 - np.mean(agrees) ** 9) / (1 - np.mean(agrees) + 1e-9):.2f})")
+                                    lengths=length, return_kv=True)
+        return jnp.argmax(logits, -1)
+
+    for eps in args.eps:
+        draft = (base if eps == 0.0 else
+                 perturb_params(base, eps, jax.random.PRNGKey(42)))
+        # teacher-forced draft agreement per row
+        agrees = []
+        for i, (p, o) in enumerate(zip(prompts, outs)):
+            seq = list(p) + list(o)
+            pad = 128
+            full = np.zeros((1, pad), np.int32)
+            full[0, :len(seq)] = seq
+            pred = np.asarray(draft_pred(
+                draft, jnp.asarray(full), jnp.asarray([len(seq)])))[0]
+            want = np.asarray(o)
+            got = pred[len(p) - 1:len(p) - 1 + len(want)]
+            agrees.append(float((got == want).mean()))
+        m = float(np.mean(agrees))
+        log(f"eps={eps} matched={args.matched} per-row: "
+            f"{[round(a, 3) for a in agrees]}")
+        log(f"eps={eps} mean agreement {m:.3f} "
+            f"(chain-accept at depth 8 ~"
+            f"{(1 - m ** 9) / (1 - m + 1e-9):.2f}/step)")
 
 
 if __name__ == "__main__":

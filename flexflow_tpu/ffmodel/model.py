@@ -166,6 +166,16 @@ class FFModel:
     def max(self, a, b): return self._binary("max", a, b)
     def min(self, a, b): return self._binary("min", a, b)
 
+    def where(self, cond, a, b):
+        """Elementwise select: ``cond ? a : b`` (broadcasting).
+
+        Select semantics (NOT arithmetic blending): non-finite values on the
+        unselected branch never contaminate the result — the masked_fill
+        lowering needs this for ``float('-inf')`` fills."""
+        shape = np.broadcast_shapes(cond.shape, a.shape, b.shape)
+        [t] = self._add("where", [cond, a, b], {}, [tuple(shape)], [a.dtype])
+        return t
+
     # --- dense / conv / pool / norm (reference model.h:543-700) ---
 
     def dense(self, x, out_dim: int, activation: Optional[str] = None,
@@ -633,6 +643,8 @@ class FFModel:
             fn = {"add": jnp.add, "sub": jnp.subtract, "mul": jnp.multiply,
                   "div": jnp.divide, "max": jnp.maximum, "min": jnp.minimum}[op]
             return [fn(xs[0], xs[1])], s
+        if op == "where":
+            return [jnp.where(xs[0] != 0, xs[1], xs[2])], s
         if op == "dense":
             y = xs[0] @ p["w"]
             if "b" in p:

@@ -47,8 +47,25 @@ def _quad(padding):
     return p  # (l, r, t, b)
 
 
-def _upsample_nearest(ff, x, scale_factor):
-    """Nearest-neighbor integer upsample via reshape+concat replication."""
+def _upsample_nearest(ff, x, scale_factor, size=None):
+    """Nearest-neighbor integer upsample via reshape+concat replication.
+
+    ``size=(H_out, W_out)`` (nn.Upsample(size=...) / F.interpolate(size=...))
+    derives integer scales from the input shape; a None scale_factor without
+    a size fails loudly (round-3 ADVICE: int(None) TypeError was opaque)."""
+    if scale_factor is None:
+        if size is None:
+            raise NotImplementedError(
+                "Upsample/interpolate needs scale_factor or size"
+            )
+        oh, ow = _pair(size)
+        _, _, h, w = x.shape
+        if oh % h or ow % w:
+            raise NotImplementedError(
+                f"nearest upsample needs integer scale, got {h}x{w} -> "
+                f"{oh}x{ow}"
+            )
+        scale_factor = (oh // h, ow // w)
     sh, sw = _pair(scale_factor)
     sh, sw = int(sh), int(sw)
     b, c, h, w = x.shape
@@ -70,8 +87,11 @@ def _expand_to(ff, x, sizes):
         x = ff.reshape(x, list(xs))
     if tuple(tgt) == xs:
         return x
-    # broadcast by adding a zeros constant of the target shape
-    return ff.add(x, ff.constant(np.zeros(tgt, np.float32)))
+    # broadcast by adding a zeros constant of the INPUT's dtype: a float32
+    # zeros would silently promote integer/bool runtime values while the
+    # graph metadata keeps the declared dtype (round-3 ADVICE)
+    np_dt = np.dtype(jnp.dtype(x.dtype).name)
+    return ff.add(x, ff.constant(np.zeros(tgt, np_dt), dtype=x.dtype))
 
 
 def _getitem_tensor(ff, x, idx):
@@ -281,7 +301,8 @@ def from_torch_module(
                 out = ff.pad(x, [(0, 0), (0, 0), (pt, pb), (pl, pr)], val)
             elif isinstance(sub, tnn.Upsample):
                 assert sub.mode == "nearest", "only nearest Upsample"
-                out = _upsample_nearest(ff, x, sub.scale_factor)
+                out = _upsample_nearest(ff, x, sub.scale_factor,
+                                        size=sub.size)
             elif isinstance(sub, tnn.AdaptiveAvgPool2d):
                 out = _adaptive_pool(ff, x, sub.output_size, "avg")
             elif isinstance(sub, tnn.AdaptiveMaxPool2d):
@@ -526,9 +547,15 @@ def from_torch_module(
                 a_t, b_t = ff.split(args[0], [half, half], axis=dim)
                 out = ff.multiply(a_t, ff.sigmoid(b_t))
             elif fn is F.prelu:
-                w = args[1]
-                neg = ff.min(args[0], ff.constant(np.zeros((), np.float32)))
-                out = ff.add(ff.relu(args[0]), ff.multiply(neg, w))
+                # per-channel weight [C] applies along dim 1 in torch; numpy
+                # broadcasting would hit the trailing dim (round-3 ADVICE) —
+                # reshape to (C, 1, ..., 1) like the nn.PReLU module path
+                x0, w = args[0], args[1]
+                if w.ndim == 1 and w.shape[0] > 1 and x0.ndim > 2:
+                    w = ff.reshape(
+                        w, [w.shape[0]] + [1] * (x0.ndim - 2))
+                neg = ff.min(x0, ff.constant(np.zeros((), np.float32)))
+                out = ff.add(ff.relu(x0), ff.multiply(neg, w))
             elif fn in (torch.maximum, torch.minimum):
                 out = (ff.max if fn is torch.maximum else ff.min)(
                     args[0], args[1])
@@ -556,8 +583,10 @@ def from_torch_module(
             elif fn is F.interpolate:
                 assert node.kwargs.get("mode", "nearest") == "nearest", \
                     "only nearest interpolate"
+                size = node.kwargs.get(
+                    "size", t(node.args[1]) if len(node.args) > 1 else None)
                 out = _upsample_nearest(
-                    ff, args[0], node.kwargs.get("scale_factor"))
+                    ff, args[0], node.kwargs.get("scale_factor"), size=size)
             elif fn is F.embedding:
                 out = ff.take(args[1], args[0], axis=0)  # w [V,D], ids [...]
             else:
@@ -735,11 +764,12 @@ def from_torch_module(
                     if r > 1:
                         out = ff.concat([out] * int(r), axis=d)
             elif m == "masked_fill":
+                # select semantics: arithmetic blending (x*(1-m) + m*val)
+                # turns val=-inf into 0*inf = NaN in the canonical attention
+                # masking pattern (round-3 ADVICE, high)
                 mask, val = t(node.args[1]), float(t(node.args[2]))
-                m_f = ff.cast(mask, x.dtype)
-                keep = ff.scalar_add(ff.scalar_multiply(m_f, -1.0), 1.0)
-                out = ff.add(ff.multiply(x, keep),
-                             ff.scalar_multiply(m_f, val))
+                out = ff.where(mask,
+                               ff.constant(np.full((), val, np.float32)), x)
             elif m in ("amax", "amin"):
                 dims, keep = _reduce_dims(node, x)
                 red = ff.reduce_max if m == "amax" else ff.reduce_min
@@ -757,6 +787,13 @@ def from_torch_module(
                            and list(dims) == [x.ndim - 1] and not keep
                            else None)
                     out = (vals, idx)
+            elif m == "argmax":
+                dims, keep = _reduce_dims(node, x)
+                assert list(dims) == [x.ndim - 1], \
+                    "argmax supports the trailing dim only"
+                out = ff.argmax(x)
+                if keep:
+                    out = ff.reshape(out, list(out.shape) + [1])
             elif m == "abs":
                 out = ff.max(x, ff.scalar_multiply(x, -1.0))
             elif m == "rsqrt":

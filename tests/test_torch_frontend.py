@@ -218,3 +218,56 @@ def test_fx_tensor_method_breadth():
                 dim=-1, keepdim=True)
 
     _compare(M(), [(4, 6)])
+
+
+def test_fx_masked_fill_neg_inf():
+    """masked_fill with -inf must not NaN (select, not arithmetic blending):
+    the canonical attention pattern softmax(x.masked_fill(mask, -inf))."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("mask", (torch.arange(6) % 2 == 0))
+
+        def forward(self, x):
+            return F.softmax(x.masked_fill(self.mask, float("-inf")), dim=-1)
+
+    _compare(M(), [(4, 6)])
+
+
+def test_fx_functional_prelu_channel():
+    """F.prelu with per-channel weight [C] on [B, C, H, W] applies along
+    dim 1 (torch semantics), not the trailing dim."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = tnn.Parameter(torch.arange(1, 4).float() * 0.1)
+
+        def forward(self, x):
+            return F.prelu(x, self.w)
+
+    _compare(M(), [(3, 5, 6)])
+
+
+def test_fx_expand_int_dtype():
+    """expand on an integer tensor keeps integer values (no silent f32
+    promotion through the broadcast-by-add lowering)."""
+    class M(tnn.Module):
+        def forward(self, x):
+            idx = x.argmax(dim=-1, keepdim=True)  # [B, 4, 1] int64
+            e = idx.expand(-1, 4, 6)
+            return e.float().sum(dim=-1)
+
+    _compare(M(), [(4, 6)])
+
+
+def test_fx_upsample_size():
+    """nn.Upsample(size=...) derives the integer scale from the input."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.up = tnn.Upsample(size=(8, 12), mode="nearest")
+
+        def forward(self, x):
+            return self.up(x)
+
+    _compare(M(), [(2, 4, 6)])
