@@ -22,7 +22,13 @@ from flexflow_tpu.keras.layers import (  # noqa: F401
     GroupNormalization,
     Input,
     LayerNormalization,
+    Maximum,
     MaxPooling2D,
+    Minimum,
+    Multiply,
+    Permute,
+    Reshape,
+    Subtract,
 )
 from flexflow_tpu.keras.models import Model, Sequential  # noqa: F401
 from flexflow_tpu.keras.optimizers import SGD, Adam  # noqa: F401

@@ -264,3 +264,59 @@ class Add(Layer):
     def build(self, ff, xs):
         a, b = xs
         return ff.add(a, b)
+
+
+class _BinaryMerge(Layer):
+    """Two-input elementwise merge (reference merge.py:119-170
+    Subtract/Multiply/Maximum/Minimum)."""
+
+    _op = ""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+
+    def build(self, ff, xs):
+        a, b = xs
+        return getattr(ff, self._op)(a, b)
+
+
+class Subtract(_BinaryMerge):
+    _op = "subtract"
+
+
+class Multiply(_BinaryMerge):
+    _op = "multiply"
+
+
+class Maximum(_BinaryMerge):
+    _op = "max"
+
+
+class Minimum(_BinaryMerge):
+    _op = "min"
+
+
+class Reshape(Layer):
+    """keras.layers.Reshape: target_shape EXCLUDES the batch dim
+    (reference core.py:279-309)."""
+
+    def __init__(self, target_shape: Sequence[int], name: str = ""):
+        self.target_shape = tuple(int(d) for d in target_shape)
+        self.name = name
+
+    def build(self, ff, x):
+        return ff.reshape(x, (x.shape[0],) + self.target_shape,
+                          name=self.name)
+
+
+class Permute(Layer):
+    """keras.layers.Permute: ``dims`` are 1-indexed over the non-batch axes
+    (reference core.py:311+)."""
+
+    def __init__(self, dims: Sequence[int], name: str = ""):
+        self.dims = tuple(int(d) for d in dims)
+        self.name = name
+
+    def build(self, ff, x):
+        perm = (0,) + tuple(d for d in self.dims)  # batch stays in front
+        return ff.transpose(x, perm, name=self.name)

@@ -84,14 +84,23 @@ def from_onnx_model(
         x = env.get(ins[0])
         if op == "Gemm":
             w = inits[ins[1]]
+            # full Gemm attribute set (reference model.py Gemm fusion path):
+            # Y = alpha * op(A) @ op(B) + beta * C
             trans_b = _attr(node, "transB", 0)
-            w_np = w.T if trans_b else w
+            trans_a = _attr(node, "transA", 0)
+            alpha = _attr(node, "alpha", 1.0)
+            beta = _attr(node, "beta", 1.0)
+            w_np = (w.T if trans_b else w) * alpha
+            if trans_a:
+                x = ff.transpose(x, list(range(x.ndim - 2))
+                                 + [x.ndim - 1, x.ndim - 2])
             out_dim = w_np.shape[1]
             b_np = inits.get(ins[2]) if len(ins) > 2 else None
             t = ff.dense(x, out_dim, use_bias=b_np is not None, name=node.name or ins[1])
             name = ff._nodes[t.node].name
-            weight_loads.append((name, w_np.astype(np.float32),
-                                 None if b_np is None else b_np.astype(np.float32)))
+            weight_loads.append(
+                (name, w_np.astype(np.float32),
+                 None if b_np is None else (b_np * beta).astype(np.float32)))
             env[node.output[0]] = t
         elif op == "MatMul":
             if ins[1] in inits:
@@ -166,6 +175,111 @@ def from_onnx_model(
             env[node.output[0]] = ff.transpose(x, _attr(node, "perm"))
         elif op in ("Dropout", "Identity"):
             env[node.output[0]] = x
+        elif op == "Div":
+            env[node.output[0]] = ff.divide(x, env[ins[1]])
+        elif op == "Split":
+            axis = _attr(node, "axis", 0)
+            sizes = _attr(node, "split")
+            if sizes is None and len(ins) > 1 and ins[1] in inits:
+                sizes = inits[ins[1]].tolist()  # opset>=13: split as input
+            if sizes is None:
+                n = len(node.output)
+                sizes = [x.shape[axis] // n] * n
+            parts = ff.split(x, sizes, axis=axis)
+            for o, p in zip(node.output, parts):
+                env[o] = p
+        elif op == "GlobalAveragePool":
+            _, _, h, w_ = x.shape
+            env[node.output[0]] = ff.pool2d(x, h, w_, h, w_, 0, 0, "avg",
+                                            name=node.name)
+        elif op == "Pad":
+            pads = _attr(node, "pads")
+            if pads is None and len(ins) > 1 and ins[1] in inits:
+                pads = inits[ins[1]].tolist()  # opset>=11: pads as input
+            val = _attr(node, "value", 0.0)
+            if len(ins) > 2 and ins[2] in inits:
+                val = float(inits[ins[2]])
+            nd = x.ndim
+            pw = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
+            env[node.output[0]] = ff.pad(x, pw, val)
+        elif op == "Cast":
+            to = _attr(node, "to", 1)
+            dt = {1: jnp.float32, 6: jnp.int32, 7: jnp.int32,
+                  9: jnp.bool_, 10: jnp.float16, 16: jnp.bfloat16}.get(
+                      to, jnp.float32)
+            env[node.output[0]] = ff.cast(x, dt)
+        elif op in ("Unsqueeze", "Squeeze"):
+            axes = _attr(node, "axes")
+            if axes is None and len(ins) > 1 and ins[1] in inits:
+                axes = inits[ins[1]].tolist()  # opset>=13: axes as input
+            shape = list(x.shape)
+            if op == "Unsqueeze":
+                for a in sorted(int(a) % (x.ndim + 1) for a in axes):
+                    shape.insert(a, 1)
+            else:
+                if axes is None:
+                    shape = [d for d in shape if d != 1]
+                else:
+                    drop = {int(a) % x.ndim for a in axes}
+                    assert all(shape[a] == 1 for a in drop), (shape, axes)
+                    shape = [d for i, d in enumerate(shape) if i not in drop]
+            env[node.output[0]] = ff.reshape(x, shape)
+        elif op == "Expand":
+            tgt = inits[ins[1]].tolist()
+            shape = list(x.shape)
+            pad_nd = len(tgt) - len(shape)
+            out_shape = [
+                int(t_) if int(t_) != 1 else (shape[i - pad_nd]
+                                              if i >= pad_nd else 1)
+                for i, t_ in enumerate(tgt)
+            ]
+            if pad_nd:
+                x = ff.reshape(x, [1] * pad_nd + shape)
+            np_dt = np.dtype(jnp.dtype(x.dtype).name)
+            env[node.output[0]] = ff.add(
+                x, ff.constant(np.zeros(out_shape, np_dt), dtype=x.dtype))
+        elif op == "Constant":
+            val = _attr(node, "value")
+            if val is None:  # tensor attribute (type 4) — decode manually
+                for a in node.attribute:
+                    if a.name == "value":
+                        val = _to_array(a.t)
+            env[node.output[0]] = ff.constant(np.asarray(val))
+        elif op == "LeakyRelu":
+            env[node.output[0]] = ff.leaky_relu(
+                x, _attr(node, "alpha", 0.01))
+        elif op == "Clip":
+            lo = _attr(node, "min")
+            hi = _attr(node, "max")
+            if lo is None and len(ins) > 1 and ins[1] in inits:
+                lo = float(inits[ins[1]])
+            if hi is None and len(ins) > 2 and ins[2] in inits:
+                hi = float(inits[ins[2]])
+            env[node.output[0]] = ff.clamp(x, lo, hi)
+        elif op == "Exp":
+            env[node.output[0]] = ff.exp(x)
+        elif op == "Sqrt":
+            env[node.output[0]] = ff.sqrt(x)
+        elif op == "Pow":
+            env[node.output[0]] = ff.pow(x, float(inits[ins[1]]))
+        elif op == "ReduceMean":
+            axes = _attr(node, "axes")
+            if axes is None and len(ins) > 1 and ins[1] in inits:
+                axes = inits[ins[1]].tolist()
+            keep = bool(_attr(node, "keepdims", 1))
+            env[node.output[0]] = ff.mean(
+                x, [int(a) % x.ndim for a in axes], keepdims=keep)
+        elif op == "Gather":
+            # embedding-style gather: data is an initializer table
+            if ins[0] in inits:
+                table = inits[ins[0]]
+                idx = env[ins[1]]
+                t = ff.take(ff.constant(table.astype(np.float32)), idx,
+                            axis=_attr(node, "axis", 0))
+                env[node.output[0]] = t
+            else:
+                env[node.output[0]] = ff.take(
+                    x, env[ins[1]], axis=_attr(node, "axis", 0))
         else:
             raise NotImplementedError(f"ONNX op {op}")
 

@@ -124,9 +124,18 @@ def param_shardings(
     moe = spec.moe is not None
 
     def leaf_spec(path, leaf) -> NamedSharding:
-        names = [p.key for p in path if hasattr(p, "key")]
+        # string dict keys only: QuantizedArray carriers flatten with
+        # FlattenedIndexKey entries whose ``.key`` is an INT — naively taking
+        # the last ``.key`` made the rule lookup miss and silently REPLICATE
+        # every quantized weight under TP (caught by the 70B HBM-fit test)
+        names = [
+            p.key for p in path
+            if hasattr(p, "key") and isinstance(getattr(p, "key"), str)
+        ]
         name = names[-1] if names else ""
-        inside_quant = path and not hasattr(path[-1], "key")
+        inside_quant = bool(path) and not (
+            hasattr(path[-1], "key") and isinstance(path[-1].key, str)
+        )
         if inside_quant:
             ps = _QUANT_RULES.get(name, P())
             # MoE expert carriers have an extra [E] axis after [L]

@@ -1,0 +1,119 @@
+"""BASELINE config #5 at virtual fidelity: LLaMA-2-70B INT4 multi-host serving.
+
+The reference serves LLaMA-2-70B over a multi-node GPU cluster
+(/root/reference/MULTI-NODE.md:21-80, SERVE.md:10-11 claims 1.4-2.4x); real
+multi-host TPU hardware is absent here, so this test proves the two
+properties a 70B pod-slice deployment needs, at shape-only fidelity on the
+virtual 8-device mesh:
+
+1. the INT4 serving decode step LOWERS AND COMPILES sharded (TP=8 over the
+   8 GQA KV-head groups, real param/cache shardings, GSPMD collectives
+   inserted) — no concrete 70B weights are ever materialized
+   (``jax.eval_shape`` traces the init+quantize build);
+2. the per-device footprint (sharded INT4 carriers + bf16 embeds + KV cache
+   + headroom) FITS a 16 GB v5e chip at the claimed degrees.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flexflow_tpu import specs
+from flexflow_tpu.models import decoder, params as params_lib
+from flexflow_tpu.parallel import make_mesh, param_shardings
+from flexflow_tpu.parallel.sharding import kv_cache_sharding
+from flexflow_tpu.quant.weight_only import quantize_params
+
+# LLaMA-2-70B geometry (GQA 64/8), HF config values
+LLAMA70B = specs.ModelSpec(
+    arch="LlamaForCausalLM", vocab_size=32000, hidden_size=8192,
+    num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
+    intermediate_size=28672, max_position_embeddings=4096, norm_eps=1e-5,
+)
+
+TP = 8           # one KV-head group per chip (2 hosts x 4 v5e)
+SLOTS = 16       # continuous-batching request slots
+MAX_SEQ = 2048
+HBM_PER_CHIP = 16e9
+HEADROOM = 2e9   # activations, staging buffers, fragmentation
+
+
+def _abstract_quant_params(spec, bits=4):
+    """Shape-only INT4 params: trace init+quantize without materializing."""
+    return jax.eval_shape(
+        lambda key: quantize_params(
+            spec, params_lib.init_params(spec, key, jnp.bfloat16), bits
+        ),
+        jax.random.PRNGKey(0),
+    )
+
+
+def _sharded_bytes(leaf, sharding) -> float:
+    """Per-device bytes of a leaf under its NamedSharding."""
+    spec_tuple = sharding.spec
+    denom = 1
+    for axis in spec_tuple:
+        if axis is not None:
+            denom *= sharding.mesh.shape[axis]
+    return leaf.size * np.dtype(leaf.dtype).itemsize / denom
+
+
+@pytest.mark.slow
+def test_70b_int4_tp8_fits_and_compiles():
+    mesh = make_mesh(model=TP)
+    aparams = _abstract_quant_params(LLAMA70B, 4)
+    shardings = param_shardings(LLAMA70B, aparams, mesh)
+
+    # --- per-device HBM fit at the claimed degrees ---
+    leaves = jax.tree_util.tree_leaves(aparams)
+    shard_leaves = jax.tree_util.tree_leaves(shardings)
+    assert len(leaves) == len(shard_leaves)
+    param_bytes = sum(
+        _sharded_bytes(l, s) for l, s in zip(leaves, shard_leaves)
+    )
+    cache = jax.eval_shape(
+        lambda: decoder.init_kv_cache(LLAMA70B, SLOTS, MAX_SEQ, jnp.bfloat16)
+    )
+    cshard = kv_cache_sharding(mesh, cache)
+    cache_bytes = sum(
+        _sharded_bytes(l, s)
+        for l, s in zip(jax.tree_util.tree_leaves(cache),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(lambda _: cshard, cache)))
+    )
+    total = param_bytes + cache_bytes + HEADROOM
+    # ~5 GB params + ~1.3 GB KV per chip; must clear 16 GB with headroom
+    assert total <= HBM_PER_CHIP, (
+        f"70B INT4 TP={TP} does not fit: params {param_bytes/1e9:.2f} GB + "
+        f"kv {cache_bytes/1e9:.2f} GB + headroom {HEADROOM/1e9:.1f} GB = "
+        f"{total/1e9:.2f} GB per chip"
+    )
+    # sanity: TP is actually sharding the big carriers (not silently
+    # replicating through the _divisible fallback)
+    assert param_bytes < 0.2 * sum(
+        l.size * np.dtype(l.dtype).itemsize for l in leaves
+    )
+
+    # --- AOT shape-only lower + compile of the sharded decode step ---
+    repl = NamedSharding(mesh, P())
+
+    def decode_step(params, ck, cv, lens, toks):
+        logits, cache2 = decoder.forward_cached(
+            LLAMA70B, params, toks[:, None], decoder.KVCache(ck, cv), lens
+        )
+        return jnp.argmax(logits[:, 0], -1), cache2.k, cache2.v
+
+    a_lens = jax.ShapeDtypeStruct((SLOTS,), jnp.int32)
+    a_toks = jax.ShapeDtypeStruct((SLOTS,), jnp.int32)
+    step = jax.jit(
+        decode_step,
+        in_shardings=(shardings, cshard, cshard, repl, repl),
+        donate_argnums=(1, 2),
+    )
+    compiled = step.lower(aparams, cache.k, cache.v, a_lens, a_toks).compile()
+    # compiled for all 8 devices with GSPMD partitioning
+    out_tok, out_k, _ = compiled.output_shardings
+    assert out_k.spec[2] == "model", out_k  # KV heads stay TP-sharded

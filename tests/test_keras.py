@@ -141,3 +141,37 @@ def test_preprocessing_and_synthetic_datasets():
 
     (xtr, ytr), (xte, yte) = mnist.load_data(synthetic=True)
     assert xtr.shape == (512, 28, 28) and ytr.shape == (512,)
+
+
+def test_merge_and_shape_layers():
+    """Subtract/Multiply/Maximum/Minimum + Reshape/Permute (reference
+    keras/layers/merge.py:119-170, core.py:279-311) — numeric check vs
+    numpy through FFModel.forward."""
+    import numpy as np
+
+    from flexflow_tpu import keras
+    from flexflow_tpu.keras import (
+        Maximum, Minimum, Multiply, Permute, Reshape, Subtract,
+    )
+    from flexflow_tpu.keras.models import InputTensor, Model
+
+    a = InputTensor(shape=(4, 6), batch_size=8)
+    b = InputTensor(shape=(4, 6), batch_size=8, builder=a.builder)
+    s = Subtract()([a, b])
+    m = Multiply()([a, b])
+    hi = Maximum()([s, m])
+    lo = Minimum()([s, m])
+    r = Reshape((6, 4))(hi)
+    p = Permute((2, 1))(r)          # [B, 4, 6]
+    out = Multiply()([p, lo])
+    model = Model(inputs=[a, b], outputs=out)
+    model.compile(optimizer=None, loss="mean_squared_error")
+
+    rng = np.random.RandomState(0)
+    xa = rng.randn(8, 4, 6).astype(np.float32)
+    xb = rng.randn(8, 4, 6).astype(np.float32)
+    got = model.ffmodel.forward([xa, xb])
+    sub, mul = xa - xb, xa * xb
+    want = (np.maximum(sub, mul).reshape(8, 6, 4).transpose(0, 2, 1)
+            * np.minimum(sub, mul))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

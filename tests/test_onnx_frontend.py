@@ -130,3 +130,91 @@ def test_attr_int64_negative_roundtrip(tmp_path):
     raw = n.serialize()
     n2 = op.NodeProto.parse(raw)
     assert n2.attribute[0].i == -1
+
+
+def _attr_f(name, v):
+    return op.AttributeProto(name=name, f=float(v),
+                             type=op.AttributeProto.FLOAT)
+
+
+def _attr_i(name, v):
+    return op.AttributeProto(name=name, i=int(v), type=op.AttributeProto.INT)
+
+
+def test_onnx_round4_gap_ops(tmp_path):
+    """Gemm attrs (alpha/beta/transB) + Clip/Unsqueeze/Expand/Split/Div/
+    ReduceMean (VERDICT r3 missing #5; reference op table
+    python/flexflow/onnx/model.py:74-363)."""
+    rng = np.random.RandomState(3)
+    w = rng.randn(32, 16).astype(np.float32)  # transB layout
+    b = rng.randn(32).astype(np.float32)
+    nodes = [
+        op.NodeProto(op_type="Gemm", input=["x", "w", "b"], output=["h"],
+                     name="fc",
+                     attribute=[_attr_f("alpha", 0.5), _attr_f("beta", 2.0),
+                                _attr_i("transB", 1)]),
+        op.NodeProto(op_type="Clip", input=["h"], output=["hc"],
+                     attribute=[_attr_f("min", 0.0), _attr_f("max", 6.0)]),
+        op.NodeProto(op_type="Unsqueeze", input=["hc"], output=["hu"],
+                     attribute=[_attr_ints("axes", (1,))]),
+        op.NodeProto(op_type="Expand", input=["hu", "tgt"], output=["he"]),
+        op.NodeProto(op_type="Split", input=["he"], output=["s1", "s2"],
+                     attribute=[_attr_i("axis", 2),
+                                _attr_ints("split", (16, 16))]),
+        op.NodeProto(op_type="Div", input=["s1", "s2"], output=["d"]),
+        op.NodeProto(op_type="ReduceMean", input=["d"], output=["y"],
+                     attribute=[_attr_ints("axes", (1,)),
+                                _attr_i("keepdims", 0)]),
+    ]
+    m = _mk_model(
+        nodes,
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 16))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 16))],
+        {"w": w, "b": b, "tgt": np.asarray([1, 3, 32], np.int64)},
+    )
+    p = str(tmp_path / "gaps.onnx")
+    op.save(m, p)
+
+    ff = from_onnx_model(p, batch_size=4)
+    ff.compile(optimizer=None)
+    apply_onnx_weights(ff)
+    x = rng.randn(4, 16).astype(np.float32)
+    got = ff.forward(x)
+
+    h = np.clip(0.5 * (x @ w.T) + 2.0 * b, 0.0, 6.0)
+    he = np.broadcast_to(h[:, None, :], (4, 3, 32))
+    d = he[:, :, :16] / he[:, :, 16:]
+    want = d.mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_onnx_pad_gap_cast(tmp_path):
+    """Pad + GlobalAveragePool + Flatten + Cast (reference handlePad /
+    handleGlobalAveragePool / handleCast)."""
+    rng = np.random.RandomState(4)
+    nodes = [
+        op.NodeProto(op_type="Pad", input=["x"], output=["xp"],
+                     attribute=[_attr_ints(
+                         "pads", (0, 0, 1, 1, 0, 0, 1, 1))]),
+        op.NodeProto(op_type="GlobalAveragePool", input=["xp"],
+                     output=["g"]),
+        op.NodeProto(op_type="Flatten", input=["g"], output=["f"]),
+        op.NodeProto(op_type="Cast", input=["f"], output=["y"],
+                     attribute=[_attr_i("to", op.TensorProto.FLOAT)]),
+    ]
+    m = _mk_model(
+        nodes,
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 3, 6, 6))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 3))],
+        {},
+    )
+    p = str(tmp_path / "pad.onnx")
+    op.save(m, p)
+    ff = from_onnx_model(p, batch_size=2)
+    ff.compile(optimizer=None)
+    apply_onnx_weights(ff)
+    x = rng.randn(2, 3, 6, 6).astype(np.float32)
+    got = ff.forward(x)
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    want = xp.mean(axis=(2, 3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
