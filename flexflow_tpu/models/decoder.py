@@ -215,8 +215,12 @@ def _mlp(spec: ModelSpec, p: Params, h):
         inner = act_lib.get_activation(spec.act)(
             _apply_lora(p, "wu", h, _linear(h, p["wu"], p.get("bu")))
         )
-    # down-proj is row-parallel under TP: reduce partials before the bias
-    out = _tp_reduce(jnp.tensordot(inner, as_array(p["wd"]), axes=1))
+    # down-proj is row-parallel under TP: reduce partials before the bias.
+    # Route through _linear so a quantized wd hits the Pallas fused dequant
+    # kernel — the as_array path left wd on XLA's int4 unpack (measured
+    # 22 GB/s packed vs 478 for the kernel: ~1 ms/layer, the single largest
+    # chunk of the round-3 "INT4 slower than INT8" decode regression)
+    out = _tp_reduce(_linear(inner, p["wd"]))
     if p.get("bd") is not None:
         out = out + p["bd"]
     return _apply_lora(p, "wd", inner, out.astype(h.dtype))
@@ -266,8 +270,18 @@ def _moe_mlp(spec: ModelSpec, p: Params, h):
 
 def _attn_out(spec: ModelSpec, p: Params, a):
     """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D] (row-parallel under TP)."""
-    out = _tp_reduce(jnp.einsum("bthd,hdo->bto", a, as_array(p["wo"]).reshape(
-        a.shape[-2], a.shape[-1], -1)))
+    from flexflow_tpu.quant.weight_only import QuantizedArray
+
+    if isinstance(p["wo"], QuantizedArray) and _use_pallas_quant_matmul():
+        # fused dequant kernel (contract_dims=2 flattens [H, Dh]); the
+        # einsum path dequantized wo through XLA's slow int4 unpack
+        from flexflow_tpu.ops.pallas.quant_matmul import quant_matmul
+
+        out = _tp_reduce(quant_matmul(a, p["wo"]))
+    else:
+        out = _tp_reduce(jnp.einsum(
+            "bthd,hdo->bto", a, as_array(p["wo"]).reshape(
+                a.shape[-2], a.shape[-1], -1)))
     if p.get("bo") is not None:
         out = out + p["bo"]
     return _apply_lora(p, "wo", a, out.astype(a.dtype))
@@ -308,17 +322,26 @@ def _embed(spec: ModelSpec, params: Params, tokens, positions):
 
 
 def _unembed(spec: ModelSpec, params: Params, h):
+    from flexflow_tpu.quant.weight_only import QuantizedArray
+
     if spec.final_norm:
         h = _norm(spec, h, params["final_norm_scale"], params.get("final_norm_bias"))
     w = params.get("lm_head")
-    w = params["embed_tokens"].T if w is None else as_array(w)  # tied if absent
-    # f32 logits via MXU-native accumulation; casting w to fp32 first would
-    # materialize an fp32 copy of the [D, V] head every decode step (on
-    # non-TPU backends _dotin falls back to the f32-cast formulation)
-    logits = jnp.tensordot(
-        attn_lib._dotin(h), attn_lib._dotin(w, h.dtype), axes=1,
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(w, QuantizedArray) and _use_pallas_quant_matmul():
+        # fused dequant kernel with f32 logits out (skips the XLA int4
+        # unpack that cost ~3.4 ms/step at 7B — 42x the packed-bytes floor)
+        from flexflow_tpu.ops.pallas.quant_matmul import quant_matmul
+
+        logits = quant_matmul(h, w, out_dtype=jnp.float32)
+    else:
+        w = params["embed_tokens"].T if w is None else as_array(w)  # tied
+        # f32 logits via MXU-native accumulation; casting w to fp32 first
+        # would materialize an fp32 copy of the [D, V] head every decode
+        # step (on non-TPU backends _dotin falls back to the f32-cast form)
+        logits = jnp.tensordot(
+            attn_lib._dotin(h), attn_lib._dotin(w, h.dtype), axes=1,
+            preferred_element_type=jnp.float32,
+        )
     if params.get("lm_head_bias") is not None:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)
     return logits

@@ -78,7 +78,9 @@ def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "group_size", "block_f", "interpret")
+    jax.jit,
+    static_argnames=("bits", "group_size", "block_f", "interpret",
+                     "out_dtype"),
 )
 def _qmm_2d(
     x: jnp.ndarray,  # [B, D]
@@ -90,6 +92,7 @@ def _qmm_2d(
     group_size: int,
     block_f: int = 512,
     interpret: bool = False,
+    out_dtype=None,
 ):
     b, d = x.shape
     f = q.shape[-1]
@@ -98,6 +101,7 @@ def _qmm_2d(
     while f % bf:
         bf //= 2
     grid = (f // bf,)
+    out_dtype = out_dtype or x.dtype
 
     if bits == 8:
         kernel = functools.partial(_int8_kernel, group_size=group_size)
@@ -122,7 +126,7 @@ def _qmm_2d(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, f), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * f,
             bytes_accessed=q.size * q.dtype.itemsize + b * d * x.dtype.itemsize,
@@ -158,6 +162,7 @@ def quant_matmul(
     qa: QuantizedArray,
     *,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """x @ dequantize(qa) with in-kernel dequant.
 
@@ -165,8 +170,11 @@ def quant_matmul(
     leading batch axes are gone). Contraction axes of ``x`` must match the
     unit's contraction shape; output gets the unit's out shape. Units the
     kernel can't tile well fall back to XLA's dequant-fused dot.
+    ``out_dtype``: widen the kernel output (f32 logits head) — the MXU
+    accumulates in f32 either way; this skips the round to x.dtype.
     """
     assert qa.q.ndim == 2, "quant_matmul expects an unbatched (per-layer) unit"
+    odt = out_dtype or x.dtype
     if not interpret and not pallas_eligible(qa):
         from flexflow_tpu.quant.weight_only import dequantize
 
@@ -174,8 +182,9 @@ def quant_matmul(
             x.reshape(*x.shape[: x.ndim - qa.contract_dims], qa.d_contract),
             dequantize(qa).reshape(qa.d_contract, -1),
             axes=1,
+            preferred_element_type=jnp.float32,
         ).reshape(*x.shape[: x.ndim - qa.contract_dims],
-                  *qa.shape[qa.batch_dims + qa.contract_dims:]).astype(x.dtype)
+                  *qa.shape[qa.batch_dims + qa.contract_dims:]).astype(odt)
     unit = qa.shape[qa.batch_dims:]
     cdims = qa.contract_dims
     d = qa.d_contract
@@ -185,7 +194,8 @@ def quant_matmul(
     out = _qmm_2d(
         xb, qa.q, qa.scale, qa.offset,
         bits=qa.bits, group_size=qa.group_size, interpret=interpret,
+        out_dtype=odt,
     )
     if qa.rest_pad:
         out = out[:, : qa.d_rest]
-    return out.reshape(*lead, *out_shape).astype(x.dtype)
+    return out.reshape(*lead, *out_shape).astype(odt)
