@@ -35,7 +35,7 @@ def _repeat_rows(a: jnp.ndarray, reps: int) -> jnp.ndarray:
 
 
 def _int8_kernel(x_ref, q_ref, s_ref, o_ref, *, group_size: int):
-    x = x_ref[:]  # [B, D]
+    x = x_ref[:]  # [BB, D]
     q = q_ref[:]  # [D, BF] int8
     s = s_ref[:]  # [G, BF] f32
     # dequant exactly in f32, round once to the compute dtype, one big MXU dot
@@ -100,33 +100,66 @@ def _qmm_2d(
     bf = min(block_f, f)
     while f % bf:
         bf //= 2
-    grid = (f // bf,)
     out_dtype = out_dtype or x.dtype
+
+    # VMEM fit for large token batches (prefill / tree verify). Preference
+    # order: (1) shrink block_f with b whole — weight bytes still stream
+    # exactly once; (2) only past bf=128 tile b (weights re-fetched AND
+    # re-dequantized per b tile: measured +2.5x verify time at 200 tokens
+    # when b was tiled at 64 with bf=512). The estimate is calibrated on
+    # the observed scoped-VMEM datapoint int8 [256,11008] bf=512 -> 17.43M
+    # (the dequantized bf16 w tile costs ~0.55x its naive footprint after
+    # Mosaic's elementwise fusion).
+    bb = b
+
+    def est(bb_, bf_):
+        # int8 coefficient from the OOM datapoint ([256,11008] bf=512 ->
+        # 17.43M scoped); int4's 0.4 from the FITTING datapoint (b=8,
+        # d=11008, bf=512 runs within 16M) so decode shapes keep bf=512
+        core = (
+            d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
+            if bits == 8
+            else (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
+        )
+        return bb_ * d * 2 + core + bb_ * bf_ * 4
+
+    budget = 15 * 2**20
+    while est(bb, bf) > budget and bf > 128:
+        bf //= 2
+    while est(bb, bf) > budget and bb > 64:
+        bb = max(64, bb // 2)
+    bpad = (-b) % bb
+    if bpad:
+        x = jnp.pad(x, ((0, bpad), (0, 0)))
+    nb = (b + bpad) // bb
+    grid = (f // bf, nb)
 
     if bits == 8:
         kernel = functools.partial(_int8_kernel, group_size=group_size)
         in_specs = [
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ]
         args = (x, q, scale)
     else:
         kernel = functools.partial(_int4_kernel, group_size=group_size)
         in_specs = [
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d // 2, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d // 2, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ]
         args = (x, q, scale, offset)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, bf), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, f), out_dtype),
+        out_specs=pl.BlockSpec(
+            (bb, bf), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b + bpad, f), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * f,
             bytes_accessed=q.size * q.dtype.itemsize + b * d * x.dtype.itemsize,
@@ -134,6 +167,7 @@ def _qmm_2d(
         ),
         interpret=interpret,
     )(*args)
+    return out[:b] if bpad else out
 
 
 def pallas_eligible(qa: QuantizedArray) -> bool:

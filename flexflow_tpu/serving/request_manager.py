@@ -131,7 +131,6 @@ class RequestManager:
         self._fetcher = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._feedback = None  # device [B] tokens from the last dispatch
         self._feedback_overrides = []  # [(slot, token)] set at admit time
-        self._pending_first = []  # [(slot, req, device first-token scalar)]
         self.eos_token_ids = tuple(eos_token_ids) or engine.spec.eos_ids()
         self._guid = itertools.count(1000000)
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -264,8 +263,16 @@ class RequestManager:
             results.append((slot, req, tok_dev))
 
         if self.pipelined:
+            # first-token fetch runs on the worker thread and is consumed
+            # IN DISPATCH ORDER from the in-flight queue: the old blocking
+            # fetch at the next step's start waited for every queued horizon
+            # plus the prefill (admit phase measured 334 ms mean in the
+            # round-3 capture — admission serialized with decode)
+            fut = self._fetcher.submit(
+                self.engine.fetch, jnp.stack([t for _, _, t in results])
+            )
+            self._inflight_q.append(("first", fut, list(results)))
             for slot, req, tok_dev in results:
-                self._pending_first.append((slot, req, tok_dev))
                 self._feedback_overrides.append((slot, tok_dev))
         else:
             fetched = self.engine.fetch(jnp.stack([t for _, _, t in results]))
@@ -367,12 +374,8 @@ class RequestManager:
                     self._retire(slot)
                     break
 
-    def _flush_pending_first(self) -> None:
-        """Batched fetch of first tokens from admits in the previous step."""
-        if not self._pending_first:
-            return
-        pend, self._pending_first = self._pending_first, []
-        vals = self.engine.fetch(jnp.stack([t for _, _, t in pend]))
+    def _process_first(self, vals, pend) -> None:
+        """Apply a fetched batch of admission first tokens."""
         now = time.monotonic()
         for (slot, req, _), tok in zip(pend, vals):
             tok = int(tok)
@@ -418,9 +421,20 @@ class RequestManager:
             n *= 2
         return max(1, min(n, self.decode_horizon))
 
+    def _apply_fetched(self, kind: str, out, entries) -> None:
+        if kind == "first":
+            self._process_first(out, entries)
+        else:
+            self._process_horizon(out, entries)
+
     def _step_pipelined(self) -> bool:
+        # consume any COMPLETED prefix of the in-flight queue first (non-
+        # blocking, keeps dispatch order): first tokens and finished
+        # horizons apply without waiting for the pipeline to fill
+        while self._inflight_q and self._inflight_q[0][1].done():
+            kind, fut, entries = self._inflight_q.pop(0)
+            self._apply_fetched(kind, fut.result(), entries)
         with self._phase("admit"):
-            self._flush_pending_first()
             self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
 
@@ -450,24 +464,28 @@ class RequestManager:
                 self._projected[s] += n
             self._feedback = out_dev[-1]
             fut = self._fetcher.submit(self.engine.fetch, out_dev)
-            self._inflight_q.append((fut, entries))
+            self._inflight_q.append(("horizon", fut, entries))
             self._steps += n
 
-        # consume the oldest horizon once the pipeline is full (or draining:
+        # consume the oldest entry once the pipeline is full (or draining:
         # no active slots, or active slots whose budgets are fully covered
-        # by in-flight work)
+        # by in-flight work); only HORIZON entries count toward depth —
+        # first-token fetches are cheap bookkeeping riding the same queue
+        def horizons_in_flight():
+            return sum(1 for k, _, _ in self._inflight_q if k == "horizon")
+
         while self._inflight_q and (
-            len(self._inflight_q) >= self.pipeline_depth
+            horizons_in_flight() >= self.pipeline_depth
             or not active or n == 0
         ):
-            fut, entries = self._inflight_q.pop(0)
+            kind, fut, entries = self._inflight_q.pop(0)
             with self._phase("horizon_fetch"):
                 out = fut.result()
-            self._process_horizon(out, entries)
-            if active and n > 0:
-                break  # drain at most one per step while running
+            self._apply_fetched(kind, out, entries)
+            if active and n > 0 and kind == "horizon":
+                break  # drain at most one horizon per step while running
 
-        return bool(active or self._inflight_q or self._pending_first)
+        return bool(active or self._inflight_q)
 
     def step(self) -> bool:
         """One scheduling iteration; returns True if any request is in flight."""

@@ -85,6 +85,9 @@ class SpecRequestManager:
         self._steps = 0
         self._verified_tokens_total = 0  # accepted tokens across request-steps
         self._verified_events = 0  # (request, iteration) pairs counted
+        # iterations dispatched but not yet fetched, per slot (pipelined
+        # dispatch projection)
+        self._inflight_iters = np.zeros(b, np.int64)
         self._num_processed = 0
         self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._override_mask = np.zeros(b, bool)  # slots admitted since dispatch
@@ -154,6 +157,7 @@ class SpecRequestManager:
         self._temperature[slot] = 0.0
         self._top_p[slot] = 1.0
         self._top_k[slot] = 0
+        self._inflight_iters[slot] = 0
         self._num_processed += 1
         self._log(
             f"[Profile] guid({req.guid}) llm_decoding_steps("
@@ -210,17 +214,40 @@ class SpecRequestManager:
 
     # ------------------------------------------------------------------
 
-    def _clamped_horizon(self, active) -> int:
+    def _clamped_horizon(self, active, *, projected: bool = False) -> int:
         """Drain-aware horizon: each fused iteration yields >= 1 token per
         slot, so never chain more iterations than the largest remaining
         token budget across active requests (retiring waves stop paying
         for full horizons; the analog of the RequestManager's drain-aware
-        dispatch)."""
-        rem = max(
-            (self._slots[s].config.max_new_tokens
-             - len(self._slots[s].output_tokens))
-            for s in active
-        )
+        dispatch).
+
+        ``projected=True`` (pipelined mode) additionally credits in-flight
+        iterations with the MEASURED mean acceptance: without it, the
+        scheduler keeps dispatching full horizons until fetched outputs
+        reach the budgets — two whole horizons of pure waste at the tail
+        (measured: 6 dispatches where 4 suffice at 4.8 accepted/iter).
+        Returns 0 when every active slot's budget is already covered
+        (caller drains instead of dispatching). Lossless: outputs are
+        unchanged, only wasted tail iterations are skipped; an
+        under-estimate simply adds another (small) dispatch after drain."""
+        if not projected:
+            rem = max(
+                (self._slots[s].config.max_new_tokens
+                 - len(self._slots[s].output_tokens))
+                for s in active
+            )
+        else:
+            acc = self.mean_verified_tokens_per_step
+            acc = max(acc, 1.0)  # >= 1 token per iteration is guaranteed
+            rem = 0
+            for s in active:
+                req = self._slots[s]
+                proj = (len(req.output_tokens)
+                        + self._inflight_iters[s] * acc)
+                rem_tok = req.config.max_new_tokens - proj
+                rem = max(rem, int(np.ceil(rem_tok / acc)))
+            if rem <= 0:
+                return 0
         # round up to a power of two so the static-n fused program compiles
         # at most log2(spec_horizon)+1 distinct horizons (round-3 review:
         # an unbucketed clamp recompiled at every drain value)
@@ -291,7 +318,13 @@ class SpecRequestManager:
         lens/roots stay on device between dispatches; admissions merge in via
         a compiled [B] override scatter). EOS/retire lag one extra horizon —
         the same contract as the incremental pipelined scheduler."""
-        h = self._clamped_horizon(active)
+        h = self._clamped_horizon(active, projected=True)
+        if h == 0:
+            # budgets covered by in-flight work: drain instead of dispatch
+            if self._inflight is not None:
+                inflight, self._inflight = self._inflight, None
+                self._drain_inflight(inflight)
+            return True
         b = self.engine.max_requests
         if self._dev_lens is None:
             self._dev_lens = self.engine._h(
@@ -321,6 +354,8 @@ class SpecRequestManager:
                     self._dev_lens, self._dev_roots, h)
             )
         self._steps += h
+        for s in active:
+            self._inflight_iters[s] += h
         snapshot = [(slot, self._slots[slot]) for slot in active]
         prev = self._inflight
         self._inflight = (snapshot, produced, n_acc, h)
@@ -332,6 +367,9 @@ class SpecRequestManager:
         snapshot, produced, n_acc, h = inflight
         produced = self.engine.fetch(produced)
         n_acc = self.engine.fetch(n_acc)
+        for slot, _req in snapshot:
+            self._inflight_iters[slot] = max(
+                0, self._inflight_iters[slot] - h)
         self._process_produced(snapshot, produced, n_acc, h)
 
     def step(self) -> bool:
