@@ -33,6 +33,10 @@ def make_prompts(rng, n, vocab):
 
 
 def main():
+    # automatic GC off: full collections over a big traced-program heap
+    # pause seconds and land inside measured runs (see bench_spec.py)
+    import gc
+    gc.disable()
     spec = specs.ModelSpec(
         arch="LlamaForCausalLM",
         vocab_size=32000,
@@ -78,6 +82,7 @@ def main():
           file=sys.stderr, flush=True)
     rm.timer = StepTimer()  # reset phases: report the measured run only
 
+    gc.collect()
     t0 = time.perf_counter()
     reqs = rm.generate(prompts, cfg)
     dt = time.perf_counter() - t0

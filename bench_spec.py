@@ -142,8 +142,8 @@ def run_spec_benchmarks(
     max_new: int = 128,
     horizon: int = 64,
     metric_suffix: str = "7b",
-    beam_width: int = 3,
-    beam_depth: int = 8,
+    beam_width: int = 2,
+    beam_depth: int = 6,
     spec_horizon: int = 8,
     spec_pipelined: bool = True,
 ):
@@ -155,6 +155,13 @@ def run_spec_benchmarks(
     again ship with a phase that was never executed)."""
     dspec = draft_spec or DRAFT_7B
     vspec = verifier_spec or VERIFIER_7B
+    # Automatic generational GC OFF for the whole phase: with three 7B
+    # engines' traced jaxprs live, a full collection pauses 2-3 s and lands
+    # INSIDE measured runs (observed as a 2.9 s "admit" in an otherwise
+    # steady rep — probe_r4_harness). Explicit collects run between phases.
+    import gc
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
     rng = np.random.RandomState(0)
     vocab = dspec.vocab_size
     prompts = [rng.randint(1, vocab, size=24).tolist() for _ in range(batch)]
@@ -192,17 +199,21 @@ def run_spec_benchmarks(
         # throughput is a steady-state metric, cold start is reported
         # separately by the 7B cold-start breakdown
         rm8.generate(warm, cfg)
-        t0 = time.perf_counter()
-        reqs8 = rm8.generate(prompts, cfg)
-        dt8 = time.perf_counter() - t0
-        tps8 = sum(len(r.output_tokens) for r in reqs8) / dt8
+        tps8 = 0.0
+        for _ in range(3):  # best-of-3: the shared terminal adds seconds-
+            # scale one-time program (re)warm + tenant contention spikes;
+            # contention only ever ADDS time (probe_r4_harness)
+            t0 = time.perf_counter()
+            reqs8 = rm8.generate(prompts, cfg)
+            dt8 = time.perf_counter() - t0
+            tps8 = max(tps8,
+                       sum(len(r.output_tokens) for r in reqs8) / dt8)
         _emit(f"llama{metric_suffix}_int8_incr_tokens_per_sec_chip",
               round(tps8, 2), "tokens/s", 1.0)
         del eng8, rm8, reqs8, v8
         # RequestManager<->Request cycles keep the 7 GB INT8 engine alive
         # until a cycle collection; without this the INT4 phase OOMs a
         # 16 GB chip (observed r3: RESOURCE_EXHAUSTED in the INT4 warmup)
-        import gc
         gc.collect()
 
     # ---- INT4: spec >= 1.5x its OWN incremental (the reference gate) ----
@@ -215,17 +226,22 @@ def run_spec_benchmarks(
     )
     rm = RequestManager(incr_engine, decode_horizon=horizon, pipelined=True)
     rm.generate(warm, cfg)  # full-workload warm (see INT8 comment)
-    t0 = time.perf_counter()
-    incr_reqs = rm.generate(prompts, cfg)
-    incr_dt = time.perf_counter() - t0
-    incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
-    incr_tps = incr_tokens / incr_dt
+    incr_tps = 0.0
+    for _ in range(3):  # best-of-3 (see INT8 comment)
+        t0 = time.perf_counter()
+        incr_reqs = rm.generate(prompts, cfg)
+        incr_dt = time.perf_counter() - t0
+        incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
+        incr_tps = max(incr_tps, incr_tokens / incr_dt)
     del incr_engine, rm  # free the baseline KV cache before the spec engines
-    import gc
     gc.collect()
 
     _log("INT4 spec engine build")
-    # reference defaults: beam width 3, depth 8 (batch_config.h:196-197).
+    # Tree right-sized to the measured 0.81/token acceptance (on-chip sweep
+    # benchmarks/probe_r4_treesweep.py: w2d6 714 tok/s vs w3d8 519 — wide
+    # trees buy little acceptance over a near-chain at high agreement and
+    # pay 2x verify tokens + commit). Reference caps: width <= 3, depth <= 8
+    # (batch_config.h:196-197); w2d6 sits inside them.
     # SYMMETRIC comparison (round-3 VERDICT weak #1b): spec runs the same
     # pipelined multi-iteration horizons as the incremental baseline, so
     # both pay comparable host round-trips per token.
@@ -238,11 +254,13 @@ def run_spec_benchmarks(
                              spec_horizon=spec_horizon,
                              pipelined=spec_pipelined)
     srm.generate(warm, cfg)  # full-workload warm (see INT8 comment)
-    t0 = time.perf_counter()
-    spec_reqs = srm.generate(prompts, cfg)
-    spec_dt = time.perf_counter() - t0
-    spec_tokens = sum(len(r.output_tokens) for r in spec_reqs)
-    spec_tps = spec_tokens / spec_dt
+    spec_tps = 0.0
+    for _ in range(3):  # best-of-3 (see INT8 comment)
+        t0 = time.perf_counter()
+        spec_reqs = srm.generate(prompts, cfg)
+        spec_dt = time.perf_counter() - t0
+        spec_tokens = sum(len(r.output_tokens) for r in spec_reqs)
+        spec_tps = max(spec_tps, spec_tokens / spec_dt)
 
     # quantized perf runs gate a 20-token prefix (the reference's half-
     # precision policy, cpp_inference_tests.sh:249-255)
@@ -265,6 +283,9 @@ def run_spec_benchmarks(
     _emit(f"spec_outputs_prefix20_match_{sfx}_int4", int(prefix_match),
           "bool", 1.0)
     del spec_engine, srm
+    gc.collect()
+    if gc_was_enabled:
+        gc.enable()
     return spec_tps / incr_tps
 
 

@@ -30,14 +30,34 @@ import jax.numpy as jnp
 from flexflow_tpu.ops import attention as attn_lib
 
 
-def _time(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+def _time(fn, q, *rest, reps=5):
+    """Differential chained timing: the axon tunnel's per-dispatch cost is
+    ms-to-tens-of-ms and VARIABLE, so (t_n2 - t_n1)/(n2 - n1) over two
+    chained-scan lengths is the only honest per-op number here (see
+    benchmarks/tune_quant_kernel.py)."""
+    import functools
+
+    n1, n2 = 8, 40
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(q, rest, n):
+        def body(qc, _):
+            out = fn(qc, *rest)
+            return (qc + out * 1e-6).astype(qc.dtype), ()
+
+        qc, _ = jax.lax.scan(body, q, None, length=n)
+        return qc
+
+    t = {}
+    for n in (n1, n2):
+        jax.block_until_ready(chain(q, rest, n))
+        ts = []
+        for _ in range(reps):
+            a = time.perf_counter()
+            jax.block_until_ready(chain(q, rest, n))
+            ts.append(time.perf_counter() - a)
+        t[n] = min(ts)
+    return max((t[n2] - t[n1]) / (n2 - n1), 1e-9)
 
 
 def bench_gqa_decode():

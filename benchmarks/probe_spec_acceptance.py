@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--matched", action="store_true",
                     help="quantization-matched drafts (spec_pair."
                          "quantization_matched_draft) instead of raw bf16")
+    ap.add_argument("--sharpen", type=int, default=0,
+                    help="sharpen_draft training steps before building the "
+                         "pair (0 = raw random init)")
     args = ap.parse_args()
     t0 = time.time()
 
@@ -40,6 +43,7 @@ def main():
     import bench_spec
     from benchmarks.spec_pair import (
         fast_quantized_verifier, perturb_params, quantization_matched_draft,
+        sharpen_draft,
     )
     from flexflow_tpu.models import decoder
     from flexflow_tpu.models import params as params_lib
@@ -51,6 +55,10 @@ def main():
     log(f"devices {jax.devices()}; draft init")
     dparams = params_lib.init_params(dspec, jax.random.PRNGKey(0),
                                      jnp.bfloat16)
+    if args.sharpen:
+        log(f"sharpening draft ({args.sharpen} steps)")
+        dparams = sharpen_draft(dspec, dparams, steps=args.sharpen,
+                                log_fn=log)
     base = dparams
     if args.matched:
         log(f"building quantization-matched draft (INT{args.bits})")
@@ -75,6 +83,33 @@ def main():
         logits, _ = decoder.forward(dspec, draft, full, pos,
                                     lengths=length, return_kv=True)
         return jnp.argmax(logits, -1)
+
+    # verifier confidence: top-2 logit gap along its own continuation —
+    # the quantity that decides whether cross-program numeric jitter can
+    # flip the argmax (the prefix-20 gate failure mode)
+    @jax.jit
+    def verifier_gaps(vq, full, length):
+        # vq is an ARGUMENT: a closure capture would inline the 3.5 GB
+        # carriers into the remote-compile request (HTTP 413)
+        pos = jnp.arange(full.shape[1], dtype=jnp.int32)[None]
+        logits, _ = decoder.forward(vspec, vq, full, pos,
+                                    lengths=length, return_kv=True)
+        top2 = jax.lax.top_k(logits, 2)[0]
+        return top2[..., 0] - top2[..., 1]
+
+    gaps_all = []
+    for p, o in zip(prompts, outs):
+        seq = list(p) + list(o)
+        pad = 128
+        full = np.zeros((1, pad), np.int32)
+        full[0, :len(seq)] = seq
+        g = np.asarray(verifier_gaps(vq, jnp.asarray(full),
+                                     jnp.asarray([len(seq)])))[0]
+        gaps_all.append(g[len(p) - 1:len(seq) - 1])
+    gaps = np.concatenate(gaps_all)
+    log(f"verifier top-2 gap: median {np.median(gaps):.4f}  "
+        f"p10 {np.percentile(gaps, 10):.4f}  min {gaps.min():.5f}  "
+        f"frac<0.01 {float((gaps < 0.01).mean()):.3f}")
 
     for eps in args.eps:
         draft = (base if eps == 0.0 else

@@ -409,3 +409,71 @@ def quantization_matched_draft(dspec: ModelSpec, dparams, bits: int,
     out["layers"] = layers
     out["lm_head"] = dequantize(qa).astype(dtype)
     return out
+
+
+def markov_batch(rng: np.ndarray, perm: np.ndarray, batch: int, seq: int,
+                 p_follow: float = 0.95):
+    """Seeded order-1 Markov sequences: next = perm[cur] w.p. ``p_follow``,
+    else uniform. The sharpening corpus (see :func:`sharpen_draft`)."""
+    v = perm.shape[0]
+    out = np.empty((batch, seq), np.int32)
+    out[:, 0] = rng.randint(1, v, size=batch)
+    follow = rng.rand(batch, seq) < p_follow
+    rand_next = rng.randint(1, v, size=(batch, seq))
+    for t in range(1, seq):
+        out[:, t] = np.where(follow[:, t], perm[out[:, t - 1]],
+                             rand_next[:, t])
+    return out
+
+
+def sharpen_draft(dspec: ModelSpec, dparams, *, steps: int = 400,
+                  batch: int = 32, seq: int = 256, lr: float = 1e-3,
+                  seed: int = 11, p_follow: float = 0.95,
+                  log_fn=None):
+    """Briefly train the draft on a seeded synthetic bigram corpus.
+
+    Why: a random-INIT pair is argmax-tie-dense (near-uniform logits), so
+    the 20-token prefix gate between the decode- and tree-verify-shaped
+    programs fails on pure numeric jitter — flips the REFERENCE never sees
+    because trained checkpoints are confident. ~150 Adam steps on an
+    order-1 Markov stream make the model confidently predict ``perm[cur]``
+    from ANY context (a learned bigram map), giving trained-model-like
+    argmax margins; verifier confidence then comes for free through the
+    embedding construction. Acceptance is re-calibrated afterwards with
+    ``perturb_params`` noise (the measured knob), so the published-pair
+    agreement regime is preserved while tie flips vanish.
+
+    Fully deterministic from ``seed``; runs in ~seconds on one chip.
+    """
+    from flexflow_tpu.models.decoder import forward as decoder_forward
+    from flexflow_tpu.training.losses import sparse_categorical_crossentropy
+    from flexflow_tpu.training.optimizers import AdamOptimizer
+
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(dspec.vocab_size).astype(np.int32)
+    params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), dparams)
+    opt = AdamOptimizer(lr=lr)
+    state = opt.init(params32)
+
+    @jax.jit
+    def step(params, state, toks):
+        def loss_fn(p):
+            positions = jnp.broadcast_to(
+                jnp.arange(toks.shape[1], dtype=jnp.int32)[None],
+                toks.shape)
+            logits, _ = decoder_forward(dspec, p, toks, positions)
+            return sparse_categorical_crossentropy(
+                logits[:, :-1], toks[:, 1:])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, state = opt.update(grads, state, params)
+        return params, state, loss
+
+    loss = None
+    for i in range(steps):
+        toks = jnp.asarray(
+            markov_batch(rng, perm, batch, seq, p_follow))
+        params32, state, loss = step(params32, state, toks)
+        if log_fn and (i + 1) % 50 == 0:
+            log_fn(f"sharpen step {i+1}/{steps} loss {float(loss):.3f}")
+    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)
