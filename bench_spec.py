@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from benchmarks.spec_pair import (
     embed_draft_in_verifier, fast_quantized_verifier, perturb_params,
-    quantization_matched_draft,
+    sharpen_draft,
 )
 from flexflow_tpu import specs
 from flexflow_tpu.models import params as params_lib
@@ -75,16 +75,22 @@ VERIFIER_S = specs.ModelSpec(
     intermediate_size=512, max_position_embeddings=512, norm_eps=1e-6,
 )
 
-# Draft construction (round-4): the draft carries EXACTLY the verifier's
-# INT4 quantization error (spec_pair.quantization_matched_draft), so the
-# pair diverges only through kernel-level numerics (Pallas dequant matmul at
-# 4096-wide shapes vs dense bf16 at 768-wide). Measured ON-CHIP agreement in
-# the bench regime (benchmarks/probe_spec_acceptance.py --matched, 2026-08-21):
-# 0.811/token with NO added noise — inside the published-pair regime
-# (SpecInfer ~0.75-0.85). Round 3 used a raw bf16 draft + eps=0.01 noise;
-# the uncorrelated INT4 error alone collapsed on-chip agreement to ~0.5
-# (1.922 verified/step, spec 0.745x = slower than incremental).
-DRAFT_NOISE_EPS = 0.0
+# Draft construction (round-4 final): BOTH models come from one seeded
+# training run on a synthetic order-1 Markov corpus
+# (spec_pair.sharpen_draft): the verifier block-embeds the FINAL checkpoint
+# (INT4-quantized), the draft is an EARLIER checkpoint of the same run —
+# the weak/strong same-family relationship of real published pairs
+# (llama-160m vs LLaMA-2-7B). Why train at all: a random-INIT pair is
+# argmax-tie-dense (near-uniform logits), which (a) collapsed on-chip
+# acceptance through quantization noise in round 3 (1.922 verified/step)
+# and (b) fails the 20-token prefix gate on pure cross-program numeric
+# jitter — flips a trained checkpoint's ~5-logit argmax margins never see
+# (measured: verifier top-2 gap median 5.08, 0% below 0.01, after
+# sharpening). The checkpoint gap is the acceptance knob, tuned ON CHIP to
+# the published-pair regime (benchmarks/probe_r4_ckpt.py: step 250 -> 0.28,
+# 300 -> 0.65, 325 -> ~0.78, 350 -> 0.88, final -> 0.998 agreement).
+SHARPEN_STEPS = 800
+DRAFT_CKPT = 325
 
 
 def _emit(metric, value, unit, vs):
@@ -146,6 +152,8 @@ def run_spec_benchmarks(
     beam_depth: int = 6,
     spec_horizon: int = 8,
     spec_pipelined: bool = True,
+    sharpen_steps: int = SHARPEN_STEPS,
+    draft_ckpt: int = DRAFT_CKPT,
 ):
     """Emit the quantized verifier metrics (one JSON line per metric).
 
@@ -168,15 +176,18 @@ def run_spec_benchmarks(
     warm = [rng.randint(1, vocab, size=24).tolist() for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
 
-    _log("draft init")
+    _log("draft init + sharpen")
     dparams = params_lib.init_params(
         dspec, jax.random.PRNGKey(0), jnp.bfloat16
     )
-    # quantization-matched draft: same dequantized-INT4 weight values as the
-    # verifier's embedded draft block (see DRAFT_NOISE_EPS comment above)
-    draft = quantization_matched_draft(dspec, dparams, 4)
-    if DRAFT_NOISE_EPS:
-        draft = perturb_params(draft, DRAFT_NOISE_EPS, jax.random.PRNGKey(42))
+    # one seeded training run; verifier embeds the final checkpoint, the
+    # draft is an earlier checkpoint (see SHARPEN_STEPS comment above)
+    dparams, ckpts = sharpen_draft(
+        dspec, dparams, steps=sharpen_steps, checkpoints=(draft_ckpt,),
+        log_fn=_log)
+    draft = ckpts[draft_ckpt]
+    del ckpts
+    gc.collect()
 
     # direct quantized build (seconds; carriers bit-identical to quantizing
     # the full embedded construction — tests/test_spec_pair.py). INT8/INT4

@@ -37,9 +37,7 @@ def main():
     args = ap.parse_args()
 
     import bench_spec
-    from benchmarks.spec_pair import (
-        fast_quantized_verifier, quantization_matched_draft,
-    )
+    from benchmarks.spec_pair import fast_quantized_verifier, sharpen_draft
     from flexflow_tpu.models import params as params_lib
     from flexflow_tpu.serving import GenerationConfig
     from flexflow_tpu.serving.spec_manager import SpecRequestManager
@@ -52,10 +50,15 @@ def main():
     warm = [rng.randint(1, 32000, size=24).tolist() for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
 
-    log("build")
+    log("build (sharpened checkpoint pair, bench_spec construction)")
     dparams = params_lib.init_params(dspec, jax.random.PRNGKey(0),
                                      jnp.bfloat16)
-    draft = quantization_matched_draft(dspec, dparams, 4)
+    dparams, ckpts = sharpen_draft(
+        dspec, dparams, steps=bench_spec.SHARPEN_STEPS,
+        checkpoints=(bench_spec.DRAFT_CKPT,), log_fn=log)
+    draft = ckpts[bench_spec.DRAFT_CKPT]
+    del ckpts
+    import gc; gc.collect()
     v4 = fast_quantized_verifier(dspec, dparams, vspec, 4)
 
     for combo in args.combos.split(","):

@@ -34,12 +34,15 @@ zero and nonzero dims), silu_gate MLP, no biases, same head_dim/rope/vocab.
 
 from __future__ import annotations
 
+import functools
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable directly
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from typing import Sequence
 
 from flexflow_tpu.specs import ModelSpec
 
@@ -426,9 +429,10 @@ def markov_batch(rng: np.ndarray, perm: np.ndarray, batch: int, seq: int,
     return out
 
 
-def sharpen_draft(dspec: ModelSpec, dparams, *, steps: int = 400,
-                  batch: int = 32, seq: int = 256, lr: float = 1e-3,
+def sharpen_draft(dspec: ModelSpec, dparams, *, steps: int = 800,
+                  batch: int = 16, seq: int = 256, lr: float = 1e-3,
                   seed: int = 11, p_follow: float = 0.95,
+                  checkpoints: Sequence[int] = (),
                   log_fn=None):
     """Briefly train the draft on a seeded synthetic bigram corpus.
 
@@ -455,7 +459,7 @@ def sharpen_draft(dspec: ModelSpec, dparams, *, steps: int = 400,
     opt = AdamOptimizer(lr=lr)
     state = opt.init(params32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, state, toks):
         def loss_fn(p):
             positions = jnp.broadcast_to(
@@ -470,10 +474,25 @@ def sharpen_draft(dspec: ModelSpec, dparams, *, steps: int = 400,
         return params, state, loss
 
     loss = None
+    ckpts = {}
     for i in range(steps):
         toks = jnp.asarray(
             markov_batch(rng, perm, batch, seq, p_follow))
         params32, state, loss = step(params32, state, toks)
+        if (i + 1) % 5 == 0:
+            # block: an unbounded dispatch queue holds each queued step's
+            # ~1 GB logits transient and OOMs HBM (observed at ~step 300)
+            jax.block_until_ready(loss)
         if log_fn and (i + 1) % 50 == 0:
             log_fn(f"sharpen step {i+1}/{steps} loss {float(loss):.3f}")
-    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)
+        if (i + 1) in checkpoints:
+            # earlier checkpoints of the SAME run = the weak/strong same-
+            # family relationship of real (draft, verifier) pairs; the
+            # step gap is the acceptance knob
+            ckpts[i + 1] = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), params32)
+    final = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)
+    if checkpoints:
+        ckpts[steps] = final
+        return final, ckpts
+    return final

@@ -347,7 +347,7 @@ def _unembed(spec: ModelSpec, params: Params, h):
     return logits
 
 
-def _stream_in(layer_params):
+def _stream_in(layer_params, shardings=None):
     """Host->device transfer of one layer's params (CPU offload).
 
     Reference --offload (config.h:189, file_loader.cc offload paths): weights
@@ -355,7 +355,13 @@ def _stream_in(layer_params):
     stacked layer params live in ``pinned_host`` memory and each scan
     iteration streams its slice in with a memory-kind transfer, which XLA's
     latency-hiding scheduler overlaps with the previous layer's compute.
+
+    ``shardings``: per-leaf device-memory NamedShardings for the SLICED
+    layer (mesh + offload — the round-3 jaxlib RET_CHECK in
+    spmd_partitioner is fixed on this version); None = single device.
     """
+    if shardings is not None:
+        return jax.device_put(layer_params, shardings)
     dev = jax.sharding.SingleDeviceSharding(
         jax.devices()[0], memory_kind="device"
     )
@@ -395,6 +401,7 @@ def forward(
     lora_scale: float = 1.0,
     flash: bool = False,  # caller asserts positions == arange (prefill path)
     offload: bool = False,  # params["layers"] resident in pinned_host memory
+    offload_shardings=None,  # per-layer-slice device shardings (mesh offload)
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Self-attention forward (training / prefill).
 
@@ -455,7 +462,7 @@ def forward(
         if lora is not None:
             layer_params, lora_layer = xs
             if offload:
-                layer_params = _stream_in(layer_params)
+                layer_params = _stream_in(layer_params, offload_shardings)
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -465,7 +472,7 @@ def forward(
         else:
             layer_params = xs
             if offload:
-                layer_params = _stream_in(layer_params)
+                layer_params = _stream_in(layer_params, offload_shardings)
         h, aux = _layer(spec, layer_params, h, attend)
         return h, aux
 
@@ -494,6 +501,7 @@ def forward_cached(
     adapter_onehot: Optional[jnp.ndarray] = None,  # [B, N]
     lora_scale: float = 1.0,
     offload: bool = False,  # params["layers"] resident in pinned_host memory
+    offload_shardings=None,  # per-layer-slice device shardings (mesh offload)
 ):
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache).
 
@@ -565,7 +573,7 @@ def forward_cached(
         if lora is not None:
             layer_params, ck_l, cv_l, ex, lora_layer = xs
             if offload:
-                layer_params = _stream_in(layer_params)
+                layer_params = _stream_in(layer_params, offload_shardings)
             layer_params = {
                 **layer_params,
                 "_lora": lora_layer,
@@ -575,7 +583,7 @@ def forward_cached(
         else:
             layer_params, ck_l, cv_l, ex = xs
             if offload:
-                layer_params = _stream_in(layer_params)
+                layer_params = _stream_in(layer_params, offload_shardings)
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)

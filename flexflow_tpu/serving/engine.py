@@ -84,19 +84,37 @@ class InferenceEngine:
             # reference --offload (config.h:189): weights resident in host
             # RAM; each decode layer streams in per scan iteration
             # (decoder._stream_in). Embed/head/norms stay device-resident.
-            # Like the reference's per-GPU-local offload, this composes with
-            # single-device serving; offload under a mesh is future work.
+            # Mesh + offload: keep the TP PartitionSpec, host memory kind;
+            # per-layer slices stream back with the same spec minus the [L]
+            # axis (the round-3 jaxlib RET_CHECK is fixed on this version)
             if mesh is not None:
-                raise NotImplementedError(
-                    "--offload currently requires a single-device engine"
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from flexflow_tpu.parallel.sharding import param_shardings
+
+                layer_sh = param_shardings(spec, params, mesh)["layers"]
+                host_sh = jax.tree.map(
+                    lambda s: NamedSharding(s.mesh, s.spec,
+                                            memory_kind="pinned_host"),
+                    layer_sh)
+                self._offload_shardings = jax.tree.map(
+                    lambda s: NamedSharding(
+                        s.mesh, P(*tuple(s.spec)[1:]), memory_kind="device"),
+                    layer_sh)
+                params = {
+                    **params,
+                    "layers": jax.device_put(params["layers"], host_sh),
+                }
+            else:
+                layer_shards = jax.sharding.SingleDeviceSharding(
+                    jax.devices()[0], memory_kind="pinned_host"
                 )
-            layer_shards = jax.sharding.SingleDeviceSharding(
-                jax.devices()[0], memory_kind="pinned_host"
-            )
-            params = {
-                **params,
-                "layers": jax.device_put(params["layers"], layer_shards),
-            }
+                self._offload_shardings = None
+                params = {
+                    **params,
+                    "layers": jax.device_put(params["layers"], layer_shards),
+                }
+        else:
+            self._offload_shardings = None
         self.params = params
         # LoRA adapter stacks (reference LoraLinear registry,
         # peft_weight_allocator.cc): {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}
@@ -163,6 +181,7 @@ class InferenceEngine:
                 lengths=length[None], return_kv=True, flash=True,
                 lora=lora, adapter_onehot=onehot1,
                 lora_scale=self.lora_scale, offload=self._offload,
+                offload_shardings=self._offload_shardings,
             )
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
@@ -193,6 +212,7 @@ class InferenceEngine:
                 return_kv=True, flash=True,
                 lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
                 offload=self._offload,
+                offload_shardings=self._offload_shardings,
             )
             last = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1)[:, 0]  # [NB, V]
@@ -218,6 +238,7 @@ class InferenceEngine:
                 self.spec, params, tokens[:, None], cache, cache_lens,
                 lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
                 offload=self._offload,
+                offload_shardings=self._offload_shardings,
             )
             next_tokens = sampling_lib.sample(
                 logits[:, 0], key, scfg, greedy_only=greedy_only
@@ -267,6 +288,7 @@ class InferenceEngine:
                     extra_positions=cache_lens[:, None] + steps[None, :],
                     lora=lora, adapter_onehot=onehot,
                     lora_scale=self.lora_scale, offload=self._offload,
+                offload_shardings=self._offload_shardings,
                 )
                 sk = jax.lax.dynamic_update_slice(
                     sk, k_new.astype(sk.dtype), (0, 0, i, 0, 0))
@@ -308,6 +330,7 @@ class InferenceEngine:
                 KVCache(ck_slot, cv_slot), lens1,
                 lora=lora, adapter_onehot=onehot1,
                 lora_scale=self.lora_scale, offload=self._offload,
+                offload_shardings=self._offload_shardings,
             )
             return logits, cache.k, cache.v
 

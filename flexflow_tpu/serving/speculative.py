@@ -75,14 +75,40 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
     tree = tree_size(w, dmax)
     depths_vec = make_depths_vec(w, dmax)
 
-    def draft_phase(ssm_params, ssm_cache, cache_lens, roots):
+    def draft_phase(ssm_params, ssm_cache, cache_lens, roots, staged=None):
+        """``staged`` = (stage_k, stage_v, counts): in-register KV of tokens
+        accepted EARLIER IN THIS HORIZON but not yet committed to the cache
+        (the staged-horizon-commit flow — one cache write per horizon
+        instead of per iteration). stage_k/v [L, B, C, KH, D]; column j
+        holds the token at absolute position cache_lens + j, valid iff
+        j < counts[b]."""
         b = cache_lens.shape[0]
         sl, skh, sd = (ssm_spec.num_layers,
                        ssm_spec.num_kv_heads, ssm_spec.head_dim)
         cdt = ssm_cache.k.dtype
-        logits, (k0, v0) = decoder.forward_cached(
-            ssm_spec, ssm_params, roots[:, None], ssm_cache,
-            cache_lens, write_cache=False)
+        if staged is None:
+            base_lens = cache_lens
+            s_k = s_v = None
+            cap = 0
+        else:
+            s_k, s_v, counts = staged
+            cap = s_k.shape[2]
+            base_lens = cache_lens + counts
+            stage_cols = jnp.arange(cap, dtype=jnp.int32)
+            stage_valid = stage_cols[None, :] < counts[:, None]  # [B, C]
+            stage_pos = cache_lens[:, None] + stage_cols[None, :]
+
+        if staged is None:
+            logits, (k0, v0) = decoder.forward_cached(
+                ssm_spec, ssm_params, roots[:, None], ssm_cache,
+                cache_lens, write_cache=False)
+        else:
+            logits, (k0, v0) = decoder.forward_cached(
+                ssm_spec, ssm_params, roots[:, None], ssm_cache,
+                cache_lens, positions=base_lens[:, None],
+                tree_mask=jnp.ones((b, 1, 1), bool),
+                extra_kv=(s_k, s_v), extra_mask=stage_valid[:, None, :],
+                extra_positions=stage_pos, write_cache=False)
         buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
         buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
         buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
@@ -103,13 +129,26 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
             tree_parents = tree_parents.at[:, base:base + w].set(
                 abs_parents if d > 1 else jnp.zeros((b, w), jnp.int32))
             positions = jnp.broadcast_to(
-                (cache_lens + d)[:, None], (b, w)).astype(jnp.int32)
+                (base_lens + d)[:, None], (b, w)).astype(jnp.int32)
+            if staged is None:
+                ex_kv = (buf_k, buf_v)
+                ex_mask = anc
+                ex_pos = cache_lens[:, None] + depths_vec[None, :]
+            else:
+                ex_kv = (jnp.concatenate([s_k, buf_k], axis=2),
+                         jnp.concatenate([s_v, buf_v], axis=2))
+                ex_mask = jnp.concatenate(
+                    [jnp.broadcast_to(stage_valid[:, None, :], (b, w, cap)),
+                     anc], axis=-1)
+                ex_pos = jnp.concatenate(
+                    [stage_pos,
+                     base_lens[:, None] + depths_vec[None, :]], axis=1)
             logits, (kd, vd) = decoder.forward_cached(
                 ssm_spec, ssm_params, beam_tokens, ssm_cache,
                 cache_lens, positions=positions, tree_mask=eye_w,
-                extra_kv=(buf_k, buf_v), extra_mask=anc,
+                extra_kv=ex_kv, extra_mask=ex_mask,
                 # tree slot c sits at lens + depth(c) (alibi)
-                extra_positions=cache_lens[:, None] + depths_vec[None, :],
+                extra_positions=ex_pos,
                 write_cache=False)
             buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
             buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
@@ -503,15 +542,67 @@ class SpecEngine:
         draft_phase = build_draft_phase(self.ssm_spec, w, dmax)
 
         def verify_logits_reg(params, cache, cache_lens, tree_tokens,
-                              tree_depths, anc_self):
+                              tree_depths, anc_self, staged=None):
             """Tree verification WITHOUT cache writes: returns the logits and
-            the tree tokens' per-layer KV stack [L, B, T, KH, D]."""
-            b = tree_tokens.shape[0]
-            positions = cache_lens[:, None] + tree_depths
+            the tree tokens' per-layer KV stack [L, B, T, KH, D].
+
+            ``staged`` (stage_k, stage_v, counts): horizon-accepted tokens
+            not yet committed to the cache (see draft_phase)."""
+            b, t_ = tree_tokens.shape
+            if staged is None:
+                positions = cache_lens[:, None] + tree_depths
+                return decoder.forward_cached(
+                    self.llm_spec, params, tree_tokens, cache, cache_lens,
+                    positions=positions.astype(jnp.int32), tree_mask=anc_self,
+                    write_cache=False)
+            s_k, s_v, counts = staged
+            cap = s_k.shape[2]
+            base_lens = cache_lens + counts
+            stage_cols = jnp.arange(cap, dtype=jnp.int32)
+            stage_valid = stage_cols[None, :] < counts[:, None]  # [B, C]
+            positions = base_lens[:, None] + tree_depths
             return decoder.forward_cached(
                 self.llm_spec, params, tree_tokens, cache, cache_lens,
                 positions=positions.astype(jnp.int32), tree_mask=anc_self,
+                extra_kv=(s_k, s_v),
+                extra_mask=jnp.broadcast_to(
+                    stage_valid[:, None, :], (b, t_, cap)),
+                extra_positions=cache_lens[:, None] + stage_cols[None, :],
                 write_cache=False)
+
+        def _append_staged(stage_k, stage_v, buf_k, buf_v, path, counts,
+                           n_acc):
+            """Append the accepted tree columns to the horizon staging
+            buffers at offset ``counts`` (per slot). One-hot placement on
+            the small [.., C, ..] buffers — the per-iteration analog of
+            commit_kv_windows at ~1/40 the traffic of a full-cache commit."""
+            idx = path[None, :, :, None, None]  # [1, B, P, 1, 1]
+            gk = jnp.take_along_axis(buf_k, idx, axis=2)  # [L, B, P, KH, D]
+            gv = jnp.take_along_axis(buf_v, idx, axis=2)
+            b, p = path.shape
+            cap = stage_k.shape[2]
+            cols = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+            # [B, P, C]: col c receives accepted token p iff c == counts+p
+            # and p < n_acc
+            onehot = (cols == (counts[:, None] + jnp.arange(p)[None, :])
+                      [:, :, None]) & (
+                jnp.arange(p)[None, :, None] < n_acc[:, None, None])
+            oh = onehot.astype(stage_k.dtype)
+            # f32 caches need the exact multi-pass mode — the default
+            # one-pass bf16 MXU decomposition would truncate the values
+            # (same discipline as decoder.commit_kv_windows)
+            prec = (None if stage_k.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            shifted_k = jnp.einsum(
+                "lbpkd,bpc->lbckd", gk.astype(stage_k.dtype), oh,
+                preferred_element_type=stage_k.dtype, precision=prec)
+            shifted_v = jnp.einsum(
+                "lbpkd,bpc->lbckd", gv.astype(stage_v.dtype), oh,
+                preferred_element_type=stage_v.dtype, precision=prec)
+            covered = jnp.any(onehot, axis=1)  # [B, C]
+            cmask = covered[None, :, :, None, None]
+            return (jnp.where(cmask, shifted_k, stage_k),
+                    jnp.where(cmask, shifted_v, stage_v))
 
         def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
                             cache_lens, roots):
@@ -546,6 +637,77 @@ class SpecEngine:
             return fused_step_body(llm_params, ssm_params, llm_cache,
                                    ssm_cache, cache_lens, roots)
 
+        def _staged_horizon(llm_params, ssm_params, llm_cache, ssm_cache,
+                            cache_lens, roots, n, walk_xs, walk_fn):
+            """n fused iterations with STAGED commit: accepted KV lives in
+            small in-register staging buffers across the horizon and the
+            multi-GB caches are written ONCE at the end — the per-iteration
+            full-cache commit was ~5 ms of a 40 ms iteration at 7B.
+            ``walk_fn(logits, tree_tokens, tree_parents, xs) -> (produced,
+            n_acc, from_slots)`` abstracts greedy vs sampling acceptance."""
+            b = cache_lens.shape[0]
+            cap = n * (dmax + 1)
+            sdt = ssm_cache.k.dtype
+            ldt = llm_cache.k.dtype
+            sl, skh, sd = (self.ssm_spec.num_layers,
+                           self.ssm_spec.num_kv_heads, self.ssm_spec.head_dim)
+            ll_, lkh, ld_ = (self.llm_spec.num_layers,
+                             self.llm_spec.num_kv_heads,
+                             self.llm_spec.head_dim)
+            s_ssm_k = jnp.zeros((sl, b, cap, skh, sd), sdt)
+            s_ssm_v = jnp.zeros((sl, b, cap, skh, sd), sdt)
+            s_llm_k = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
+            s_llm_v = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
+            counts0 = jnp.zeros((b,), jnp.int32)
+
+            def body(carry, xs):
+                s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts, roots = carry
+                tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
+                    ssm_params, ssm_cache, cache_lens, roots,
+                    staged=(s_ssm_k, s_ssm_v, counts))
+                logits, llm_buf = verify_logits_reg(
+                    llm_params, llm_cache, cache_lens, tree_tokens,
+                    jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self,
+                    staged=(s_llm_k, s_llm_v, counts))
+                produced, n_acc, from_slots = walk_fn(
+                    logits, tree_tokens, tree_parents, xs)
+                path = from_slots[:, :dmax + 1]
+                s_llm_k, s_llm_v = _append_staged(
+                    s_llm_k, s_llm_v, *llm_buf, path, counts, n_acc)
+                s_ssm_k, s_ssm_v = _append_staged(
+                    s_ssm_k, s_ssm_v, *ssm_buf, path, counts, n_acc)
+                next_roots = jnp.take_along_axis(
+                    produced, (n_acc - 1)[:, None], axis=1)[:, 0]
+                return (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v,
+                        counts + n_acc, next_roots), (produced, n_acc)
+
+            (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts, roots_out), (
+                produced, n_acc) = jax.lax.scan(
+                body,
+                (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts0, roots),
+                walk_xs, length=n)
+
+            # ONE window commit per cache for the whole horizon (junk
+            # beyond counts[b] lands past the committed length — never
+            # attended, overwritten by later commits)
+            def commit_stage(cache, sk, sv):
+                upd_k = sk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
+                upd_v = sv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+                upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
+                ck, cv = decoder.commit_kv_windows(
+                    cache.k, cache.v, upd_k, upd_v, cache_lens)
+                return KVCache(k=ck, v=cv)
+
+            llm_cache = commit_stage(llm_cache, s_llm_k, s_llm_v)
+            ssm_cache = commit_stage(ssm_cache, s_ssm_k, s_ssm_v)
+            return (produced, n_acc, cache_lens + counts, roots_out,
+                    llm_cache, ssm_cache)
+
+        def _greedy_walk_xs(logits, tree_tokens, tree_parents, xs):
+            expected = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return greedy_accept_walk(
+                expected, tree_tokens, tree_parents, dmax)
+
         @functools.partial(
             jax.jit, donate_argnums=(2, 3), static_argnames=("n",)
         )
@@ -553,23 +715,11 @@ class SpecEngine:
                             cache_lens, roots, n):
             """n fused speculative iterations as one device-resident scan
             (spec horizon): lens/roots feed back on device; host fetches
-            [n, B, depth+1] produced tokens + [n, B] counts once."""
-
-            def body(carry, _):
-                llm_cache, ssm_cache, lens, roots = carry
-                produced, n_acc, next_roots, llm_cache, ssm_cache = (
-                    fused_step_body(llm_params, ssm_params, llm_cache,
-                                    ssm_cache, lens, roots)
-                )
-                return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
-                    produced, n_acc)
-
-            (llm_cache, ssm_cache, lens_out, roots_out), (produced, n_acc) = (
-                jax.lax.scan(
-                    body, (llm_cache, ssm_cache, cache_lens, roots),
-                    None, length=n)
-            )
-            return produced, n_acc, lens_out, roots_out, llm_cache, ssm_cache
+            [n, B, depth+1] produced tokens + [n, B] counts once. Staged
+            commit: the caches are written once per horizon."""
+            return _staged_horizon(
+                llm_params, ssm_params, llm_cache, ssm_cache,
+                cache_lens, roots, n, None, _greedy_walk_xs)
 
         # ---- SAMPLING-mode fused iteration: stochastic multi-round
         # verification (spec_sampling.tree_sample_walk) instead of the
@@ -616,22 +766,24 @@ class SpecEngine:
         )
         def fused_sample_step_n_fn(llm_params, ssm_params, llm_cache,
                                    ssm_cache, cache_lens, roots, key, scfg, n):
-            def body(carry, key_i):
-                llm_cache, ssm_cache, lens, roots = carry
-                produced, n_acc, next_roots, llm_cache, ssm_cache = (
-                    fused_sample_step_body(llm_params, ssm_params, llm_cache,
-                                           ssm_cache, lens, roots, key_i,
-                                           scfg)
+            def sample_walk(logits, tree_tokens, tree_parents, key_i):
+                b = tree_tokens.shape[0]
+                v = logits.shape[-1]
+                scfg_t = sampling_lib.SamplingConfig(
+                    temperature=jnp.repeat(scfg.temperature, tree),
+                    top_p=jnp.repeat(scfg.top_p, tree),
+                    top_k=jnp.repeat(scfg.top_k, tree),
                 )
-                return (llm_cache, ssm_cache, lens + n_acc, next_roots), (
-                    produced, n_acc)
+                p_tree = sampling_lib.target_probs(
+                    logits.reshape(b * tree, v), scfg_t
+                ).reshape(b, tree, v)
+                return tree_sample_walk(
+                    p_tree, tree_tokens, tree_parents, key_i,
+                    width=w, depth=dmax)
 
-            (llm_cache, ssm_cache, lens_out, roots_out), (produced, n_acc) = (
-                jax.lax.scan(
-                    body, (llm_cache, ssm_cache, cache_lens, roots),
-                    jax.random.split(key, n))
-            )
-            return produced, n_acc, lens_out, roots_out, llm_cache, ssm_cache
+            return _staged_horizon(
+                llm_params, ssm_params, llm_cache, ssm_cache,
+                cache_lens, roots, n, jax.random.split(key, n), sample_walk)
 
         self._prefill_both_batch = prefill_both_batch_fn
         # uncompiled building blocks (perf probes / custom fusions)

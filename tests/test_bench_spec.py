@@ -27,6 +27,8 @@ def test_run_spec_benchmarks_tiny(capsys):
         max_new=8,
         horizon=4,
         metric_suffix="tiny",
+        sharpen_steps=12,
+        draft_ckpt=6,
     )
     assert ratio > 0.0
     out = capsys.readouterr().out

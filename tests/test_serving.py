@@ -340,3 +340,44 @@ def test_horizon_generates_to_context_limit(tiny_params):
     assert run(decode_horizon=8) == a
     assert run(decode_horizon=8, pipelined=True) == a
     assert run(decode_horizon=16, pipelined=True, pipeline_depth=3) == a
+
+
+def test_mesh_offload_matches_resident():
+    """--offload under a TP/DP mesh (ROADMAP r3 #6: the jaxlib RET_CHECK in
+    spmd_partitioner is fixed on this version): host-resident TP-sharded
+    layer weights streamed per scan iteration must be output-identical to
+    the device-resident mesh engine."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu import specs
+    from flexflow_tpu.models import params as params_lib
+    from flexflow_tpu.parallel import make_mesh
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=256, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16, intermediate_size=128,
+        max_position_embeddings=256, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    prompts = [np.random.RandomState(i).randint(1, 256, size=12).tolist()
+               for i in range(4)]
+    cfg = GenerationConfig(max_new_tokens=12)
+
+    def run(offload):
+        mesh = make_mesh(data=2, model=2)
+        eng = InferenceEngine(
+            spec, params, max_requests_per_batch=4, max_seq_len=64,
+            cache_dtype=jnp.float32, offload=offload, mesh=mesh,
+        )
+        if offload:
+            leaf = jax.tree_util.tree_leaves(eng.params["layers"])[0]
+            assert leaf.sharding.memory_kind == "pinned_host", leaf.sharding
+        reqs = RequestManager(eng).generate(prompts, cfg)
+        return [r.output_tokens for r in reqs]
+
+    assert run(False) == run(True)
