@@ -124,6 +124,12 @@ def main():
     else:
         _log("FF_BENCH_SPEC=0: skipping the 7B spec phase")
 
+    if os.environ.get("FF_BENCH_MQA", "1") != "0":
+        mqa_budget = int(os.environ.get("FF_BENCH_MQA_TIMEOUT", "1500"))
+        _run_phase([sys.executable, "bench_mqa.py"], mqa_budget, "mqa")
+    else:
+        _log("FF_BENCH_MQA=0: skipping the MQA phase")
+
     # repeat the headline LAST so a last-line parser sees the round-1 metric
     for line in headline:
         try:

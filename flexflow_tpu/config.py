@@ -70,7 +70,10 @@ class FFConfig:
     fusion: bool = True  # XLA fuses by construction; kept for parity
     profiling: bool = False
     inference_debugging: bool = False
-    use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", False)
+    # Decode-attention kernel: ON by default, but the decoder additionally
+    # gates it to the measured winning regime (grouped-query G >= 8 at
+    # S <= 2048 — bench_gqa_decode.py on-chip); MHA/MQA decode stays on XLA
+    use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", True)
     use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", True)
     # flash prefill kernel (ops/pallas/flash_prefill.py): beats the XLA
     # masked-softmax path at every measured shape (1.4x at S=512 up to 60x at

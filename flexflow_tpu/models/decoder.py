@@ -598,6 +598,15 @@ def forward_cached(
                 and extra_kv is None
                 and slopes is None
                 and spec.attn_logit_softcap is None
+                # measured regime gate (benchmarks/bench_gqa_decode.py,
+                # on-chip 2026-08-21): the kernel wins G>=8 at moderate S
+                # (llama3-70B-class G=8 S=1024: 1.46x over XLA, ~990 GB/s
+                # KV); it LOSES G<8 (0.5x) and MQA-short (0.18x), and the
+                # whole-[KH,D,S]-slice load overflows scoped VMEM at
+                # S=4096. XLA stays the path everywhere else.
+                and spec.num_heads // max(spec.num_kv_heads, 1) >= 8
+                and cache_lens is not None
+                and ck_l.shape[-1] <= 2048
                 and _use_pallas_decode_attention()
             ):
                 from flexflow_tpu.ops.pallas.decode_attention import (

@@ -181,7 +181,11 @@ def pallas_eligible(qa: QuantizedArray) -> bool:
     """
     d = qa.d_contract
     f = qa.q.shape[-1]
-    if d < 1024 or d % 256 or f % 256:
+    # d needs sublane alignment only (64 covers the int8 (32,128) and bf16
+    # (16,128) tiles); Falcon-7B's d=4544 (not a 256-multiple) measured
+    # EXACT and fast on-chip (596-1462 GB/s packed). f here is the PADDED
+    # out dim (quantize pads to a 512-multiple), so %256 keeps wide blocks.
+    if d < 1024 or d % 64 or f % 256:
         return False
     if qa.bits == 4:
         # planar halves must be whole groups so each group's scale/offset
