@@ -35,10 +35,17 @@ class Layout:
     pipe: int
     model: int
     num_microbatches: int = 1
+    # per-op machine-view hybrid (reference Unity's per-op degrees,
+    # substitution.cc:1920): attention TP = model, FFN TP = model*data
+    # (parallel/sharding.param_shardings(hybrid_ffn=True)). Used by the
+    # serving search when attention TP is capped (kv_heads) but devices
+    # would otherwise idle.
+    hybrid_ffn: bool = False
 
     def __str__(self):
+        h = " ffn-tp=%d" % (self.model * self.data) if self.hybrid_ffn else ""
         return (f"dp={self.data} pp={self.pipe} tp={self.model} "
-                f"mb={self.num_microbatches}")
+                f"mb={self.num_microbatches}{h}")
 
 
 @dataclasses.dataclass
@@ -87,21 +94,37 @@ def analytic_cost(
     batch_size: int,
     seq_len: int,
     machine: Optional[MachineModel] = None,
+    *,
+    train: bool = True,
 ) -> float:
-    """Estimated train-step seconds (3x fwd-flops for fwd+bwd)."""
+    """Estimated train-step seconds (3x fwd-flops for fwd+bwd);
+    ``train=False`` drops the backward factor and sizes the HBM filter for
+    bf16 weights only (serving)."""
     m = machine or MachineModel()
     d, f, l, v = (spec.hidden_size, spec.intermediate_size, spec.num_layers,
                   spec.vocab_size)
     tokens = batch_size * seq_len
     # matmul flops per token per layer: qkv+o (4 d^2-ish) + mlp
     mlp_mults = 3 if spec.act == "silu_gate" else 2
-    flops_per_tok = l * 2 * (
+    attn_per_tok = l * 2 * (
         d * (spec.num_heads + 2 * spec.num_kv_heads) * spec.head_dim
         + spec.num_heads * spec.head_dim * d
-        + mlp_mults * d * f
-    ) + 2 * d * v
-    total_flops = 3 * flops_per_tok * tokens
-    compute = total_flops / (m.chip_flops * layout.data * layout.pipe * layout.model)
+    )
+    ffn_per_tok = l * 2 * mlp_mults * d * f + 2 * d * v
+    flops_per_tok = attn_per_tok + ffn_per_tok
+    bwd = 3 if train else 1
+    total_flops = bwd * flops_per_tok * tokens
+    if layout.hybrid_ffn:
+        # attention on model only (data replicates it); FFN + head on
+        # model*data — the per-op-degree hybrid
+        compute = bwd * tokens * (
+            attn_per_tok / (m.chip_flops * layout.pipe * layout.model)
+            + ffn_per_tok / (m.chip_flops * layout.pipe * layout.model
+                             * layout.data)
+        )
+    else:
+        compute = total_flops / (
+            m.chip_flops * layout.data * layout.pipe * layout.model)
 
     # TP: 2 allreduces per layer per microbatch pass (activations B*T*D)
     comm = 0.0
@@ -122,14 +145,20 @@ def analytic_cost(
             comm += 2 * (layout.pipe - 1) * topo.ppermute_time(
                 tokens * d * 2 / layout.data)
     else:
-        if layout.model > 1:
+        # hybrid_ffn: the data axis carries FFN TP, not DP — activations
+        # reshard across model*data at the attention/FFN boundary and
+        # there is NO gradient allreduce over it
+        tp_eff = (layout.model * layout.data if layout.hybrid_ffn
+                  else layout.model)
+        dp_eff = 1 if layout.hybrid_ffn else layout.data
+        if tp_eff > 1:
             bytes_ar = (2 * l * tokens * d * 2 * 2
-                        * (layout.model - 1) / layout.model)
-            comm += bytes_ar / (m.ici_bw * layout.data * layout.pipe)
+                        * (tp_eff - 1) / tp_eff)
+            comm += bytes_ar / (m.ici_bw * dp_eff * layout.pipe)
         # DP: gradient allreduce of all params
-        if layout.data > 1:
+        if dp_eff > 1:
             comm += (2 * n_params * 4
-                     * (layout.data - 1) / layout.data) / m.ici_bw
+                     * (dp_eff - 1) / dp_eff) / m.ici_bw
         # PP bubble: (P-1)/(M+P-1) of the pipe is idle; plus inter-stage
         # activation hops (fwd + bwd) over ICI
         bubble = 1.0
@@ -141,8 +170,10 @@ def analytic_cost(
                 / (m.ici_bw * layout.data)
             )
 
-    # HBM capacity filter: params(+grads+adam) per device
-    bytes_per_dev = n_params * 16 / (layout.model * layout.pipe)
+    # HBM capacity filter: params(+grads+adam when training) per device
+    shard = layout.model * layout.pipe * (
+        layout.data if layout.hybrid_ffn else 1)
+    bytes_per_dev = n_params * (16 if train else 2) / shard
     if bytes_per_dev > m.hbm_bytes:
         return float("inf")
     return compute * bubble + comm
@@ -311,6 +342,7 @@ def optimize_serving_layout(
                 spec, params, max_requests_per_batch=batch_size,
                 max_seq_len=max_seq_len, cache_dtype=dtype,
                 mesh=mesh if n > 1 else None,
+                hybrid_ffn=layout.hybrid_ffn,
             )
         lens = np.full((batch_size,), 8, np.int32)
         toks = np.ones((batch_size,), np.int32)
@@ -325,11 +357,21 @@ def optimize_serving_layout(
     candidates = [
         lo for lo in enumerate_layouts(n, spec, batch_size) if lo.data == 1
     ]
+    # per-op hybrid candidates (Unity per-op degrees): when uniform TP is
+    # capped below the device count (kv_heads / head divisibility), the
+    # leftover factor shards the FFN only
+    for lo in list(candidates):
+        if lo.pipe != 1 or lo.model >= n:
+            continue
+        rem = n // lo.model
+        if rem > 1 and spec.intermediate_size % (lo.model * rem) == 0:
+            candidates.append(Layout(rem, 1, lo.model, hybrid_ffn=True))
     if not candidates:
         raise ValueError(f"no legal serving layouts for {n} devices")
     ranked = sorted(
         candidates,
-        key=lambda lo: analytic_cost(lo, spec, batch_size, max_seq_len),
+        key=lambda lo: analytic_cost(lo, spec, batch_size, max_seq_len,
+                                     train=False),
     )
     report, best, best_t = [], None, float("inf")
     for i, lo in enumerate(ranked):
@@ -338,7 +380,8 @@ def optimize_serving_layout(
         t = measure_layout(step_factory, lo)
         report.append({
             "layout": str(lo),
-            "analytic_s": analytic_cost(lo, spec, batch_size, max_seq_len),
+            "analytic_s": analytic_cost(lo, spec, batch_size, max_seq_len,
+                                        train=False),
             "measured_s": t,
         })
         if t < best_t and t != float("inf"):

@@ -94,7 +94,10 @@ def _divisible(shape, spec: P, mesh: Mesh) -> P:
         if axis is None:
             fixed.append(None)
             continue
-        size = mesh.shape[axis]
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
         fixed.append(axis if dim % size == 0 and dim >= size else None)
     return P(*fixed)
 
@@ -115,13 +118,35 @@ _QUANT_RULES: Dict[str, P] = {
 
 
 def param_shardings(
-    spec: ModelSpec, params: Any, mesh: Mesh, *, expert_parallel: bool = False
+    spec: ModelSpec, params: Any, mesh: Mesh, *,
+    expert_parallel: bool = False, hybrid_ffn: bool = False,
 ) -> Any:
     """Pytree of NamedShardings matching the params pytree (quantized or not).
 
     ``expert_parallel=True`` shards MoE expert stacks over the model axis
-    (EP) instead of TP-within-expert."""
+    (EP) instead of TP-within-expert.
+
+    ``hybrid_ffn=True`` is the per-op machine-view hybrid (reference Unity
+    searches per-op parallelization degrees, substitution.cc:1920): the FFN
+    shards over BOTH ("model", "data") while attention stays on "model"
+    alone — the GSPMD expression of "TP degree 2 for attention, 4 for FFN".
+    The win case is small-batch serving where attention TP is capped by
+    kv_heads but the data axis would otherwise idle (batch not divisible
+    -> replicated)."""
     moe = spec.moe is not None
+    if hybrid_ffn:
+        ffn_ax = (MODEL_AXIS, DATA_AXIS)
+        hybrid_layer = {
+            "wg": P(None, None, ffn_ax),
+            "wu": P(None, None, ffn_ax),
+            "bu": P(None, ffn_ax),
+            "wd": P(None, ffn_ax, None),
+        }
+        hybrid_quant = {
+            "wg": P(None, None, ffn_ax),
+            "wu": P(None, None, ffn_ax),
+            "wd": P(None, ffn_ax, None),
+        }
 
     def leaf_spec(path, leaf) -> NamedSharding:
         # string dict keys only: QuantizedArray carriers flatten with
@@ -137,7 +162,10 @@ def param_shardings(
             hasattr(path[-1], "key") and isinstance(path[-1].key, str)
         )
         if inside_quant:
-            ps = _QUANT_RULES.get(name, P())
+            rules_q = dict(_QUANT_RULES)
+            if hybrid_ffn:
+                rules_q.update(hybrid_quant)
+            ps = rules_q.get(name, P())
             # MoE expert carriers have an extra [E] axis after [L]
             if leaf.ndim == len(ps) + 1 and "layers" in names:
                 ps = P(ps[0], None, *tuple(ps)[1:])
@@ -147,6 +175,8 @@ def param_shardings(
             rules = dict(_LAYER_RULES)
             if moe:
                 rules.update(_MOE_EP_RULES if expert_parallel else _MOE_RULES)
+            if hybrid_ffn and not moe:
+                rules.update(hybrid_layer)
             ps = rules.get(name, P())
         else:
             ps = _TOP_RULES.get(name, P())
@@ -180,10 +210,12 @@ def replicated(mesh: Mesh):
 
 
 def shard_params(
-    spec: ModelSpec, params: Any, mesh: Mesh, *, expert_parallel: bool = False
+    spec: ModelSpec, params: Any, mesh: Mesh, *,
+    expert_parallel: bool = False, hybrid_ffn: bool = False,
 ) -> Any:
     """Place a params pytree onto the mesh with TP (or EP) shardings."""
     return jax.device_put(
         params,
-        param_shardings(spec, params, mesh, expert_parallel=expert_parallel),
+        param_shardings(spec, params, mesh, expert_parallel=expert_parallel,
+                        hybrid_ffn=hybrid_ffn),
     )

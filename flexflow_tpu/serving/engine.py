@@ -62,6 +62,7 @@ class InferenceEngine:
         lora_config=None,
         mesh=None,
         offload: bool = False,
+        hybrid_ffn: bool = False,
     ):
         """``mesh``: a ("data","pipe","model","seq") jax.sharding.Mesh for
         multi-chip serving — params get Megatron TP shardings, the KV cache
@@ -79,7 +80,9 @@ class InferenceEngine:
         if mesh is not None:
             from flexflow_tpu.parallel.sharding import shard_params
 
-            params = shard_params(spec, params, mesh)
+            # hybrid_ffn: per-op machine-view hybrid — FFN over
+            # ("model","data"), attention over "model" (parallel/sharding)
+            params = shard_params(spec, params, mesh, hybrid_ffn=hybrid_ffn)
         if self._offload:
             # reference --offload (config.h:189): weights resident in host
             # RAM; each decode layer streams in per scan iteration

@@ -375,3 +375,37 @@ def test_pp_chunked_prefill_final_partial_window():
     got = _gen(eng64, [prompt])[0][:6]
     assert got == ref64
     assert _gen(eng, [prompt])[0][:6] == ref
+
+
+def test_pp_overlapped_horizon_sampling_bit_equal():
+    """ROADMAP r3 #9: with per-row draw keying (sample() keys each row by
+    (key, row_offset + r)), the overlapped horizon's SAMPLED tokens must be
+    BIT-EQUAL to the stepwise path at temperature > 0 — not just
+    distributionally correct."""
+    import numpy as np
+    from flexflow_tpu.ops.sampling import SamplingConfig
+
+    params = params_lib.init_params(SPEC, jax.random.PRNGKey(9), jnp.float32)
+    eng = _pp_engine(params, make_mesh(pipe=2))
+    eng2 = _pp_engine(params, make_mesh(pipe=2))
+    n = 5
+    key = jax.random.PRNGKey(3)
+    scfg = SamplingConfig(
+        temperature=np.array([0.8, 1.2, 0.7, 1.0], np.float32),
+        top_p=np.array([0.95, 1.0, 0.9, 1.0], np.float32),
+        top_k=np.array([0, 8, 0, 16], np.int32),
+    )
+    prompts = [[5, 6, 7], [8, 9], [10, 11, 12, 13], [3]]
+    first = eng.fetch(eng.prefill_batch_to_slots_async(
+        prompts, [0, 1, 2, 3], key, scfg))
+    eng2.prefill_batch_to_slots_async(prompts, [0, 1, 2, 3], key, scfg)
+    lens = np.array([len(p) for p in prompts], np.int32)
+    toks = np.asarray(first, np.int32)
+
+    out_overlap, eng.cache = eng._decode_n(
+        eng.params, eng.cache, eng._h(lens), eng._h(toks),
+        eng._h(key), eng._htree(scfg), n, greedy_only=False)
+    out_step, eng2.cache = eng2._decode_n_stepwise(
+        eng2.params, eng2.cache, eng2._h(lens), eng2._h(toks),
+        eng2._h(key), eng2._htree(scfg), n, greedy_only=False)
+    assert np.array_equal(eng.fetch(out_overlap), eng2.fetch(out_step))
