@@ -276,10 +276,37 @@ class LLM:
 
         if self._ssms:
             if use_pp and len(self._ssms) > 1:
-                raise NotImplementedError(
-                    "multiple SSMs under pipeline_parallelism_degree>1 are "
-                    "not supported; register one draft model"
+                if merge_ssm_trees:
+                    # merged verification uses the host draft/verify path,
+                    # which the staged PP verifier does not expose
+                    raise NotImplementedError(
+                        "merge_ssm_trees with pipeline parallelism is not "
+                        "supported; use rotation (merge_ssm_trees=False)"
+                    )
+                # multi-SSM rotation under PP (ROADMAP r4 #2): one staged
+                # verifier shared across per-draft engines
+                from flexflow_tpu.serving.pp_spec import PipelineSpecEngine
+                from flexflow_tpu.serving.spec_manager import (
+                    MultiSSMSpecManager,
                 )
+
+                engines = []
+                for ssm in self._ssms:
+                    ssm_spec, ssm_params = hf_weights.load_params(
+                        ssm.model_dir, dtype=ssm.dtype,
+                        quantize_bits=ssm.quant_bits, mesh=None,
+                    )
+                    engines.append(PipelineSpecEngine(
+                        self.spec, self.params, ssm_spec, ssm_params,
+                        mesh=mesh,
+                        beam_width=beam_width, beam_depth=beam_depth,
+                        max_requests_per_batch=max_requests_per_batch,
+                        max_seq_len=max_seq_length,
+                        cache_dtype=self.dtype,
+                        shared_pp=engines[0]._pp if engines else None,
+                    ))
+                self.rm = MultiSSMSpecManager(engines, fused=True)
+                return
             if use_pp:
                 # reference flagship config: spec_infer under PP
                 # (cpp_inference_tests.sh:12-100) — verifier staged over the

@@ -81,6 +81,7 @@ class PipelineSpecEngine:
         max_seq_len: int = 256,
         cache_dtype=jnp.bfloat16,
         num_microbatches: Optional[int] = None,
+        shared_pp=None,
     ):
         assert llm_spec.vocab_size == ssm_spec.vocab_size, "vocab mismatch"
         t = tree_size(beam_width, beam_depth)
@@ -94,13 +95,18 @@ class PipelineSpecEngine:
         self.mesh = mesh
 
         # verifier placement + prefill machinery: the PP inference engine
-        # (stage-resident weights + [P, L/P, B, KH, D, S] pipe-sharded cache)
-        self._pp = PipelineInferenceEngine(
-            llm_spec, llm_params, mesh=mesh,
-            max_requests_per_batch=max_requests_per_batch,
-            max_seq_len=max_seq_len, cache_dtype=cache_dtype,
-            num_microbatches=num_microbatches,
-        )
+        # (stage-resident weights + [P, L/P, B, KH, D, S] pipe-sharded
+        # cache). ``shared_pp``: multi-SSM engines share ONE staged
+        # verifier (weights + cache) instead of restaging per draft
+        if shared_pp is not None:
+            self._pp = shared_pp
+        else:
+            self._pp = PipelineInferenceEngine(
+                llm_spec, llm_params, mesh=mesh,
+                max_requests_per_batch=max_requests_per_batch,
+                max_seq_len=max_seq_len, cache_dtype=cache_dtype,
+                num_microbatches=num_microbatches,
+            )
         self.pp = self._pp.pp
         self.tp = self._pp.tp
         self.num_microbatches = self._pp.num_microbatches
@@ -402,11 +408,20 @@ class PipelineSpecEngine:
                 jnp.zeros((nb,), jnp.int32), slots)
             return KVCache(k=ck, v=cv)
 
+        # ---- draft-cache catch-up (multi-SSM rotation; SpecEngine
+        # analog): feed committed tokens this SSM has not yet seen ----
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def ssm_catchup_fn(ssm_params, ssm_cache, ssm_lens, tokens):
+            _, cache = decoder.forward_cached(
+                ssm_spec, ssm_params, tokens, ssm_cache, ssm_lens)
+            return cache
+
         self._fused_step = fused_step_fn
         self._fused_step_n = fused_step_n_fn
         self._fused_sample_step = fused_sample_step_fn
         self._fused_sample_step_n = fused_sample_step_n_fn
         self._ssm_prefill_batch = ssm_prefill_batch_fn
+        self._ssm_catchup = ssm_catchup_fn
 
     # ------------------------------------------------------------------
     # host-facing API (mirrors SpecEngine's fused surface)
@@ -451,6 +466,26 @@ class PipelineSpecEngine:
 
     def prefill_both(self, prompt_tokens, slot, key=None, scfg1=None):
         return self.prefill_both_batch([prompt_tokens], [slot], key, scfg1)[0]
+
+    def prefill_ssm_only(self, prompt_tokens, slot) -> None:
+        """Prefill only this engine's (replicated) draft cache — multi-SSM
+        admission where the staged verifier cache is shared."""
+        n = len(prompt_tokens)
+        bucket = self._pp.prefill_bucket(n)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt_tokens
+        self.ssm_cache = self._ssm_prefill_batch(
+            self.ssm_params, self.ssm_cache, self._h(padded),
+            self._h(np.asarray([n], np.int32)),
+            self._h(np.asarray([slot], np.int32)))
+
+    def catchup(self, ssm_lens, tokens) -> None:
+        """Advance the draft cache over already-committed tokens (the
+        multi-SSM rotation's re-commit semantics; see SpecEngine.catchup)."""
+        self.ssm_cache = self._ssm_catchup(
+            self.ssm_params, self.ssm_cache,
+            self._h(np.asarray(ssm_lens, np.int32)),
+            self._h(np.asarray(tokens, np.int32)))
 
     def fused_step(self, cache_lens, root_tokens):
         produced, n_acc, _roots, self.llm_cache, self.ssm_cache = (

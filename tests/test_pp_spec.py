@@ -238,3 +238,43 @@ def _spec_gen_n(engine, prompts, n):
     rm = SpecRequestManager(engine, fused=True)
     reqs = rm.generate(prompts, GenerationConfig(max_new_tokens=n))
     return [r.output_tokens for r in reqs], rm
+
+
+def test_pp_multi_ssm_rotation_matches_incremental():
+    """Multi-SSM rotation under PP (ROADMAP r4 #2, reference
+    register_ssm_model loop + PP flagship config): two drafts rotating
+    against ONE staged verifier (shared_pp) must stay lossless vs
+    incremental greedy AND match the single-device multi-SSM rotation."""
+    from flexflow_tpu.serving.spec_manager import MultiSSMSpecManager
+
+    llm, ssm = _params()
+    ssm2 = params_lib.init_params(SSM_SPEC, jax.random.PRNGKey(7),
+                                  jnp.float32)
+    prompts = _prompts()
+    cfg = GenerationConfig(max_new_tokens=16)
+
+    incr = RequestManager(
+        InferenceEngine(LLM_SPEC, llm, max_requests_per_batch=4,
+                        max_seq_len=160, cache_dtype=jnp.float32)
+    ).generate(prompts, cfg)
+    want = [r.output_tokens for r in incr]
+
+    # single-device rotation reference
+    engines_sd = [
+        SpecEngine(LLM_SPEC, llm, SSM_SPEC, p, beam_width=2, beam_depth=3,
+                   max_requests_per_batch=4, max_seq_len=160,
+                   cache_dtype=jnp.float32)
+        for p in (ssm, ssm2)
+    ]
+    sd = [r.output_tokens for r in MultiSSMSpecManager(
+        engines_sd, fused=True).generate(prompts, cfg)]
+    assert sd == want
+
+    mesh = make_mesh(pipe=2)
+    first = _pp_spec_engine(llm, ssm, mesh)
+    second = _pp_spec_engine(llm, ssm2, mesh, shared_pp=first._pp)
+    rm = MultiSSMSpecManager([first, second], fused=True)
+    got = [r.output_tokens for r in rm.generate(prompts, cfg)]
+    assert got == want
+    # both drafts actually took turns
+    assert rm.total_decoding_steps >= 2
