@@ -60,6 +60,68 @@ def stage_params(params, num_stages: int):
     return jax.tree.map(reshape, params)
 
 
+def balance_stages(costs, num_stages: int):
+    """Contiguous layer->stage assignment minimizing the max stage cost.
+
+    The per-layer-cost half of the reference Unity's per-op placement
+    search (graph_optimize does DP over sequence splits,
+    substitution.cc:1920): in a synchronized pipeline every tick waits for
+    the SLOWEST stage, so the optimal boundaries minimize max-stage-sum —
+    the classic linear-partition DP. ``costs`` come from measured per-layer
+    times (auto.OpCostCache) for heterogeneous stacks (interleaved MoE,
+    mixed-precision layers); uniform costs reduce to the even split.
+
+    Returns a list of per-stage layer counts summing to ``len(costs)``.
+    """
+    import numpy as _np
+
+    l, p = len(costs), num_stages
+    assert 1 <= p <= l, (l, p)
+    pre = _np.concatenate([[0.0], _np.cumsum(_np.asarray(costs, float))])
+    # dp[k][i] = min over splits of first i layers into k stages of the
+    # max stage sum; cut[k][i] = boundary achieving it
+    dp = _np.full((p + 1, l + 1), _np.inf)
+    cut = _np.zeros((p + 1, l + 1), _np.int64)
+    dp[0][0] = 0.0
+    for k in range(1, p + 1):
+        for i in range(k, l + 1):
+            for j in range(k - 1, i):
+                cand = max(dp[k - 1][j], pre[i] - pre[j])
+                if cand < dp[k][i]:
+                    dp[k][i], cut[k][i] = cand, j
+    sizes = []
+    i = l
+    for k in range(p, 0, -1):
+        j = int(cut[k][i])
+        sizes.append(i - j)
+        i = j
+    sizes.reverse()
+    assert all(s >= 1 for s in sizes) and sum(sizes) == l
+    return sizes
+
+
+def stage_params_uneven(params, sizes):
+    """Stage-slice stacked layer params [L, ...] with UNEVEN per-stage layer
+    counts: each stage's slice pads with zero layers to max(sizes) ->
+    [P, kmax, ...]. Execution skips the padding via lax.cond (the padded
+    layers are exact residual passthroughs for pre-norm specs anyway:
+    zero norm scales zero the block inputs, zero wo/wd zero its output).
+    """
+    import numpy as _np
+
+    sizes = list(int(s) for s in sizes)
+    kmax = max(sizes)
+    starts = _np.concatenate([[0], _np.cumsum(sizes)])[:-1]
+
+    def reshape(a):
+        out = jnp.zeros((len(sizes), kmax) + a.shape[1:], a.dtype)
+        for s, (st, ct) in enumerate(zip(starts, sizes)):
+            out = out.at[s, :ct].set(a[st:st + ct])
+        return out
+
+    return jax.tree.map(reshape, params)
+
+
 def _layer_specs(spec: ModelSpec, layers, mesh: Mesh):
     """Per-leaf PartitionSpecs for stage-stacked layer params."""
     tp = mesh.shape[MODEL_AXIS]
@@ -90,14 +152,29 @@ def pipeline_forward(
     num_microbatches: Optional[int] = None,
     lengths: Optional[jnp.ndarray] = None,
     remat: bool = True,
+    stage_sizes=None,
 ) -> jnp.ndarray:
     """Forward pass with explicit pipeline parallelism. Returns fp32 logits.
 
     ``params["layers"]`` must be stage-sliced ([P, L/P, ...]; see
     :func:`stage_params`); embeddings/norm/lm_head stay outside the pipe.
-    """
+
+    ``stage_sizes``: UNEVEN per-stage layer counts (params staged with
+    :func:`stage_params_uneven`, boundaries from :func:`balance_stages`);
+    each stage executes only its real layers (lax.cond skips the padding,
+    so a stage's tick cost tracks its assigned layer cost). Pre-norm /
+    parallel-attn specs only (the padding identity needs the residual
+    passthrough)."""
     n_stages = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
+    if stage_sizes is not None:
+        assert spec.pre_norm or spec.parallel_attn, (
+            "uneven stages need pre-norm residual passthrough padding"
+        )
+        assert len(stage_sizes) == n_stages, (stage_sizes, n_stages)
+        counts = jnp.asarray(stage_sizes, jnp.int32)
+    else:
+        counts = None
     b, t = tokens.shape
     m = num_microbatches or max(n_stages, 1)
     assert b % m == 0, f"batch {b} not divisible by microbatches {m}"
@@ -138,7 +215,7 @@ def pipeline_forward(
                 jnp.arange(t)[None, None, :] < lens_mb[:, None, None]
             )
 
-            def one_layer(hh, layer_p):
+            def run_layer(hh, layer_p):
                 def attend(q, k, v):
                     q, k = decoder._maybe_rope(spec, q, k, pos_mb)
                     out = attn_lib.cached_attention(
@@ -151,11 +228,38 @@ def pipeline_forward(
                     )
                     return out, 0
                 hh, _ = decoder._layer(spec, layer_p, hh, attend)
+                return hh
+
+            if counts is None:
+                def one_layer(hh, layer_p):
+                    return run_layer(hh, layer_p), None
+
+                if remat:
+                    one_layer = jax.checkpoint(one_layer)
+                h_out, _ = jax.lax.scan(one_layer, h_mb, stage_layers)
+                return h_out
+
+            my_count = counts[stage]
+            kmax = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]
+
+            def one_layer(hh, xs):
+                layer_p, j = xs
+                # cond executes only the taken branch: padded layers
+                # (j >= this stage's real count) cost ~nothing, so tick
+                # time tracks the balanced per-stage layer cost
+                hh = jax.lax.cond(
+                    j < my_count,
+                    lambda h: run_layer(h, layer_p),
+                    lambda h: h,
+                    hh,
+                )
                 return hh, None
 
             if remat:
                 one_layer = jax.checkpoint(one_layer)
-            h_out, _ = jax.lax.scan(one_layer, h_mb, stage_layers)
+            h_out, _ = jax.lax.scan(
+                one_layer, h_mb,
+                (stage_layers, jnp.arange(kmax, dtype=jnp.int32)))
             return h_out
 
         ticks = m + n_stages - 1

@@ -122,3 +122,61 @@ def test_trainer_with_pipeline(tiny_params):
         l1 = tr1.train_step(toks, labels)
         l2 = tr2.train_step(toks, labels)
         np.testing.assert_allclose(l1, l2, atol=1e-4, rtol=1e-4)
+
+
+def test_balance_stages_dp():
+    """Linear-partition DP: minimizes the max contiguous stage sum."""
+    from flexflow_tpu.parallel.pipeline import balance_stages
+
+    # uniform costs -> even split
+    assert balance_stages([1.0] * 8, 2) == [4, 4]
+    assert balance_stages([1.0] * 8, 4) == [2, 2, 2, 2]
+    # expensive tail (e.g. MoE layers in the second half): fewer tail layers
+    sizes = balance_stages([1, 1, 1, 1, 3, 3, 3, 3], 2)
+    assert sizes == [5, 3]  # stage sums 7 vs 9 beat the even split's 4 vs 12
+    # single expensive layer dominates
+    sizes = balance_stages([1, 1, 10, 1, 1, 1], 3)
+    assert max(sizes) >= 1 and sum(sizes) == 6
+    cum = [0]
+    for s in sizes:
+        cum.append(cum[-1] + s)
+    stage_sums = [sum([1, 1, 10, 1, 1, 1][cum[i]:cum[i + 1]])
+                  for i in range(3)]
+    assert max(stage_sums) == 10  # can't beat the single heavy layer
+
+
+def test_pipeline_uneven_stages_match_even_and_reference():
+    """Uneven stage execution (cond-skipped padding) must be numerically
+    identical to the even split and the non-pipelined forward (the
+    mechanism under balance_stages; ROADMAP r4 #3 / VERDICT r3 #7)."""
+    import numpy as np
+
+    from flexflow_tpu.parallel.pipeline import (
+        pipeline_forward, stage_params, stage_params_uneven,
+    )
+
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=128, hidden_size=32,
+        num_layers=4, num_heads=4, num_kv_heads=4, head_dim=8,
+        intermediate_size=64, max_position_embeddings=64, norm_eps=1e-6,
+    )
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.float32)
+    mesh = make_mesh(pipe=2)
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(1, 128, size=(4, 8)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None], (4, 8))
+
+    ref, _ = decoder.forward(spec, params, toks, pos)
+
+    even = {**params, "layers": stage_params(params["layers"], 2)}
+    out_even = pipeline_forward(spec, even, toks, pos, mesh=mesh,
+                                num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out_even), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    uneven = {**params,
+              "layers": stage_params_uneven(params["layers"], [3, 1])}
+    out_uneven = pipeline_forward(spec, uneven, toks, pos, mesh=mesh,
+                                  num_microbatches=2, stage_sizes=[3, 1])
+    np.testing.assert_allclose(np.asarray(out_uneven), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
