@@ -165,3 +165,34 @@ def test_manager_sampling_requests_complete():
         [[3, 17, 91, 5]], GenerationConfig(max_new_tokens=8)
     )
     assert len(out[0].output_tokens) == 8
+
+
+def test_manager_sampling_horizon_staged():
+    """The STAGED sampling horizon (fused_sample_step_n, n>1, pipelined):
+    requests complete with valid tokens, and a GREEDY slot riding the
+    sampling-mode program stays bit-equal to incremental greedy decoding
+    (greedy slots are deterministic regardless of keys)."""
+    from flexflow_tpu.serving import InferenceEngine, RequestManager
+
+    eng = _engine()
+    greedy_prompt = [3, 17, 91, 5]
+    incr = RequestManager(
+        InferenceEngine(TINY, eng.llm_params, max_requests_per_batch=2,
+                        max_seq_len=eng.max_seq_len,
+                        cache_dtype=jnp.float32)
+    ).generate([greedy_prompt], GenerationConfig(max_new_tokens=10))
+    want = incr[0].output_tokens
+
+    rm = SpecRequestManager(eng, fused=True, spec_horizon=2, pipelined=True,
+                            seed=5)
+    g_greedy = rm.register_request(
+        greedy_prompt, GenerationConfig(max_new_tokens=10))
+    g_samp = rm.register_request(
+        [2, 4, 8],
+        GenerationConfig(max_new_tokens=10, temperature=0.9, top_p=0.9))
+    rm.run_until_idle()
+    greedy_out = rm.get_request(g_greedy).output_tokens
+    samp_out = rm.get_request(g_samp).output_tokens
+    assert greedy_out == want  # greedy slot deterministic through sampling
+    assert 1 <= len(samp_out) <= 10
+    assert all(0 <= t < TINY.vocab_size for t in samp_out)
