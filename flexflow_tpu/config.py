@@ -56,9 +56,10 @@ class FFConfig:
     max_lora_rank: int = 32
 
     # scheduler
-    decode_horizon: int = 16
+    decode_horizon: int = 64  # bench-winning default (bench_headline r4)
     pipeline_depth: int = 2  # in-flight horizons (reference depth 4)
-    spec_horizon: int = 4  # device-chained speculative iterations
+    spec_horizon: int = 8  # device-chained speculative iterations
+    # (8 beat 4 and 16 on-chip at 7B INT4 w2d6 — probe_r4/bench_spec r4)
 
     # numerics / quantization (-4bit/-8bit-quantization, --offload)
     data_type: str = "bfloat16"
