@@ -56,7 +56,11 @@ class FFConfig:
     max_lora_rank: int = 32
 
     # scheduler
-    decode_horizon: int = 64  # bench-winning default (bench_headline r4)
+    # 16 balances throughput against post-EOS waste: EOS is only observed
+    # at horizon fetch (one-horizon pipelined lag), so EOS-heavy workloads
+    # waste up to ~2 horizons of decode per retired request. The benches
+    # pass horizon=64 explicitly (fixed max_new workloads never hit EOS).
+    decode_horizon: int = 16
     pipeline_depth: int = 2  # in-flight horizons (reference depth 4)
     spec_horizon: int = 8  # device-chained speculative iterations
     # (8 beat 4 and 16 on-chip at 7B INT4 w2d6 — probe_r4/bench_spec r4)

@@ -66,7 +66,22 @@ def from_onnx_model(
 
     ff = FFModel()
     env: Dict[str, Any] = {}
+    const_vals: Dict[str, np.ndarray] = {}  # Constant-node outputs by value
     weight_loads = []
+
+    def shape_input(node, idx, what):
+        """Value of a shape-like operand: graph initializer OR Constant-node
+        output. Anything else (runtime-computed shapes) fails LOUDLY with
+        the op name instead of an opaque KeyError/TypeError downstream."""
+        name = node.input[idx]
+        if name in inits:
+            return inits[name]
+        if name in const_vals:
+            return const_vals[name]
+        raise NotImplementedError(
+            f"ONNX {node.op_type}: {what} input {name!r} must be an "
+            f"initializer or Constant output (runtime-computed values are "
+            f"not supported)")
 
     for vi in graph.input:
         if vi.name in inits:
@@ -81,7 +96,7 @@ def from_onnx_model(
     for node in graph.node:
         op = node.op_type
         ins = node.input
-        x = env.get(ins[0])
+        x = env.get(ins[0]) if ins else None  # Constant nodes have no inputs
         if op == "Gemm":
             w = inits[ins[1]]
             # full Gemm attribute set (reference model.py Gemm fusion path):
@@ -180,8 +195,8 @@ def from_onnx_model(
         elif op == "Split":
             axis = _attr(node, "axis", 0)
             sizes = _attr(node, "split")
-            if sizes is None and len(ins) > 1 and ins[1] in inits:
-                sizes = inits[ins[1]].tolist()  # opset>=13: split as input
+            if sizes is None and len(ins) > 1:
+                sizes = shape_input(node, 1, "split").tolist()  # opset>=13
             if sizes is None:
                 n = len(node.output)
                 sizes = [x.shape[axis] // n] * n
@@ -194,11 +209,11 @@ def from_onnx_model(
                                             name=node.name)
         elif op == "Pad":
             pads = _attr(node, "pads")
-            if pads is None and len(ins) > 1 and ins[1] in inits:
-                pads = inits[ins[1]].tolist()  # opset>=11: pads as input
+            if pads is None and len(ins) > 1:
+                pads = shape_input(node, 1, "pads").tolist()  # opset>=11
             val = _attr(node, "value", 0.0)
-            if len(ins) > 2 and ins[2] in inits:
-                val = float(inits[ins[2]])
+            if len(ins) > 2 and (ins[2] in inits or ins[2] in const_vals):
+                val = float(shape_input(node, 2, "constant_value"))
             nd = x.ndim
             pw = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
             env[node.output[0]] = ff.pad(x, pw, val)
@@ -210,11 +225,14 @@ def from_onnx_model(
             env[node.output[0]] = ff.cast(x, dt)
         elif op in ("Unsqueeze", "Squeeze"):
             axes = _attr(node, "axes")
-            if axes is None and len(ins) > 1 and ins[1] in inits:
-                axes = inits[ins[1]].tolist()  # opset>=13: axes as input
+            if axes is None and len(ins) > 1:
+                axes = shape_input(node, 1, "axes").tolist()
             shape = list(x.shape)
             if op == "Unsqueeze":
-                for a in sorted(int(a) % (x.ndim + 1) for a in axes):
+                # axes index into the OUTPUT rank (x.ndim + len(axes)):
+                # normalizing by x.ndim+1 breaks multi-axis/negative cases
+                out_rank = x.ndim + len(axes)
+                for a in sorted(int(a) % out_rank for a in axes):
                     shape.insert(a, 1)
             else:
                 if axes is None:
@@ -225,7 +243,7 @@ def from_onnx_model(
                     shape = [d for i, d in enumerate(shape) if i not in drop]
             env[node.output[0]] = ff.reshape(x, shape)
         elif op == "Expand":
-            tgt = inits[ins[1]].tolist()
+            tgt = shape_input(node, 1, "shape").tolist()
             shape = list(x.shape)
             pad_nd = len(tgt) - len(shape)
             out_shape = [
@@ -244,6 +262,7 @@ def from_onnx_model(
                 for a in node.attribute:
                     if a.name == "value":
                         val = _to_array(a.t)
+            const_vals[node.output[0]] = np.asarray(val)
             env[node.output[0]] = ff.constant(np.asarray(val))
         elif op == "LeakyRelu":
             env[node.output[0]] = ff.leaky_relu(
@@ -251,21 +270,22 @@ def from_onnx_model(
         elif op == "Clip":
             lo = _attr(node, "min")
             hi = _attr(node, "max")
-            if lo is None and len(ins) > 1 and ins[1] in inits:
-                lo = float(inits[ins[1]])
-            if hi is None and len(ins) > 2 and ins[2] in inits:
-                hi = float(inits[ins[2]])
+            if lo is None and len(ins) > 1 and ins[1]:
+                lo = float(shape_input(node, 1, "min"))
+            if hi is None and len(ins) > 2 and ins[2]:
+                hi = float(shape_input(node, 2, "max"))
             env[node.output[0]] = ff.clamp(x, lo, hi)
         elif op == "Exp":
             env[node.output[0]] = ff.exp(x)
         elif op == "Sqrt":
             env[node.output[0]] = ff.sqrt(x)
         elif op == "Pow":
-            env[node.output[0]] = ff.pow(x, float(inits[ins[1]]))
+            env[node.output[0]] = ff.pow(
+                x, float(shape_input(node, 1, "exponent")))
         elif op == "ReduceMean":
             axes = _attr(node, "axes")
-            if axes is None and len(ins) > 1 and ins[1] in inits:
-                axes = inits[ins[1]].tolist()
+            if axes is None and len(ins) > 1:
+                axes = shape_input(node, 1, "axes").tolist()
             keep = bool(_attr(node, "keepdims", 1))
             env[node.output[0]] = ff.mean(
                 x, [int(a) % x.ndim for a in axes], keepdims=keep)

@@ -94,7 +94,8 @@ class InferenceEngine:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from flexflow_tpu.parallel.sharding import param_shardings
 
-                layer_sh = param_shardings(spec, params, mesh)["layers"]
+                layer_sh = param_shardings(
+                    spec, params, mesh, hybrid_ffn=hybrid_ffn)["layers"]
                 host_sh = jax.tree.map(
                     lambda s: NamedSharding(s.mesh, s.spec,
                                             memory_kind="pinned_host"),

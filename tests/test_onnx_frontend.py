@@ -218,3 +218,49 @@ def test_onnx_pad_gap_cast(tmp_path):
     xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
     want = xp.mean(axis=(2, 3))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_onnx_multiaxis_unsqueeze_and_constant_clip(tmp_path):
+    """Self-review r4 regressions: (a) multi-axis Unsqueeze normalizes axes
+    by the OUTPUT rank (axes=[1,3] on rank-2 -> [d0,1,d1,1], not
+    [1,1,d0,d1]); (b) Clip whose min/max come from Constant-node outputs
+    actually clips (it silently degraded to identity)."""
+    rng = np.random.RandomState(5)
+    nodes = [
+        op.NodeProto(op_type="Constant", input=[], output=["cmin"],
+                     attribute=[op.AttributeProto(
+                         name="value",
+                         t=op.array_to_tensor(
+                             np.asarray(0.0, np.float32), name="cmin_v"),
+                         type=op.AttributeProto.TENSOR)]),
+        op.NodeProto(op_type="Constant", input=[], output=["cmax"],
+                     attribute=[op.AttributeProto(
+                         name="value",
+                         t=op.array_to_tensor(
+                             np.asarray(0.5, np.float32), name="cmax_v"),
+                         type=op.AttributeProto.TENSOR)]),
+        op.NodeProto(op_type="Clip", input=["x", "cmin", "cmax"],
+                     output=["c"]),
+        op.NodeProto(op_type="Unsqueeze", input=["c"], output=["u"],
+                     attribute=[_attr_ints("axes", (1, 3))]),
+        op.NodeProto(op_type="ReduceMean", input=["u"], output=["y"],
+                     attribute=[_attr_ints("axes", (1, 3)),
+                                op.AttributeProto(
+                                    name="keepdims", i=0,
+                                    type=op.AttributeProto.INT)]),
+    ]
+    m = _mk_model(
+        nodes,
+        [op.tensor_value_info("x", op.TensorProto.FLOAT, ("N", 6))],
+        [op.tensor_value_info("y", op.TensorProto.FLOAT, ("N", 6))],
+        {},
+    )
+    p = str(tmp_path / "uc.onnx")
+    op.save(m, p)
+    ff = from_onnx_model(p, batch_size=3)
+    ff.compile(optimizer=None)
+    apply_onnx_weights(ff)
+    x = rng.randn(3, 6).astype(np.float32)
+    got = ff.forward(x)
+    want = np.clip(x, 0.0, 0.5)  # unsqueeze [N,1,6,1] then mean over (1,3)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
