@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flexflow_tpu import specs
 from flexflow_tpu.models import params as params_lib
 from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManager
+from flexflow_tpu.ops.sampling import SamplingConfig
 
 ROUND1_INCR_TOKENS_PER_SEC = 1917.8  # first measured figure on this chip
 
@@ -77,6 +78,16 @@ def main():
               f"bucket for prompt len {blen}", file=sys.stderr, flush=True)
         warm = [[1] * blen for _ in range(batch)]
         rm.generate(warm, GenerationConfig(max_new_tokens=horizon))
+    # the length-aware window buckets the measured run reaches: 128/256 are
+    # warmed by the waves above; the full-window (None) decode program that
+    # late decode steps (lens > 256) use is warmed directly here (no need
+    # for a long-prompt prefill compile just to raise lens)
+    wlens = np.full((batch,), 300, np.int32)
+    wtoks = np.ones((batch,), np.int32)
+    wscfg = SamplingConfig.greedy(batch)
+    for wn in (64, 32):
+        engine.decode_horizon(wlens, wtoks, jax.random.PRNGKey(7), wscfg, wn,
+                              window=None)
     warm_s = time.perf_counter() - t_w
     print(f"[headline] warmup done in {warm_s:.1f}s; measuring",
           file=sys.stderr, flush=True)
@@ -132,6 +143,13 @@ def main():
     )
     rm1 = RequestManager(eng1, decode_horizon=horizon, pipelined=True)
     rm1.generate([prompts[0]], GenerationConfig(max_new_tokens=horizon))
+    # warm every (horizon, window) decode program the measured run reaches
+    # (lens up to ~336 -> windows 256 and full)
+    w1scfg = SamplingConfig.greedy(1)
+    for wl, ww in ((200, 256), (300, None)):
+        eng1.decode_horizon(
+            np.full((1,), wl, np.int32), np.ones((1,), np.int32),
+            jax.random.PRNGKey(7), w1scfg, horizon, window=ww)
     t0 = time.perf_counter()
     reqs1 = rm1.generate([prompts[1]], GenerationConfig(max_new_tokens=256))
     dt1 = time.perf_counter() - t0

@@ -502,8 +502,19 @@ def forward_cached(
     lora_scale: float = 1.0,
     offload: bool = False,  # params["layers"] resident in pinned_host memory
     offload_shardings=None,  # per-layer-slice device shardings (mesh offload)
+    attn_window: Optional[int] = None,  # static: attend only cache[..., :w]
 ):
     """Cached decode / tree-verify forward. Returns (logits [B,T,V] fp32, cache).
+
+    ``attn_window`` (static, host-chosen bucket >= max(cache_lens)): attention
+    reads only the first ``attn_window`` cache positions instead of the full
+    allocated [S] window — the length-aware analog of the reference sizing its
+    attention kernel launch to BatchConfig's per-request ``num_tokens``
+    (inc_multihead_self_attention.cu:378 streams only committed entries).
+    Bit-exact: positions >= cache_lens are where-masked to exactly-zero
+    softmax contributions either way, so any window covering every row's
+    committed prefix yields identical outputs while skipping the HBM read of
+    the dead tail. Cache WRITES (commit windows) always target the full cache.
 
     ``write_cache=False`` skips the cache update and instead returns
     ``(logits, (k_new, v_new))`` with the new tokens' per-layer KV stacked
@@ -541,6 +552,14 @@ def forward_cached(
     # in-range positions); clipping the start would shift the window onto
     # earlier committed positions instead
     write_start = jnp.clip(write_start.astype(jnp.int32), 0, cache.max_seq_len)
+
+    if (
+        attn_window is not None
+        and kv_mask is not None
+        and kv_mask.shape[-1] > attn_window
+    ):
+        # kv_mask columns beyond the window are over never-visible positions
+        kv_mask = kv_mask[..., :attn_window]
 
     # explicit joint mask over [extra | in-flight] when extra KV is appended
     if extra_kv is not None:
@@ -591,6 +610,13 @@ def forward_cached(
             # write-then-read of the cache bit-for-bit
             kc = k.astype(ck_l.dtype)
             vc = v.astype(cv_l.dtype)
+            if attn_window is not None and attn_window < ck_l.shape[-1]:
+                # static trailing-axis slice fuses into the attention read:
+                # HBM traffic for the cache drops to the window fraction
+                ck_a = ck_l[..., :attn_window]
+                cv_a = cv_l[..., :attn_window]
+            else:
+                ck_a, cv_a = ck_l, cv_l
             if (
                 t == 1
                 and tree_mask is None
@@ -606,7 +632,7 @@ def forward_cached(
                 # S=4096. XLA stays the path everywhere else.
                 and spec.num_heads // max(spec.num_kv_heads, 1) >= 8
                 and cache_lens is not None
-                and ck_l.shape[-1] <= 2048
+                and ck_a.shape[-1] <= 2048
                 and _use_pallas_decode_attention()
             ):
                 from flexflow_tpu.ops.pallas.decode_attention import (
@@ -614,7 +640,7 @@ def forward_cached(
                 )
 
                 out = decode_attention(
-                    q[:, 0], ck_l, cv_l, kc[:, 0], vc[:, 0], cache_lens
+                    q[:, 0], ck_a, cv_a, kc[:, 0], vc[:, 0], cache_lens
                 )[:, None]
                 return out, (kc, vc)
             if ex is not None:
@@ -625,8 +651,8 @@ def forward_cached(
                 kn, vn = kc, vc
             out = attn_lib.split_cached_attention(
                 q,
-                ck_l,
-                cv_l,
+                ck_a,
+                cv_a,
                 kn,
                 vn,
                 cache_lens,

@@ -232,18 +232,42 @@ class InferenceEngine:
             return toks, KVCache(k=ck, v=cv)
 
         @functools.partial(
-            jax.jit, donate_argnums=(1,), static_argnames=("greedy_only",)
+            jax.jit, donate_argnums=(1,),
+            static_argnames=("greedy_only", "window"),
         )
         def decode_fn(
             params, cache: KVCache, cache_lens, tokens, key, scfg,
-            lora=None, onehot=None, greedy_only=False,
+            lora=None, onehot=None, greedy_only=False, window=None,
         ):
-            logits, cache = decoder.forward_cached(
-                self.spec, params, tokens[:, None], cache, cache_lens,
-                lora=lora, adapter_onehot=onehot, lora_scale=self.lora_scale,
-                offload=self._offload,
-                offload_shardings=self._offload_shardings,
-            )
+            if window is not None and window < cache.k.shape[-1]:
+                # length-aware read: attend against the committed window
+                # only (hoisted slice, bit-exact — see decode_n_fn); the
+                # token's KV commits into the FULL cache
+                cache_r = KVCache(
+                    k=cache.k[..., :window], v=cache.v[..., :window]
+                )
+                logits, (k_new, v_new) = decoder.forward_cached(
+                    self.spec, params, tokens[:, None], cache_r, cache_lens,
+                    write_cache=False,
+                    lora=lora, adapter_onehot=onehot,
+                    lora_scale=self.lora_scale, offload=self._offload,
+                    offload_shardings=self._offload_shardings,
+                )
+                ck, cv = decoder.commit_kv_windows(
+                    cache.k, cache.v,
+                    k_new.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype),
+                    v_new.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype),
+                    cache_lens,
+                )
+                cache = KVCache(k=ck, v=cv)
+            else:
+                logits, cache = decoder.forward_cached(
+                    self.spec, params, tokens[:, None], cache, cache_lens,
+                    lora=lora, adapter_onehot=onehot,
+                    lora_scale=self.lora_scale,
+                    offload=self._offload,
+                    offload_shardings=self._offload_shardings,
+                )
             next_tokens = sampling_lib.sample(
                 logits[:, 0], key, scfg, greedy_only=greedy_only
             )
@@ -251,11 +275,11 @@ class InferenceEngine:
 
         @functools.partial(
             jax.jit, donate_argnums=(1,),
-            static_argnames=("n", "greedy_only"),
+            static_argnames=("n", "greedy_only", "window"),
         )
         def decode_n_fn(
             params, cache: KVCache, cache_lens, tokens, key, scfg, n,
-            lora=None, onehot=None, greedy_only=False,
+            lora=None, onehot=None, greedy_only=False, window=None,
         ):
             """n chained decode steps fully on device (horizon decoding).
 
@@ -279,12 +303,26 @@ class InferenceEngine:
             kh, dh = cache.k.shape[2], cache.k.shape[3]
             stage0 = jnp.zeros((num_l, b, n, kh, dh), cache.k.dtype)
             steps = jnp.arange(n, dtype=jnp.int32)
+            # Length-aware cache read (ROADMAP r4 #1: attention read the full
+            # allocated [S] window): materialize the committed window ONCE
+            # outside the step scan — the copy is loop-invariant, so the n
+            # steps each read window bytes instead of the full cache. The
+            # read is bit-exact (positions >= cache_lens are where-masked to
+            # exactly-zero contributions); commits below target the FULL
+            # cache. In-body slicing instead of this hoist measured SLOWER
+            # than no window at all (per-layer slice materialization).
+            if window is not None and window < cache.k.shape[-1]:
+                cache_r = KVCache(
+                    k=cache.k[..., :window], v=cache.v[..., :window]
+                )
+            else:
+                cache_r = cache
 
             def body(carry, i):
                 sk, sv, toks = carry
                 emask = jnp.broadcast_to((steps < i)[None, None, :], (b, 1, n))
                 logits, (k_new, v_new) = decoder.forward_cached(
-                    self.spec, params, toks[:, None], cache, cache_lens,
+                    self.spec, params, toks[:, None], cache_r, cache_lens,
                     positions=(cache_lens + i)[:, None],
                     write_cache=False,
                     extra_kv=(sk, sv), extra_mask=emask,
@@ -292,7 +330,7 @@ class InferenceEngine:
                     extra_positions=cache_lens[:, None] + steps[None, :],
                     lora=lora, adapter_onehot=onehot,
                     lora_scale=self.lora_scale, offload=self._offload,
-                offload_shardings=self._offload_shardings,
+                    offload_shardings=self._offload_shardings,
                 )
                 sk = jax.lax.dynamic_update_slice(
                     sk, k_new.astype(sk.dtype), (0, 0, i, 0, 0))
@@ -395,6 +433,14 @@ class InferenceEngine:
             _round_up_pow2(max(prompt_len, 1), self.min_prefill_bucket),
             self.max_seq_len,
         )
+
+    def attn_window_bucket(self, max_len: int):
+        """Static attention-window bucket covering ``max_len`` committed
+        tokens: power-of-two from 128 (bounds the compile count the way
+        prefill buckets do), ``None`` once the window reaches the full
+        cache. Bit-exact for any batch whose rows are all <= the bucket."""
+        w = _round_up_pow2(max(int(max_len), 1), 128)
+        return None if w >= self.max_seq_len else w
 
     def prefill_to_slot_async(
         self,
@@ -559,6 +605,7 @@ class InferenceEngine:
         key: jax.Array,
         scfg: SamplingConfig,
         adapter_ids=None,
+        window=None,
     ) -> np.ndarray:
         next_tokens, self.cache = self._decode(
             self.params,
@@ -570,6 +617,7 @@ class InferenceEngine:
             self.lora,
             self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
+            window=window,
         )
         return self.fetch(next_tokens)
 
@@ -581,11 +629,12 @@ class InferenceEngine:
         scfg: SamplingConfig,
         n: int,
         adapter_ids=None,
+        window=None,
     ) -> np.ndarray:
         """Run n device-resident decode steps; returns [n, B] tokens."""
         return self.fetch(
             self.decode_horizon_async(
-                cache_lens, tokens, key, scfg, n, adapter_ids
+                cache_lens, tokens, key, scfg, n, adapter_ids, window
             )
         )
 
@@ -597,12 +646,14 @@ class InferenceEngine:
         scfg: SamplingConfig,
         n: int,
         adapter_ids=None,
+        window=None,
     ) -> jnp.ndarray:
         """Dispatch n decode steps; returns the [n, B] token DEVICE array
         without blocking — the pipelined scheduler fetches it one horizon
         late, overlapping device->host transfer with the next horizon's
         compute (the reference's 4-deep future pipeline,
-        request_manager.cc:3122-3137)."""
+        request_manager.cc:3122-3137). ``window``: static attention-window
+        bucket (attn_window_bucket) — must cover max(cache_lens)."""
         out, self.cache = self._decode_n(
             self.params,
             self.cache,
@@ -615,5 +666,6 @@ class InferenceEngine:
             self.lora,
             self._onehot(adapter_ids),
             greedy_only=self._greedy_only(scfg),
+            window=window,
         )
         return out

@@ -905,7 +905,14 @@ class PipelineInferenceEngine:
             )
         )
 
-    def decode(self, cache_lens, tokens, key, scfg, adapter_ids=None):
+    def attn_window_bucket(self, max_len: int):
+        """Length-aware attention windows are not plumbed through the
+        stage-resident PP programs yet — always read the full cache (the
+        single-chip InferenceEngine carries the optimization)."""
+        return None
+
+    def decode(self, cache_lens, tokens, key, scfg, adapter_ids=None,
+               window=None):
         nt, self.cache = self._decode(
             self.params, self.cache,
             self._h(np.asarray(cache_lens, np.int32)),
@@ -917,7 +924,7 @@ class PipelineInferenceEngine:
         return self.fetch(nt)
 
     def decode_horizon_async(self, cache_lens, tokens, key, scfg, n,
-                             adapter_ids=None):
+                             adapter_ids=None, window=None):
         out, self.cache = self._decode_n(
             self.params, self.cache,
             self._h(np.asarray(cache_lens, np.int32)),
@@ -932,7 +939,7 @@ class PipelineInferenceEngine:
         return out
 
     def decode_horizon(self, cache_lens, tokens, key, scfg, n,
-                       adapter_ids=None):
+                       adapter_ids=None, window=None):
         return self.fetch(
             self.decode_horizon_async(cache_lens, tokens, key, scfg, n)
         )

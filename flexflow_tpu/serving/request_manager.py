@@ -457,6 +457,9 @@ class RequestManager:
                 out_dev = self.engine.decode_horizon_async(
                     lens, tokens_in, self._next_key(), scfg, n,
                     adapter_ids=self._adapter,
+                    # length-aware attention: read only the committed bucket
+                    window=self.engine.attn_window_bucket(
+                        int(lens[active].max())),
                 )
             entries = [(s, self._slots[s]) for s in active]
             for s in active:
@@ -504,16 +507,18 @@ class RequestManager:
             if self.decode_horizon > 1
             else 1
         )
+        window = self.engine.attn_window_bucket(
+            int(self._cache_lens[active].max()))
         with self._phase("decode"):
             if n == 1:
                 horizon_tokens = self.engine.decode(
                     self._cache_lens, self._tokens, self._next_key(), scfg,
-                    adapter_ids=self._adapter,
+                    adapter_ids=self._adapter, window=window,
                 )[None, :]
             else:
                 horizon_tokens = self.engine.decode_horizon(
                     self._cache_lens, self._tokens, self._next_key(), scfg, n,
-                    adapter_ids=self._adapter,
+                    adapter_ids=self._adapter, window=window,
                 )  # [n, B]
         self._steps += n
         for slot in active:

@@ -381,3 +381,47 @@ def test_mesh_offload_matches_resident():
         return [r.output_tokens for r in reqs]
 
     assert run(False) == run(True)
+
+
+def test_attn_window_bit_exact(tiny_params):
+    """Length-aware attention window (static cache-read bucket) is bit-exact
+    vs the full-window read, for horizon decode, single-step decode, and the
+    committed cache state (ROADMAP r4 #1: attention read the full [S])."""
+    from flexflow_tpu.ops.sampling import SamplingConfig
+
+    e_w = make_engine(tiny_params, max_seq_len=128)
+    e_f = make_engine(tiny_params, max_seq_len=128)
+    prompt = np.asarray([3, 17, 91, 5, 8, 44, 2], np.int32)
+    for e in (e_w, e_f):
+        for s in range(4):
+            e.prefill_to_slot(prompt, s, jax.random.PRNGKey(9),
+                              SamplingConfig.greedy(1))
+    lens = np.full((4,), len(prompt), np.int32)
+    toks = np.arange(4, dtype=np.int32) + 5
+    scfg = SamplingConfig.greedy(4)
+    a = e_w.decode_horizon(lens, toks, jax.random.PRNGKey(3), scfg, 8,
+                           window=16)
+    b = e_f.decode_horizon(lens, toks, jax.random.PRNGKey(3), scfg, 8,
+                           window=None)
+    assert np.array_equal(a, b)
+    a1 = e_w.decode(lens + 8, a[-1], jax.random.PRNGKey(4), scfg, window=32)
+    b1 = e_f.decode(lens + 8, b[-1], jax.random.PRNGKey(4), scfg, window=None)
+    assert np.array_equal(a1, b1)
+    # commits must land identically in the FULL cache on both paths
+    assert jnp.array_equal(e_w.cache.k, e_f.cache.k)
+    assert jnp.array_equal(e_w.cache.v, e_f.cache.v)
+    # cross-continue: windowed state feeds a full-window program and back
+    a2 = e_w.decode_horizon(lens + 9, a1, jax.random.PRNGKey(5), scfg, 4,
+                            window=None)
+    b2 = e_f.decode_horizon(lens + 9, b1, jax.random.PRNGKey(5), scfg, 4,
+                            window=32)
+    assert np.array_equal(a2, b2)
+
+
+def test_attn_window_bucket_policy(tiny_params):
+    e = make_engine(tiny_params, max_seq_len=512)
+    assert e.attn_window_bucket(1) == 128
+    assert e.attn_window_bucket(128) == 128
+    assert e.attn_window_bucket(129) == 256
+    assert e.attn_window_bucket(300) is None  # >= max_seq_len -> full
+    assert e.attn_window_bucket(512) is None
