@@ -498,7 +498,13 @@ class PipelineSpecEngine:
         )
         return self.fetch(produced), self.fetch(n_acc)
 
-    def fused_step_n(self, cache_lens, root_tokens, n):
+    def attn_window_bucket(self, max_len: int):
+        """Length-aware windows are not plumbed through the stage-
+        resident PP spec programs — full cache reads (see
+        PipelineInferenceEngine.attn_window_bucket)."""
+        return None
+
+    def fused_step_n(self, cache_lens, root_tokens, n, window=None):
         produced, n_acc, _l, _r, self.llm_cache, self.ssm_cache = (
             self._fused_step_n(
                 self.llm_params, self.ssm_params,
@@ -510,7 +516,7 @@ class PipelineSpecEngine:
         )
         return self.fetch(produced), self.fetch(n_acc)
 
-    def fused_step_n_async(self, lens_dev, roots_dev, n):
+    def fused_step_n_async(self, lens_dev, roots_dev, n, window=None):
         produced, n_acc, lens_out, roots_out, self.llm_cache, self.ssm_cache = (
             self._fused_step_n(
                 self.llm_params, self.ssm_params,
@@ -532,7 +538,8 @@ class PipelineSpecEngine:
         )
         return self.fetch(produced), self.fetch(n_acc)
 
-    def fused_sample_step_n(self, cache_lens, root_tokens, key, scfg, n):
+    def fused_sample_step_n(self, cache_lens, root_tokens, key, scfg, n,
+                            window=None):
         produced, n_acc, _l, _r, self.llm_cache, self.ssm_cache = (
             self._fused_sample_step_n(
                 self.llm_params, self.ssm_params,
@@ -544,7 +551,8 @@ class PipelineSpecEngine:
         )
         return self.fetch(produced), self.fetch(n_acc)
 
-    def fused_sample_step_n_async(self, lens_dev, roots_dev, key, scfg, n):
+    def fused_sample_step_n_async(self, lens_dev, roots_dev, key, scfg, n,
+                                  window=None):
         produced, n_acc, lens_out, roots_out, self.llm_cache, self.ssm_cache = (
             self._fused_sample_step_n(
                 self.llm_params, self.ssm_params,

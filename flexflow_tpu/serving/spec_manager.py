@@ -259,6 +259,9 @@ class SpecRequestManager:
     def _step_fused(self, active) -> bool:
         lens_before = self._cache_lens.copy()
         h = self._clamped_horizon(active)
+        # length-aware cache read (lens are exact here: non-pipelined)
+        window = self.engine.attn_window_bucket(
+            int(max(lens_before[s] for s in active)))
         sampling = any(self._temperature[s] > 0.0 for s in active)
         if sampling:
             scfg = SamplingConfig(
@@ -271,14 +274,15 @@ class SpecRequestManager:
                 produced, n_acc = produced[None], n_acc[None]
             else:
                 produced, n_acc = self.engine.fused_sample_step_n(
-                    lens_before, self._root_tokens, self._next_key(), scfg, h)
+                    lens_before, self._root_tokens, self._next_key(), scfg, h,
+                    window=window)
         elif h == 1:
             produced, n_acc = self.engine.fused_step(
                 lens_before, self._root_tokens)
             produced, n_acc = produced[None], n_acc[None]
         else:
             produced, n_acc = self.engine.fused_step_n(
-                lens_before, self._root_tokens, h)
+                lens_before, self._root_tokens, h, window=window)
         self._steps += h
         snapshot = [(slot, self._slots[slot]) for slot in active]
         self._process_produced(snapshot, produced, n_acc, h)
@@ -337,6 +341,14 @@ class SpecRequestManager:
                 self._cache_lens, self._root_tokens)
         self._override_mask = np.zeros(b, bool)
 
+        # length-aware cache read: device lens aren't host-visible here, but
+        # drained lens + in-flight iterations x (depth+1 accepted max) is a
+        # safe upper bound on every slot's committed length at execution
+        window = self.engine.attn_window_bucket(int(max(
+            self._cache_lens[s]
+            + self._inflight_iters[s] * (self.engine.depth + 1)
+            for s in active
+        )))
         sampling = any(self._temperature[s] > 0.0 for s in active)
         if sampling:
             scfg = SamplingConfig(
@@ -346,12 +358,12 @@ class SpecRequestManager:
             produced, n_acc, self._dev_lens, self._dev_roots = (
                 self.engine.fused_sample_step_n_async(
                     self._dev_lens, self._dev_roots, self._next_key(),
-                    scfg, h)
+                    scfg, h, window=window)
             )
         else:
             produced, n_acc, self._dev_lens, self._dev_roots = (
                 self.engine.fused_step_n_async(
-                    self._dev_lens, self._dev_roots, h)
+                    self._dev_lens, self._dev_roots, h, window=window)
             )
         self._steps += h
         for s in active:

@@ -638,14 +638,32 @@ class SpecEngine:
                                    ssm_cache, cache_lens, roots)
 
         def _staged_horizon(llm_params, ssm_params, llm_cache, ssm_cache,
-                            cache_lens, roots, n, walk_xs, walk_fn):
+                            cache_lens, roots, n, walk_xs, walk_fn,
+                            window=None):
             """n fused iterations with STAGED commit: accepted KV lives in
             small in-register staging buffers across the horizon and the
             multi-GB caches are written ONCE at the end — the per-iteration
             full-cache commit was ~5 ms of a 40 ms iteration at 7B.
             ``walk_fn(logits, tree_tokens, tree_parents, xs) -> (produced,
-            n_acc, from_slots)`` abstracts greedy vs sampling acceptance."""
+            n_acc, from_slots)`` abstracts greedy vs sampling acceptance.
+
+            ``window`` (static, >= max(cache_lens)): draft + verify attend
+            against a hoisted [.., :window] slice of each cache instead of
+            the full [S] extent — cache_lens is FIXED across the horizon
+            (in-horizon KV rides the staging buffers), so the windowed read
+            is bit-exact; the end-of-horizon commit targets the FULL caches.
+            Same structure as InferenceEngine.decode_n_fn (ROADMAP r4 #1)."""
             b = cache_lens.shape[0]
+            if window is not None and window < llm_cache.k.shape[-1]:
+                llm_read = KVCache(k=llm_cache.k[..., :window],
+                                   v=llm_cache.v[..., :window])
+            else:
+                llm_read = llm_cache
+            if window is not None and window < ssm_cache.k.shape[-1]:
+                ssm_read = KVCache(k=ssm_cache.k[..., :window],
+                                   v=ssm_cache.v[..., :window])
+            else:
+                ssm_read = ssm_cache
             cap = n * (dmax + 1)
             sdt = ssm_cache.k.dtype
             ldt = llm_cache.k.dtype
@@ -663,10 +681,10 @@ class SpecEngine:
             def body(carry, xs):
                 s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts, roots = carry
                 tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
-                    ssm_params, ssm_cache, cache_lens, roots,
+                    ssm_params, ssm_read, cache_lens, roots,
                     staged=(s_ssm_k, s_ssm_v, counts))
                 logits, llm_buf = verify_logits_reg(
-                    llm_params, llm_cache, cache_lens, tree_tokens,
+                    llm_params, llm_read, cache_lens, tree_tokens,
                     jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self,
                     staged=(s_llm_k, s_llm_v, counts))
                 produced, n_acc, from_slots = walk_fn(
@@ -709,17 +727,17 @@ class SpecEngine:
                 expected, tree_tokens, tree_parents, dmax)
 
         @functools.partial(
-            jax.jit, donate_argnums=(2, 3), static_argnames=("n",)
+            jax.jit, donate_argnums=(2, 3), static_argnames=("n", "window")
         )
         def fused_step_n_fn(llm_params, ssm_params, llm_cache, ssm_cache,
-                            cache_lens, roots, n):
+                            cache_lens, roots, n, window=None):
             """n fused speculative iterations as one device-resident scan
             (spec horizon): lens/roots feed back on device; host fetches
             [n, B, depth+1] produced tokens + [n, B] counts once. Staged
             commit: the caches are written once per horizon."""
             return _staged_horizon(
                 llm_params, ssm_params, llm_cache, ssm_cache,
-                cache_lens, roots, n, None, _greedy_walk_xs)
+                cache_lens, roots, n, None, _greedy_walk_xs, window=window)
 
         # ---- SAMPLING-mode fused iteration: stochastic multi-round
         # verification (spec_sampling.tree_sample_walk) instead of the
@@ -762,10 +780,11 @@ class SpecEngine:
                                           scfg)
 
         @functools.partial(
-            jax.jit, donate_argnums=(2, 3), static_argnames=("n",)
+            jax.jit, donate_argnums=(2, 3), static_argnames=("n", "window")
         )
         def fused_sample_step_n_fn(llm_params, ssm_params, llm_cache,
-                                   ssm_cache, cache_lens, roots, key, scfg, n):
+                                   ssm_cache, cache_lens, roots, key, scfg, n,
+                                   window=None):
             def sample_walk(logits, tree_tokens, tree_parents, key_i):
                 b = tree_tokens.shape[0]
                 v = logits.shape[-1]
@@ -783,7 +802,8 @@ class SpecEngine:
 
             return _staged_horizon(
                 llm_params, ssm_params, llm_cache, ssm_cache,
-                cache_lens, roots, n, jax.random.split(key, n), sample_walk)
+                cache_lens, roots, n, jax.random.split(key, n), sample_walk,
+                window=window)
 
         self._prefill_both_batch = prefill_both_batch_fn
         # uncompiled building blocks (perf probes / custom fusions)
@@ -1025,8 +1045,21 @@ class SpecEngine:
         )
         return self.fetch(produced), self.fetch(n_acc)
 
+    def attn_window_bucket(self, max_len: int):
+        """Static cache-read window bucket (see InferenceEngine): pow2 from
+        128, ``None`` once it reaches the full cache. Must be computed from
+        an UPPER BOUND on every active slot's committed length at dispatch
+        execution time (pipelined callers add in-flight iterations x
+        (depth+1))."""
+        w = 128
+        m = max(int(max_len), 1)
+        while w < m:
+            w *= 2
+        return None if w >= self.max_seq_len else w
+
     def fused_step_n(
-        self, cache_lens: np.ndarray, root_tokens: np.ndarray, n: int
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray, n: int,
+        window=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """n device-chained speculative iterations (spec horizon).
 
@@ -1038,12 +1071,12 @@ class SpecEngine:
                 self.llm_cache, self.ssm_cache,
                 self._h(np.asarray(cache_lens, np.int32)),
                 self._h(np.asarray(root_tokens, np.int32)),
-                n,
+                n, window,
             )
         )
         return self.fetch(produced), self.fetch(n_acc)
 
-    def fused_step_n_async(self, lens_dev, roots_dev, n: int):
+    def fused_step_n_async(self, lens_dev, roots_dev, n: int, window=None):
         """Pipelined variant: takes/returns DEVICE lens/roots so the next
         horizon can be dispatched before this one's tokens are fetched
         (the reference scheduler running a step ahead of the devices,
@@ -1053,19 +1086,20 @@ class SpecEngine:
             self._fused_step_n(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,
-                lens_dev, roots_dev, n,
+                lens_dev, roots_dev, n, window,
             )
         )
         return produced, n_acc, lens_out, roots_out
 
-    def fused_sample_step_n_async(self, lens_dev, roots_dev, key, scfg, n: int):
+    def fused_sample_step_n_async(self, lens_dev, roots_dev, key, scfg, n: int,
+                                  window=None):
         """Pipelined sampling-mode horizon (see fused_step_n_async)."""
         produced, n_acc, lens_out, roots_out, self.llm_cache, self.ssm_cache = (
             self._fused_sample_step_n(
                 self.llm_params, self.ssm_params,
                 self.llm_cache, self.ssm_cache,
                 lens_dev, roots_dev,
-                self._h(key), jax.tree_util.tree_map(self._h, scfg), n,
+                self._h(key), jax.tree_util.tree_map(self._h, scfg), n, window,
             )
         )
         return produced, n_acc, lens_out, roots_out
@@ -1102,7 +1136,7 @@ class SpecEngine:
 
     def fused_sample_step_n(
         self, cache_lens: np.ndarray, root_tokens: np.ndarray,
-        key: jax.Array, scfg, n: int,
+        key: jax.Array, scfg, n: int, window=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """n device-chained sampling-verified speculative iterations."""
         produced, n_acc, _l, _r, self.llm_cache, self.ssm_cache = (
@@ -1111,7 +1145,7 @@ class SpecEngine:
                 self.llm_cache, self.ssm_cache,
                 self._h(np.asarray(cache_lens, np.int32)),
                 self._h(np.asarray(root_tokens, np.int32)),
-                self._h(key), jax.tree_util.tree_map(self._h, scfg), n,
+                self._h(key), jax.tree_util.tree_map(self._h, scfg), n, window,
             )
         )
         return self.fetch(produced), self.fetch(n_acc)

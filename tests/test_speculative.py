@@ -226,3 +226,45 @@ def test_multi_ssm_rotation(llm_params, ssm_params):
            for r in rm.generate(prompts, GenerationConfig(max_new_tokens=14))]
     assert got == want
     assert rm.num_processed_requests == 2
+
+
+def test_fused_spec_window_bit_exact(llm_params, ssm_params):
+    """Length-aware cache-read window in the fused spec horizon is bit-exact
+    vs the full-window read (ROADMAP r4 #1 applied to draft + verify)."""
+    def make():
+        return SpecEngine(
+            LLM, llm_params, SSM, ssm_params,
+            beam_width=2, beam_depth=3, max_requests_per_batch=2,
+            max_seq_len=256, cache_dtype=jnp.float32,
+        )
+
+    prompts = [[3, 17, 91, 5], [8, 13, 21]]
+    e_w, e_f = make(), make()
+    for e in (e_w, e_f):
+        for s, p in enumerate(prompts):
+            e.prefill_both(np.asarray(p, np.int32), s)
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    roots = np.asarray([7, 9], np.int32)
+    pw, aw = e_w.fused_step_n(lens, roots, 4, window=32)
+    pf, af = e_f.fused_step_n(lens, roots, 4, window=None)
+    assert np.array_equal(pw, pf) and np.array_equal(aw, af)
+    assert jnp.array_equal(e_w.llm_cache.k, e_f.llm_cache.k)
+    assert jnp.array_equal(e_w.ssm_cache.k, e_f.ssm_cache.k)
+
+
+def test_pipelined_spec_windowed_equals_incremental(llm_params, ssm_params):
+    """End-to-end: pipelined spec serving with real (non-None) window buckets
+    still exactly equals incremental greedy. max_seq_len 512 with short
+    prompts forces the 128-bucket path through the scheduler."""
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    want = incr_outputs(llm_params, prompts, 10)
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=512, cache_dtype=jnp.float32,
+    )
+    assert engine.attn_window_bucket(10) == 128  # the run really windows
+    rm = SpecRequestManager(engine, fused=True, spec_horizon=2, pipelined=True)
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=10))]
+    assert got == want
