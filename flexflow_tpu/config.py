@@ -80,6 +80,10 @@ class FFConfig:
     # S <= 2048 — bench_gqa_decode.py on-chip); MHA/MQA decode stays on XLA
     use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", True)
     use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", True)
+    # INT4 group-dot kernel (scale folded POST-dot, no dequantized weight
+    # tile): row-deterministic across shapes/blockings but not bitwise-equal
+    # to the dequant-then-dot kernel; gated until measured on-chip
+    int4_groupdot: bool = _env_flag("FF_INT4_GROUPDOT", False)
     # flash prefill kernel (ops/pallas/flash_prefill.py): beats the XLA
     # masked-softmax path at every measured shape (1.4x at S=512 up to 60x at
     # S=8192 on v5e), so ON by default; inference prefill only (no VJP)

@@ -46,6 +46,58 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, *, group_size: int):
     ).astype(o_ref.dtype)
 
 
+def _int4_groupdot_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *,
+                          group_size: int):
+    """AND-unpack + per-group dots + POST-dot f32 scale (no dequantized w).
+
+    The ROADMAP r4 "i4-3dot" family: instead of materializing the dequantized
+    [D, BF] bf16 weight tile (prod kernel below), dot the raw nibble planes
+    per group and fold scale/offset into the f32 partials AFTER the MXU:
+      out = sum_g dot(x_g, lo_g) * s_g + sum(x_g) * off_g   (+ high half,
+      with the /16 of hi16 = v & 0xF0 folded into its scales)
+    Saves the full-tile dequant FMA + bf16 round (measured 39us vs prod 52us
+    on [4096,11008] bf=1024 decode shapes). NOT bitwise-equal to the prod
+    kernel (scale applied post-dot in f32, no per-element bf16 round of w) —
+    but row-deterministic and blocking-independent: per-row results are
+    IDENTICAL across any (bb, bf) tiling and any batch size (fixed gh
+    accumulation order, per-group MXU dot over the same gs contraction), so
+    decode/verify/prefill programs sharing a unit stay argmax-consistent —
+    the property the spec-lossless and prefix-20 gates need. Exactness vs a
+    jnp mirror of this math is gated bitwise in tests/test_pallas_kernels.py.
+    """
+    x = x_ref[:]  # [BB, D]
+    v = pltpu.bitcast(q_ref[:], jnp.int8)  # [D/2, BF] planar
+    lo = (v & jnp.int8(0x0F)).astype(jnp.bfloat16)  # exact [0, 15]
+    hi16 = (v & jnp.int8(-16)).astype(jnp.bfloat16)  # 16 * signed hi
+    b = x.shape[0]
+    g = s_ref.shape[0]
+    gh = g // 2
+    d2 = v.shape[0]
+    s = s_ref[:]
+    off = off_ref[:]
+
+    def gdot(xg, qv):
+        qg = qv.reshape(gh, group_size, -1)
+        return jax.lax.dot_general(
+            xg, qg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [GH, B, BF]
+
+    xl = x[:, :d2].reshape(b, gh, group_size).transpose(1, 0, 2)
+    xh = x[:, d2:].reshape(b, gh, group_size).transpose(1, 0, 2)
+    xsum_l = jnp.sum(xl.astype(jnp.float32), axis=2)  # [GH, B]
+    xsum_h = jnp.sum(xh.astype(jnp.float32), axis=2)
+    s_lo, s_hi = s[:gh], s[gh:] * 0.0625
+    o_lo, o_hi = off[:gh], off[gh:]
+    out = (
+        gdot(xl, lo) * s_lo[:, None, :]
+        + xsum_l[:, :, None] * o_lo[:, None, :]
+        + gdot(xh, hi16) * s_hi[:, None, :]
+        + xsum_h[:, :, None] * o_hi[:, None, :]
+    )
+    o_ref[:] = jnp.sum(out, axis=0).astype(o_ref.dtype)
+
+
 def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
     """AND-unpack + full dequant + ONE big MXU dot.
 
@@ -80,7 +132,7 @@ def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "block_f", "interpret",
-                     "out_dtype"),
+                     "out_dtype", "groupdot"),
 )
 def _qmm_2d(
     x: jnp.ndarray,  # [B, D]
@@ -93,6 +145,7 @@ def _qmm_2d(
     block_f: int = 512,
     interpret: bool = False,
     out_dtype=None,
+    groupdot: bool = False,
 ):
     b, d = x.shape
     f = q.shape[-1]
@@ -116,11 +169,17 @@ def _qmm_2d(
         # int8 coefficient from the OOM datapoint ([256,11008] bf=512 ->
         # 17.43M scoped); int4's 0.4 from the FITTING datapoint (b=8,
         # d=11008, bf=512 runs within 16M) so decode shapes keep bf=512
-        core = (
-            d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
-            if bits == 8
-            else (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
-        )
+        if bits == 8:
+            core = d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
+        elif groupdot:
+            # nibble planes (bf16 x2) + the [GH, BB, BF] f32 group partials
+            # of the two batched dots (gh = g/2 per half)
+            core = (
+                (d // 2) * bf_ + d * bf_ * 2 + 2 * g * bf_ * 4
+                + (g // 2) * bb_ * bf_ * 4 * 2
+            )
+        else:
+            core = (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
         return bb_ * d * 2 + core + bb_ * bf_ * 4
 
     budget = 15 * 2**20
@@ -143,7 +202,9 @@ def _qmm_2d(
         ]
         args = (x, q, scale)
     else:
-        kernel = functools.partial(_int4_kernel, group_size=group_size)
+        kernel = functools.partial(
+            _int4_groupdot_kernel if groupdot else _int4_kernel,
+            group_size=group_size)
         in_specs = [
             pl.BlockSpec((bb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d // 2, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -229,10 +290,13 @@ def quant_matmul(
     out_shape = unit[cdims:]
     lead = x.shape[: x.ndim - cdims]
     xb = x.reshape(int(np.prod(lead)) if lead else 1, d)
+    from flexflow_tpu.config import config as _cfg
+
     out = _qmm_2d(
         xb, qa.q, qa.scale, qa.offset,
         bits=qa.bits, group_size=qa.group_size, interpret=interpret,
         out_dtype=odt,
+        groupdot=bool(qa.bits == 4 and _cfg.int4_groupdot),
     )
     if qa.rest_pad:
         out = out[:, : qa.d_rest]

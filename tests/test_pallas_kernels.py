@@ -147,3 +147,65 @@ def test_flash_prefill_matches_reference(kh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
     )
+
+
+def test_quant_matmul_groupdot_matches_dequant():
+    """INT4 group-dot kernel (scale folded post-dot): close to the dequant
+    reference and exactly blocking/batch-invariant (the property the
+    spec-lossless + prefix-20 gates need across decode/verify/prefill
+    shapes)."""
+    from flexflow_tpu.ops.pallas.quant_matmul import _qmm_2d
+
+    d, f, b = 256, 512, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (d, f), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
+    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
+
+    want = x @ dequantize(qa)
+    got = _qmm_2d(x, qa.q, qa.scale, qa.offset, bits=4,
+                  group_size=qa.group_size, interpret=True, groupdot=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=1e-2)
+
+
+def test_quant_matmul_groupdot_blocking_and_batch_invariant():
+    from flexflow_tpu.ops.pallas.quant_matmul import _qmm_2d
+
+    d, f = 256, 512
+    w = jax.random.normal(jax.random.PRNGKey(2), (d, f), jnp.float32)
+    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
+    x8 = jax.random.normal(jax.random.PRNGKey(3), (8, d), jnp.float32)
+
+    base = _qmm_2d(x8, qa.q, qa.scale, qa.offset, bits=4,
+                   group_size=qa.group_size, interpret=True, groupdot=True)
+    # f-blocking must not change any output bit
+    narrow = _qmm_2d(x8, qa.q, qa.scale, qa.offset, bits=4,
+                     group_size=qa.group_size, block_f=128, interpret=True,
+                     groupdot=True)
+    assert np.array_equal(np.asarray(base), np.asarray(narrow))
+    # the same rows inside a LARGER batch (verify-shape vs decode-shape)
+    # must be bitwise identical per row
+    x32 = jnp.concatenate(
+        [x8, jax.random.normal(jax.random.PRNGKey(4), (24, d), jnp.float32)])
+    big = _qmm_2d(x32, qa.q, qa.scale, qa.offset, bits=4,
+                  group_size=qa.group_size, interpret=True, groupdot=True)
+    assert np.array_equal(np.asarray(base), np.asarray(big)[:8])
+
+
+def test_quant_matmul_groupdot_flag_routes(monkeypatch):
+    """config.int4_groupdot selects the kernel through the public wrapper."""
+    from flexflow_tpu.config import config as cfg
+    from flexflow_tpu.ops.pallas import quant_matmul as qmm_mod
+
+    d, f = 256, 512
+    w = jax.random.normal(jax.random.PRNGKey(5), (d, f), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, d), jnp.float32)
+    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
+    monkeypatch.setattr(cfg, "int4_groupdot", True)
+    got_gd = quant_matmul(x, qa, interpret=True)
+    monkeypatch.setattr(cfg, "int4_groupdot", False)
+    got_prod = quant_matmul(x, qa, interpret=True)
+    want = x @ dequantize(qa)
+    for got in (got_gd, got_prod):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, rtol=1e-2)
