@@ -487,7 +487,7 @@ class PipelineSpecEngine:
             self._h(np.asarray(ssm_lens, np.int32)),
             self._h(np.asarray(tokens, np.int32)))
 
-    def fused_step(self, cache_lens, root_tokens):
+    def fused_step(self, cache_lens, root_tokens, window=None):
         produced, n_acc, _roots, self.llm_cache, self.ssm_cache = (
             self._fused_step(
                 self.llm_params, self.ssm_params,

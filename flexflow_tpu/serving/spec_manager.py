@@ -278,7 +278,7 @@ class SpecRequestManager:
                     window=window)
         elif h == 1:
             produced, n_acc = self.engine.fused_step(
-                lens_before, self._root_tokens)
+                lens_before, self._root_tokens, window=window)
             produced, n_acc = produced[None], n_acc[None]
         else:
             produced, n_acc = self.engine.fused_step_n(

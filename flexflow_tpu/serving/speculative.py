@@ -605,14 +605,25 @@ class SpecEngine:
                     jnp.where(cmask, shifted_v, stage_v))
 
         def fused_step_body(llm_params, ssm_params, llm_cache, ssm_cache,
-                            cache_lens, roots):
+                            cache_lens, roots, window=None):
             b = cache_lens.shape[0]
+            # length-aware cache read (bit-exact; see _staged_horizon)
+            if window is not None and window < ssm_cache.k.shape[-1]:
+                ssm_read = KVCache(k=ssm_cache.k[..., :window],
+                                   v=ssm_cache.v[..., :window])
+            else:
+                ssm_read = ssm_cache
+            if window is not None and window < llm_cache.k.shape[-1]:
+                llm_read = KVCache(k=llm_cache.k[..., :window],
+                                   v=llm_cache.v[..., :window])
+            else:
+                llm_read = llm_cache
             tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
-                ssm_params, ssm_cache, cache_lens, roots)
+                ssm_params, ssm_read, cache_lens, roots)
 
             # --- verify (in-register tree KV) ---
             logits, llm_buf = verify_logits_reg(
-                llm_params, llm_cache, cache_lens, tree_tokens,
+                llm_params, llm_read, cache_lens, tree_tokens,
                 jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self)
             expected = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -631,11 +642,13 @@ class SpecEngine:
                 produced, (n_acc - 1)[:, None], axis=1)[:, 0]
             return produced, n_acc, next_roots, llm_cache, ssm_cache
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        @functools.partial(jax.jit, donate_argnums=(2, 3),
+                           static_argnames=("window",))
         def fused_step_fn(llm_params, ssm_params, llm_cache, ssm_cache,
-                          cache_lens, roots):
+                          cache_lens, roots, window=None):
             return fused_step_body(llm_params, ssm_params, llm_cache,
-                                   ssm_cache, cache_lens, roots)
+                                   ssm_cache, cache_lens, roots,
+                                   window=window)
 
         def _staged_horizon(llm_params, ssm_params, llm_cache, ssm_cache,
                             cache_lens, roots, n, walk_xs, walk_fn,
@@ -1029,7 +1042,7 @@ class SpecEngine:
         )
 
     def fused_step(
-        self, cache_lens: np.ndarray, root_tokens: np.ndarray
+        self, cache_lens: np.ndarray, root_tokens: np.ndarray, window=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One complete speculative iteration as a single dispatch.
 
@@ -1041,6 +1054,7 @@ class SpecEngine:
                 self.llm_cache, self.ssm_cache,
                 self._h(np.asarray(cache_lens, np.int32)),
                 self._h(np.asarray(root_tokens, np.int32)),
+                window=window,
             )
         )
         return self.fetch(produced), self.fetch(n_acc)
