@@ -88,6 +88,13 @@ class SpecRequestManager:
         # iterations dispatched but not yet fetched, per slot (pipelined
         # dispatch projection)
         self._inflight_iters = np.zeros(b, np.int64)
+        # tail bucket rounding: "up" dispatches the smallest pow2 horizon
+        # covering the remaining-iteration estimate (may overshoot the budget
+        # by most of a bucket — pure waste at ~33 ms/iteration); "down"
+        # dispatches the largest pow2 below it and covers the remainder with
+        # trailing small dispatches (lossless either way; see
+        # benchmarks/probe_r5_hsweep.py for the measured tradeoff)
+        self.horizon_round = "up"
         self._num_processed = 0
         self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._override_mask = np.zeros(b, bool)  # slots admitted since dispatch
@@ -254,6 +261,8 @@ class SpecRequestManager:
         h = 1
         while h < rem and h < self.spec_horizon:
             h *= 2
+        if self.horizon_round == "down" and h > rem:
+            h = max(h // 2, 1)
         return min(h, self.spec_horizon)
 
     def _step_fused(self, active) -> bool:

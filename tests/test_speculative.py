@@ -190,6 +190,26 @@ def test_pipelined_spec_equals_incremental(llm_params, ssm_params):
     assert rm.num_processed_requests == 5
 
 
+def test_pipelined_spec_round_down_equals_incremental(llm_params, ssm_params):
+    """horizon_round="down" (largest pow2 bucket BELOW the projected
+    remaining-iteration estimate, trailing small dispatches for the rest)
+    is lossless: outputs equal incremental greedy. The mode only changes
+    which tail horizons get dispatched, never what they produce."""
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    want = incr_outputs(llm_params, prompts, 10)
+    engine = SpecEngine(
+        LLM, llm_params, SSM, ssm_params,
+        beam_width=2, beam_depth=3, max_requests_per_batch=2,
+        max_seq_len=200, cache_dtype=jnp.float32,
+    )
+    rm = SpecRequestManager(engine, fused=True, spec_horizon=4, pipelined=True)
+    rm.horizon_round = "down"
+    got = [r.output_tokens
+           for r in rm.generate(prompts, GenerationConfig(max_new_tokens=10))]
+    assert got == want
+    assert rm.num_processed_requests == 5
+
+
 def test_pipelined_spec_eos(llm_params, ssm_params):
     prompts = [[3, 17, 91, 5]]
     [full] = incr_outputs(llm_params, prompts, 12)
