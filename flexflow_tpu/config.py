@@ -84,6 +84,18 @@ class FFConfig:
     # tile): row-deterministic across shapes/blockings but not bitwise-equal
     # to the dequant-then-dot kernel; gated until measured on-chip
     int4_groupdot: bool = _env_flag("FF_INT4_GROUPDOT", False)
+    # Fused projection carriers on the serving path: wq/wk/wv concatenated
+    # into one [D, H+2KH, Dh] carrier and wg/wu into [D, 2F] at engine build
+    # (decoder.fuse_qkv_params), so decode pays one quant-matmul kernel call
+    # per group instead of three/two (measured 54.6 us vs 67.1 us/layer for
+    # QKV at 7B INT4 — benchmarks/tune_int4_variants.py). Outputs are exact
+    # per-column but NOT bitwise-equal to the unfused carriers (different
+    # kernel blockings change fp accumulation order), so the flag flips the
+    # WHOLE engine — decode, prefill and tree-verify stay mutually
+    # consistent. Single-mesh engines only (TP shards the fused carrier's
+    # head axis unevenly across q/k/v blocks; mesh engines keep split
+    # carriers).
+    fuse_qkv: bool = _env_flag("FF_FUSE_QKV", False)
     # flash prefill kernel (ops/pallas/flash_prefill.py): beats the XLA
     # masked-softmax path at every measured shape (1.4x at S=512 up to 60x at
     # S=8192 on v5e), so ON by default; inference prefill only (no VJP)

@@ -197,19 +197,100 @@ def _apply_lora(p: Params, mod: str, x, out):
 
 
 def _qkv(spec: ModelSpec, p: Params, h):
-    """Project h [B,T,D] -> q [B,T,H,Dh], k/v [B,T,KH,Dh]."""
+    """Project h [B,T,D] -> q [B,T,H,Dh], k/v [B,T,KH,Dh].
+
+    With a fused ``wqkv`` carrier (FFConfig.fuse_qkv, built by
+    :func:`fuse_qkv_params`) the three projections run as ONE matmul /
+    quant-matmul kernel call over [D, H+2KH, Dh] and split after — the
+    reference fuses the same three GEMMs into one qkv_proj launch
+    (inc_multihead_self_attention.cu:1112 computes QKV in a single
+    cublas call). Per-module LoRA deltas still route on the slices."""
+    if "wqkv" in p:
+        out = _linear(h, p["wqkv"], p.get("bqkv"))
+        hh, kh = spec.num_heads, spec.num_kv_heads
+        q, k, v = jnp.split(out, [hh, hh + kh], axis=-2)
+        return (
+            _apply_lora(p, "wq", h, q),
+            _apply_lora(p, "wk", h, k),
+            _apply_lora(p, "wv", h, v),
+        )
     q = _apply_lora(p, "wq", h, _linear(h, p["wq"], p.get("bq")))
     k = _apply_lora(p, "wk", h, _linear(h, p["wk"], p.get("bk")))
     v = _apply_lora(p, "wv", h, _linear(h, p["wv"], p.get("bv")))
     return q, k, v
 
 
+def fuse_qkv_params(spec: ModelSpec, params: Params) -> Params:
+    """Build fused projection carriers for the serving path.
+
+    Concatenates wq|wk|wv into ``wqkv`` [L, D, H+2KH, Dh] (and wg|wu into
+    ``wgu`` [L, D, 2F] for gated-act dense FFNs) so decode pays one kernel
+    call per group instead of three/two. Column-exact: each output column's
+    weights (quantized groups included — weight_only.concat_rest) are
+    bit-identical to the unfused carrier's; only the matmul's fp accumulation
+    blocking may differ, which is why engines flip the WHOLE model at build
+    time rather than per-call. Single-mesh engines only: TP would shard the
+    fused head axis obliviously to the q/k/v block boundaries.
+    MoE FFNs (expert-stacked wg/wu) and partially-biased projections are
+    left unfused."""
+    from flexflow_tpu.quant.weight_only import QuantizedArray, concat_rest
+
+    layers = dict(params["layers"])
+    hh, kh, dh = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    def _fusable(names):
+        ws = [layers.get(n) for n in names]
+        if any(w is None for w in ws):
+            return None
+        if all(isinstance(w, QuantizedArray) for w in ws):
+            if len({(w.bits, w.group_size) for w in ws}) == 1:
+                return ws
+            return None
+        if not any(isinstance(w, QuantizedArray) for w in ws):
+            return ws
+        return None  # mixed quantized/plain: keep split carriers
+
+    ws = _fusable(["wq", "wk", "wv"])
+    biases = [layers.get(n) for n in ("bq", "bk", "bv")]
+    bias_ok = all(b is None for b in biases) or all(
+        b is not None for b in biases)
+    if ws is not None and bias_ok:
+        if isinstance(ws[0], QuantizedArray):
+            layers["wqkv"] = concat_rest(ws, (hh + 2 * kh, dh))
+        else:
+            layers["wqkv"] = jnp.concatenate(ws, axis=2)
+        if biases[0] is not None:
+            layers["bqkv"] = jnp.concatenate(biases, axis=1)
+        for n in ("wq", "wk", "wv", "bq", "bk", "bv"):
+            layers.pop(n, None)
+
+    if spec.moe is None and spec.act == "silu_gate":
+        ws = _fusable(["wg", "wu"])
+        if ws is not None and layers.get("bu") is None:
+            f = spec.intermediate_size
+            if isinstance(ws[0], QuantizedArray):
+                layers["wgu"] = concat_rest(ws, (2 * f,))
+            else:
+                layers["wgu"] = jnp.concatenate(ws, axis=-1)
+            for n in ("wg", "wu"):
+                layers.pop(n, None)
+
+    return {**params, "layers": layers}
+
+
 def _mlp(spec: ModelSpec, p: Params, h):
     if spec.moe is not None:
         return _moe_mlp(spec, p, h)
     if spec.act == "silu_gate":
-        gate = _apply_lora(p, "wg", h, _linear(h, p["wg"]))
-        up = _apply_lora(p, "wu", h, _linear(h, p["wu"]))
+        if "wgu" in p:
+            # fused gate|up carrier (FFConfig.fuse_qkv): one kernel call
+            gu = _linear(h, p["wgu"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            gate = _apply_lora(p, "wg", h, gate)
+            up = _apply_lora(p, "wu", h, up)
+        else:
+            gate = _apply_lora(p, "wg", h, _linear(h, p["wg"]))
+            up = _apply_lora(p, "wu", h, _linear(h, p["wu"]))
         inner = act_lib.sigmoid_silu_multi(gate, up)
     else:
         inner = act_lib.get_activation(spec.act)(

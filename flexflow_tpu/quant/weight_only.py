@@ -211,6 +211,48 @@ def dequantize(qa: QuantizedArray) -> jnp.ndarray:
     return w.reshape(out_shape).astype(qa.dtype)
 
 
+def concat_rest(qas, unit_rest_shape) -> QuantizedArray:
+    """Concatenate QuantizedArrays along the (flattened) output axis.
+
+    Exact: grouping runs along the contraction axis, so carriers/scales/
+    offsets of compatible arrays concatenate column-wise without repacking —
+    every output column's dequantized weights are bit-identical to its
+    source array's. Used to build fused projection carriers (wq|wk|wv,
+    wg|wu) at engine-build time (FFConfig.fuse_qkv). ``unit_rest_shape`` is
+    the fused logical output shape after the contraction dims (e.g.
+    ``(H + 2*KH, Dh)``)."""
+    q0 = qas[0]
+    for qa in qas[1:]:
+        assert (qa.bits, qa.group_size, qa.batch_dims, qa.contract_dims) == (
+            q0.bits, q0.group_size, q0.batch_dims, q0.contract_dims
+        ), "incompatible quantization configs"
+        assert qa.d_contract == q0.d_contract, "contraction dims differ"
+        assert qa.dtype == q0.dtype
+    rest = sum(qa.d_rest for qa in qas)
+    assert rest == int(np.prod(unit_rest_shape)), (rest, unit_rest_shape)
+
+    def cat(field):
+        parts = [getattr(qa, field)[..., : qa.d_rest] for qa in qas]
+        return jnp.concatenate(parts, axis=-1)
+
+    d = q0.d_contract
+    # same Pallas F-block padding policy as quantize()
+    rest_pad = (-rest) % 512 if (d >= 1024 and rest >= 512) else 0
+    q, scale = cat("q"), cat("scale")
+    offset = cat("offset") if q0.offset is not None else None
+    if rest_pad:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, rest_pad)]
+        q, scale = jnp.pad(q, pad), jnp.pad(scale, pad)
+        offset = jnp.pad(offset, pad) if offset is not None else None
+    shape = (q0.shape[: q0.batch_dims]
+             + q0.unit_shape[: q0.contract_dims] + tuple(unit_rest_shape))
+    return QuantizedArray(
+        q=q, scale=scale, offset=offset, bits=q0.bits,
+        group_size=q0.group_size, shape=shape, batch_dims=q0.batch_dims,
+        contract_dims=q0.contract_dims, dtype=q0.dtype, rest_pad=rest_pad,
+    )
+
+
 def as_array(w) -> jnp.ndarray:
     """Materialize quantized weights; pass plain arrays through."""
     if isinstance(w, QuantizedArray):

@@ -119,6 +119,14 @@ class InferenceEngine:
                 }
         else:
             self._offload_shardings = None
+        from flexflow_tpu.config import config as _ffconfig
+
+        if _ffconfig.fuse_qkv and mesh is None and not self._offload:
+            # fused wqkv/wgu carriers: one kernel call per projection group
+            # (single-mesh only — TP shards the fused head axis obliviously
+            # to the q/k/v block boundaries; offload streams per-layer
+            # slices whose shardings are built from the unfused names)
+            params = decoder.fuse_qkv_params(spec, params)
         self.params = params
         # LoRA adapter stacks (reference LoraLinear registry,
         # peft_weight_allocator.cc): {mod: {"a": [L,N,Din,r], "b": [L,N,r,Dout]}}

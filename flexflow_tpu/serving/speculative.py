@@ -296,6 +296,14 @@ class SpecEngine:
         else:
             self._replicated = None
             self._mesh_local = True
+        from flexflow_tpu.config import config as _ffconfig
+
+        if _ffconfig.fuse_qkv and mesh is None:
+            # fused wqkv/wgu carriers (see InferenceEngine.__init__); both
+            # draft and verifier flip together so decode, draft expansion
+            # and tree-verify stay mutually consistent
+            llm_params = decoder.fuse_qkv_params(llm_spec, llm_params)
+            ssm_params = decoder.fuse_qkv_params(ssm_spec, ssm_params)
         self.llm_params, self.ssm_params = llm_params, ssm_params
         self.width, self.depth, self.tree = beam_width, beam_depth, t
         self.max_requests = max_requests_per_batch
