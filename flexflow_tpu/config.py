@@ -94,8 +94,9 @@ class FFConfig:
     # WHOLE engine — decode, prefill and tree-verify stay mutually
     # consistent. Single-mesh engines only (TP shards the fused carrier's
     # head axis unevenly across q/k/v blocks; mesh engines keep split
-    # carriers).
-    fuse_qkv: bool = _env_flag("FF_FUSE_QKV", False)
+    # carriers). ON by default: +4% on the 7B INT4 spec path end-to-end
+    # (763.6 vs 734.1 tok/s, benchmarks/probe_r5_hsweep.py on-chip).
+    fuse_qkv: bool = _env_flag("FF_FUSE_QKV", True)
     # flash prefill kernel (ops/pallas/flash_prefill.py): beats the XLA
     # masked-softmax path at every measured shape (1.4x at S=512 up to 60x at
     # S=8192 on v5e), so ON by default; inference prefill only (no VJP)

@@ -92,9 +92,12 @@ class SpecRequestManager:
         # covering the remaining-iteration estimate (may overshoot the budget
         # by most of a bucket — pure waste at ~33 ms/iteration); "down"
         # dispatches the largest pow2 below it and covers the remainder with
-        # trailing small dispatches (lossless either way; see
-        # benchmarks/probe_r5_hsweep.py for the measured tradeoff)
-        self.horizon_round = "up"
+        # trailing small dispatches (lossless either way). "down" is the
+        # product default: measured 740.1 vs 734.1 tok/s at the bench
+        # regime, and it can never waste most of a horizon past the budget
+        # (benchmarks/probe_r5_hsweep.py on-chip; h16-up's 637 shows what
+        # tail overshoot costs)
+        self.horizon_round = "down"
         self._num_processed = 0
         self._tree_margin = engine.tree  # seq-len reserve per iteration
         self._override_mask = np.zeros(b, bool)  # slots admitted since dispatch
