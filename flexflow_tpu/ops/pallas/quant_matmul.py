@@ -89,12 +89,13 @@ def _int4_groupdot_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *,
     xsum_h = jnp.sum(xh.astype(jnp.float32), axis=2)
     s_lo, s_hi = s[:gh], s[gh:] * 0.0625
     o_lo, o_hi = off[:gh], off[gh:]
-    out = (
-        gdot(xl, lo) * s_lo[:, None, :]
-        + xsum_l[:, :, None] * o_lo[:, None, :]
-        + gdot(xh, hi16) * s_hi[:, None, :]
-        + xsum_h[:, :, None] * o_hi[:, None, :]
-    )
+    # sequential accumulation: at most two [GH, B, BF] f32 partials live at
+    # once (the 4-term sum kept ~4 live and blew scoped VMEM at prefill
+    # shapes: 21.2M measured at [256, 32256] lm_head)
+    out = gdot(xl, lo) * s_lo[:, None, :]
+    out = out + xsum_l[:, :, None] * o_lo[:, None, :]
+    out = out + gdot(xh, hi16) * s_hi[:, None, :]
+    out = out + xsum_h[:, :, None] * o_hi[:, None, :]
     o_ref[:] = jnp.sum(out, axis=0).astype(o_ref.dtype)
 
 
@@ -172,11 +173,13 @@ def _qmm_2d(
         if bits == 8:
             core = d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
         elif groupdot:
-            # nibble planes (bf16 x2) + the [GH, BB, BF] f32 group partials
-            # of the two batched dots (gh = g/2 per half)
+            # nibble planes (bf16 x2) + the [GH, BB, BF] f32 group partials:
+            # 3 live at once (accumulator + fresh dot + scale product; the
+            # [256,32256] lm_head OOM measured 21.2M when this counted 2)
             core = (
                 (d // 2) * bf_ + d * bf_ * 2 + 2 * g * bf_ * 4
-                + (g // 2) * bb_ * bf_ * 4 * 2
+                + (g // 2) * bb_ * bf_ * 4 * 3
+                + bb_ * d * 2  # xl/xh transposed copies
             )
         else:
             core = (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
