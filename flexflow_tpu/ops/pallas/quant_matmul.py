@@ -299,7 +299,16 @@ def quant_matmul(
         xb, qa.q, qa.scale, qa.offset,
         bits=qa.bits, group_size=qa.group_size, interpret=interpret,
         out_dtype=odt,
-        groupdot=bool(qa.bits == 4 and _cfg.int4_groupdot),
+        # group-dot regime gate: decode/draft/verify row counts only. The
+        # [GH, BB, BF] f32 partials make the kernel VMEM-hungry at prefill
+        # row counts (measured 20.4M scoped at [256, 32256] lm_head vs the
+        # 16M limit), and its win was measured on GEMV-like shapes. The
+        # threshold keeps every token-by-token program (decode b=B, draft
+        # b=B*width, tree-verify b=B*tree) on ONE kernel — the cross-program
+        # row-determinism the spec-lossless and prefix-20 gates need —
+        # while prefill/chunk shapes stay on the dequant-tile kernel.
+        groupdot=bool(qa.bits == 4 and _cfg.int4_groupdot
+                      and xb.shape[0] <= 128),
     )
     if qa.rest_pad:
         out = out[:, : qa.d_rest]
