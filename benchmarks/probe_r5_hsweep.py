@@ -69,13 +69,10 @@ def main():
     eng = SpecEngine(vspec, v4, dspec, draft, beam_width=2, beam_depth=6,
                      max_requests_per_batch=batch, max_seq_len=max_seq)
 
-    results = {}
-    for name, h, mode in (("h8-up", 8, "up"), ("h16-up", 16, "up"),
-                          ("h16-down", 16, "down")):
-        srm = SpecRequestManager(eng, fused=True, spec_horizon=h,
+    def run_cfg(name, engine, h, mode):
+        srm = SpecRequestManager(engine, fused=True, spec_horizon=h,
                                  pipelined=True)
-        if mode == "down":
-            srm.horizon_round = "down"
+        srm.horizon_round = mode
         log(f"{name}: warm")
         srm.generate(warm, cfg)
         best = 0.0
@@ -88,10 +85,29 @@ def main():
             best = max(best, tps)
             log(f"{name} rep{rep}: {tps:7.1f} tok/s ({toks} tok, {dt:.3f} s, "
                 f"acc {srm.mean_verified_tokens_per_step:.3f})")
-        results[name] = best
         log(f"{name}: BEST {best:.1f} tok/s")
         gc.collect()
+        return best
 
+    results = {}
+    for name, h, mode in (("h8-up", 8, "up"), ("h16-up", 16, "up"),
+                          ("h16-down", 16, "down"), ("h8-down", 8, "down")):
+        results[name] = run_cfg(name, eng, h, mode)
+
+    # fused wqkv/wgu carriers at the winning horizon (FF_FUSE_QKV measured
+    # end-to-end; rebuild the engine so carriers concat at build time)
+    del eng
+    gc.collect()
+    from flexflow_tpu.config import config as ffconfig
+    ffconfig.fuse_qkv = True
+    log("rebuild engine with fused carriers")
+    eng_f = SpecEngine(vspec, v4, dspec, draft, beam_width=2, beam_depth=6,
+                       max_requests_per_batch=batch, max_seq_len=max_seq)
+    best_name = max(results, key=results.get)
+    h, mode = (8 if "h8" in best_name else 16,
+               "down" if "down" in best_name else "up")
+    results["fused-" + best_name] = run_cfg("fused-" + best_name, eng_f, h,
+                                            mode)
     log(f"RESULTS {results}")
 
 
