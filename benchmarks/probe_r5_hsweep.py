@@ -66,6 +66,11 @@ def main():
     gc.collect()
 
     log("spec engine build (w2d6)")
+    # fuse_qkv now defaults ON (config.py); the h-sweep baseline must be
+    # genuinely UNFUSED or the final fused-vs-baseline comparison measures
+    # fused vs fused (ADVICE r4)
+    from flexflow_tpu.config import config as _ffcfg
+    _ffcfg.fuse_qkv = False
     eng = SpecEngine(vspec, v4, dspec, draft, beam_width=2, beam_depth=6,
                      max_requests_per_batch=batch, max_seq_len=max_seq)
 

@@ -50,7 +50,7 @@ class FFConfig:
     max_tokens_per_batch: int = 128
     max_sequence_length: int = 256
     max_beam_width: int = 3
-    max_beam_depth: int = 4
+    max_beam_depth: int = 8  # reference BeamSearchBatchConfig (batch_config.h:197)
     max_spec_tree_token_num: int = 64
     max_concurrent_adapters: int = 1
     max_lora_rank: int = 32
@@ -61,7 +61,9 @@ class FFConfig:
     # waste up to ~2 horizons of decode per retired request. The benches
     # pass horizon=64 explicitly (fixed max_new workloads never hit EOS).
     decode_horizon: int = 16
-    pipeline_depth: int = 2  # in-flight horizons (reference depth 4)
+    # in-flight horizons: the reference keeps a 4-deep future queue
+    # (request_manager.cc:3122-3137); same default here
+    pipeline_depth: int = 4
     spec_horizon: int = 8  # device-chained speculative iterations
     # (8 beat 4 and 16 on-chip at 7B INT4 w2d6 — probe_r4/bench_spec r4)
 
@@ -84,6 +86,14 @@ class FFConfig:
     # tile): row-deterministic across shapes/blockings but not bitwise-equal
     # to the dequant-then-dot kernel; gated until measured on-chip
     int4_groupdot: bool = _env_flag("FF_INT4_GROUPDOT", False)
+    # Row-count threshold routing calls to the group-dot kernel: every
+    # token-by-token program (decode b=B, draft b=B*width, tree-verify
+    # b=B*tree) must land on the SAME side as its peers or the cross-program
+    # row-determinism the spec-lossless/prefix-20 gates rely on breaks
+    # (ADVICE r4). SpecEngine raises it at build to cover max_requests*tree;
+    # prefill/chunk row counts stay above it on the dequant-tile kernel.
+    int4_groupdot_row_cap: int = int(
+        os.environ.get("FF_INT4_GROUPDOT_ROW_CAP", "128"))
     # Fused projection carriers on the serving path: wq/wk/wv concatenated
     # into one [D, H+2KH, Dh] carrier and wg/wu into [D, 2F] at engine build
     # (decoder.fuse_qkv_params), so decode pays one quant-matmul kernel call

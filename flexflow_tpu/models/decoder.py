@@ -243,7 +243,11 @@ def fuse_qkv_params(spec: ModelSpec, params: Params) -> Params:
         if any(w is None for w in ws):
             return None
         if all(isinstance(w, QuantizedArray) for w in ws):
-            if len({(w.bits, w.group_size) for w in ws}) == 1:
+            # full concat_rest compatibility set (ADVICE r4): mismatched
+            # dtype/batch/contract dims fall back to split carriers instead
+            # of tripping concat_rest's assertions at engine build
+            if len({(w.bits, w.group_size, w.dtype, w.batch_dims,
+                     w.contract_dims, w.d_contract) for w in ws}) == 1:
                 return ws
             return None
         if not any(isinstance(w, QuantizedArray) for w in ws):

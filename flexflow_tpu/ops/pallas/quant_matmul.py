@@ -303,12 +303,15 @@ def quant_matmul(
         # [GH, BB, BF] f32 partials make the kernel VMEM-hungry at prefill
         # row counts (measured 20.4M scoped at [256, 32256] lm_head vs the
         # 16M limit), and its win was measured on GEMV-like shapes. The
-        # threshold keeps every token-by-token program (decode b=B, draft
+        # row cap keeps every token-by-token program (decode b=B, draft
         # b=B*width, tree-verify b=B*tree) on ONE kernel — the cross-program
         # row-determinism the spec-lossless and prefix-20 gates need —
         # while prefill/chunk shapes stay on the dequant-tile kernel.
+        # SpecEngine raises the cap at build time to cover B*tree (ADVICE
+        # r4: a fixed 128 silently split decode/groupdot from
+        # verify/dequant-tile at B*tree > 128).
         groupdot=bool(qa.bits == 4 and _cfg.int4_groupdot
-                      and xb.shape[0] <= 128),
+                      and xb.shape[0] <= _cfg.int4_groupdot_row_cap),
     )
     if qa.rest_pad:
         out = out[:, : qa.d_rest]

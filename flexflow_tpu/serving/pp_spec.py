@@ -18,10 +18,14 @@ model is replicated. TPU-native equivalent:
   draft commit. All inside ONE jit; a spec horizon chains n iterations
   device-resident.
 
-Exactness: outputs are bit-identical to the single-device SpecEngine (gated
-by tests/test_pp_spec.py), which is itself lossless vs incremental greedy
-decoding — composing the reference's spec-losslessness and TP/PP
-consistency gates (cpp_inference_tests.sh:185-215).
+Exactness: outputs are bit-identical to the single-device SpecEngine when
+both sides use the same carrier layout (gated by tests/test_pp_spec.py with
+fuse_qkv pinned OFF — mesh/PP engines always keep split carriers, so with
+FFConfig.fuse_qkv on, single-device engines fuse and identity holds only up
+to fp reassociation of the projection matmuls). The single-device SpecEngine
+is itself lossless vs incremental greedy decoding — composing the
+reference's spec-losslessness and TP/PP consistency gates
+(cpp_inference_tests.sh:185-215).
 """
 
 from __future__ import annotations

@@ -298,6 +298,14 @@ class SpecEngine:
             self._mesh_local = True
         from flexflow_tpu.config import config as _ffconfig
 
+        if _ffconfig.int4_groupdot:
+            # every token-by-token program of this engine (decode B, draft
+            # B*width, verify B*tree) must route to the same quant-matmul
+            # kernel (cross-program row determinism — quant_matmul.py gate);
+            # raise the row cap to cover the widest of them (ADVICE r4)
+            need = max_requests_per_batch * t
+            if _ffconfig.int4_groupdot_row_cap < need:
+                _ffconfig.int4_groupdot_row_cap = need
         if _ffconfig.fuse_qkv and mesh is None:
             # fused wqkv/wgu carriers (see InferenceEngine.__init__); both
             # draft and verifier flip together so decode, draft expansion
@@ -829,6 +837,8 @@ class SpecEngine:
         self._prefill_both_batch = prefill_both_batch_fn
         # uncompiled building blocks (perf probes / custom fusions)
         self._draft_phase_core = draft_phase
+        self._verify_logits_reg = verify_logits_reg
+        self._append_staged_core = _append_staged
         self._verify_core = verify_core
         self._commit_core = commit_core
         self._depths_vec = depths_vec

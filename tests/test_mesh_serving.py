@@ -20,6 +20,23 @@ from flexflow_tpu.serving import GenerationConfig, InferenceEngine, RequestManag
 from flexflow_tpu.serving.spec_manager import SpecRequestManager
 from flexflow_tpu.serving.speculative import SpecEngine
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _unfused_carriers():
+    """Pin fuse_qkv OFF: the mesh-vs-single parity gates assert exact token
+    equality, and mesh engines keep split carriers while single-device
+    engines fuse by default (ADVICE r4 — fusion preserves outputs only up
+    to fp reassociation)."""
+    from flexflow_tpu.config import config as ffconfig
+
+    prev = ffconfig.fuse_qkv
+    ffconfig.fuse_qkv = False
+    yield
+    ffconfig.fuse_qkv = prev
+
+
 SPEC = specs.ModelSpec(
     arch="LlamaForCausalLM", vocab_size=256, hidden_size=64, num_layers=2,
     num_heads=8, num_kv_heads=8, head_dim=8, intermediate_size=128,

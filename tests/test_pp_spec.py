@@ -22,6 +22,20 @@ from flexflow_tpu.serving.pp_spec import PipelineSpecEngine
 from flexflow_tpu.serving.spec_manager import SpecRequestManager
 from flexflow_tpu.serving.speculative import SpecEngine
 
+@pytest.fixture(autouse=True)
+def _unfused_carriers():
+    """Pin fuse_qkv OFF for cross-engine bit-identity gates: mesh/PP engines
+    keep split carriers, so a fused single-device reference would compare
+    different fp accumulation blockings (ADVICE r4 — the gates here assert
+    BIT identity, which fusion only preserves up to fp reassociation)."""
+    from flexflow_tpu.config import config as ffconfig
+
+    prev = ffconfig.fuse_qkv
+    ffconfig.fuse_qkv = False
+    yield
+    ffconfig.fuse_qkv = prev
+
+
 LLM_SPEC = specs.ModelSpec(
     arch="LlamaForCausalLM", vocab_size=256, hidden_size=64, num_layers=4,
     num_heads=8, num_kv_heads=8, head_dim=8, intermediate_size=128,
