@@ -822,6 +822,7 @@ class FFModel:
         # graph substitutions before tracing (reference substitution.cc
         # GraphXfer rewrites, run inside compile; gated by --fusion)
         self.substitution_report = {}
+        self.joint_plan = None
         if getattr(_ffconfig, "fusion", True):
             from flexflow_tpu.ffmodel.substitutions import (
                 load_rules, optimize_graph,
@@ -830,9 +831,36 @@ class FFModel:
             rules = None
             if getattr(_ffconfig, "substitution_json", None):
                 rules = load_rules(_ffconfig.substitution_json)
-            self._nodes, self._inputs, self.substitution_report = (
-                optimize_graph(self._nodes, self._inputs, rules)
-            )
+            if auto_parallel:
+                # JOINT rewrite x placement search (Unity proper): rewrites
+                # are accepted only when the placements they leave behind
+                # still win — reference graph_optimize runs substitutions
+                # and machine-view assignment in ONE search inside compile
+                # (substitution.cc:1920, model.cc:3636-3641). The chosen
+                # per-op views seed _auto_parallelize's measured candidates.
+                from flexflow_tpu.parallel.joint import joint_optimize
+
+                batch = 1
+                for i in self._inputs:
+                    shp = self._nodes[i].out_shapes[0]
+                    if shp:
+                        batch = max(batch, int(shp[0]))
+                plan = joint_optimize(
+                    self._nodes, self._inputs,
+                    n_devices=max(len(jax.devices()), 2), batch=batch,
+                    rules=rules,
+                    budget=getattr(_ffconfig, "search_budget", 8) * 4,
+                    alpha=getattr(_ffconfig, "search_alpha", 1.2),
+                )
+                self._nodes, self._inputs = plan.nodes, plan.input_ids
+                self.joint_plan = plan
+                for r, _j in plan.applied:
+                    self.substitution_report[r] = (
+                        self.substitution_report.get(r, 0) + 1)
+            else:
+                self._nodes, self._inputs, self.substitution_report = (
+                    optimize_graph(self._nodes, self._inputs, rules)
+                )
 
         key = jax.random.PRNGKey(self._seed)
         params, state = {}, {}
@@ -936,14 +964,50 @@ class FFModel:
                         specs[name][k] = P()
             return specs
 
+        def joint_param_specs(tp):
+            """Per-op specs from the joint plan's machine views (col/row
+            per dense, replicated elsewhere) — the per-op machine-view
+            candidate the uniform loop can't express."""
+            plan = self.joint_plan
+            view_by_name = {
+                plan.nodes[j].name: v for j, v in plan.views.items()
+                if plan.nodes[j].name
+            }
+            specs = {}
+            for name, node_p in self.params.items():
+                v = view_by_name.get(name)
+                specs[name] = {}
+                for k, w in node_p.items():
+                    if v is not None and k == "w" and w.ndim == 2:
+                        if v.name == "col" and w.shape[-1] % tp == 0:
+                            specs[name][k] = P(None, MODEL_AXIS)
+                            continue
+                        if v.name == "row" and w.shape[0] % tp == 0:
+                            specs[name][k] = P(MODEL_AXIS, None)
+                            continue
+                    if (v is not None and v.name == "col" and k == "b"
+                            and w.ndim == 1 and w.shape[0] % tp == 0):
+                        specs[name][k] = P(MODEL_AXIS)
+                        continue
+                    specs[name][k] = P()
+            return specs
+
+        cands = [(dp, tp, param_specs) for dp, tp in cands]
+        if self.joint_plan is not None and any(
+            v.name in ("col", "row") for v in self.joint_plan.views.values()
+        ):
+            cands.append((1, n, joint_param_specs))
+
         report, best = [], None
         rng = jax.random.PRNGKey(0)
         bxj = [jnp.asarray(a) for a in bx]
         byj = jnp.asarray(by)
-        for dp, tp in cands:
+        for dp, tp, spec_fn in cands:
+            label = f"dp={dp} tp={tp}" + (
+                " (joint per-op views)" if spec_fn is joint_param_specs else "")
             mesh = make_mesh(data=dp, model=tp)
             pshard = jax.tree.map(
-                lambda s: NamedSharding(mesh, s), param_specs(tp),
+                lambda s: NamedSharding(mesh, s), spec_fn(tp),
                 is_leaf=lambda x: isinstance(x, P),
             )
             bspec = NamedSharding(mesh, P(DATA_AXIS))
@@ -962,10 +1026,10 @@ class FFModel:
                 jax.block_until_ready(out)
                 dt = _time.perf_counter() - t0
             except Exception as e:  # illegal layout for this DAG
-                report.append({"layout": f"dp={dp} tp={tp}",
+                report.append({"layout": label,
                                "error": f"{type(e).__name__}: {e}"})
                 continue
-            report.append({"layout": f"dp={dp} tp={tp}", "measured_s": dt})
+            report.append({"layout": label, "measured_s": dt})
             if best is None or dt < best[0]:
                 best = (dt, dp, tp, mesh, pshard, bspec, step)
         self.auto_report = report

@@ -65,15 +65,73 @@ def load_rules(path: str) -> Set[str]:
     return rules
 
 
-def optimize_graph(nodes, input_ids, rules: Optional[Set[str]] = None):
+def match_sites(nodes, input_ids, rules: Optional[Set[str]] = None):
+    """Applicable single-rewrite sites [(rule, node_id)] on the CURRENT graph.
+
+    The unit of the joint rewrite x placement search (parallel/joint.py —
+    reference base_optimize expands one GraphXfer application at a time,
+    substitution.cc:2251): each site can be applied alone via
+    ``optimize_graph(..., only_site=(rule, j))`` so a layout-aware cost can
+    accept or reject it individually (e.g. eliminate-split-concat removes a
+    reshard boundary under TP but erases per-branch layout freedom).
+    """
+    if rules is None:
+        rules = ALL_RULES
+    cons: Dict[int, List[int]] = {i: [] for i in range(len(nodes))}
+    for j, n in enumerate(nodes):
+        for t in n.inputs:
+            cons[t.node].append(j)
+    ACT_OPS = {"relu", "sigmoid", "tanh", "gelu", "elu", "silu"}
+    FUSABLE = {"dense", "conv2d", "conv2d_transpose"}
+    sites = []
+    for j, n in enumerate(nodes):
+        srcs = [(t.node, t.index) for t in n.inputs]
+        if n.op == "identity" and "eliminate-identity" in rules:
+            sites.append(("eliminate-identity", j))
+        if n.op in ACT_OPS and len(srcs) == 1:
+            i, oi = srcs[0]
+            prod = nodes[i]
+            if (oi == 0 and prod.op in FUSABLE and "fuse-activation" in rules
+                    and prod.attrs.get("activation") is None
+                    and cons.get(i) == [j]):
+                sites.append(("fuse-activation", j))
+            if (oi == 0 and n.op == "relu" and prod.op == "batch_norm"
+                    and "fuse-bn-relu" in rules and not prod.attrs.get("relu")
+                    and cons.get(i) == [j]):
+                sites.append(("fuse-bn-relu", j))
+        if n.op == "reshape" and len(srcs) == 1 and "collapse-reshape" in rules:
+            i, oi = srcs[0]
+            if oi == 0 and nodes[i].op == "reshape" and cons.get(i) == [j]:
+                sites.append(("collapse-reshape", j))
+        if n.op == "concat" and "eliminate-split-concat" in rules:
+            src_nodes = {s[0] for s in srcs}
+            if len(src_nodes) == 1:
+                i = next(iter(src_nodes))
+                prod = nodes[i]
+                if (prod.op == "split"
+                        and prod.attrs.get("axis") == n.attrs.get("axis")
+                        and [s[1] for s in srcs]
+                        == list(range(len(prod.out_shapes)))
+                        and len(srcs) == len(prod.out_shapes)):
+                    sites.append(("eliminate-split-concat", j))
+    return sites
+
+
+def optimize_graph(nodes, input_ids, rules: Optional[Set[str]] = None,
+                   only_site: Optional[Tuple[str, int]] = None):
     """Rewrite the node list; returns (new_nodes, new_input_ids, report).
 
     ``nodes`` are ``_Node`` records whose ``inputs`` hold Tensors referencing
     (node_id, out_index); node ids are list positions. Parameterized nodes
     keep their names (params/state/regularizers are name-keyed).
+
+    ``only_site=(rule, node_id)``: apply exactly that one rewrite (single
+    step of the joint search) instead of all rules to fixpoint.
     """
     if rules is None:
         rules = ALL_RULES
+    if only_site is not None:
+        rules = {only_site[0]}
     nodes = [dataclasses.replace(n, inputs=list(n.inputs),
                                  attrs=dict(n.attrs)) for n in nodes]
     redirect: Dict[Tuple[int, int], Tuple[int, int]] = {}
@@ -100,12 +158,15 @@ def optimize_graph(nodes, input_ids, rules: Optional[Set[str]] = None):
 
     changed = True
     rounds = 0
-    while changed and rounds < 10:
+    max_rounds = 1 if only_site is not None else 10
+    while changed and rounds < max_rounds:
         changed = False
         rounds += 1
         cons = consumers()
         for j, n in enumerate(nodes):
             if j in deleted:
+                continue
+            if only_site is not None and j != only_site[1]:
                 continue
             srcs = [resolve((t.node, t.index)) for t in n.inputs]
 
