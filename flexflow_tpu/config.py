@@ -82,18 +82,9 @@ class FFConfig:
     # S <= 2048 — bench_gqa_decode.py on-chip); MHA/MQA decode stays on XLA
     use_pallas_attention: bool = _env_flag("FF_PALLAS_ATTENTION", True)
     use_pallas_quant_matmul: bool = _env_flag("FF_PALLAS_QUANT_MATMUL", True)
-    # INT4 group-dot kernel (scale folded POST-dot, no dequantized weight
-    # tile): row-deterministic across shapes/blockings but not bitwise-equal
-    # to the dequant-then-dot kernel; gated until measured on-chip
-    int4_groupdot: bool = _env_flag("FF_INT4_GROUPDOT", False)
-    # Row-count threshold routing calls to the group-dot kernel: every
-    # token-by-token program (decode b=B, draft b=B*width, tree-verify
-    # b=B*tree) must land on the SAME side as its peers or the cross-program
-    # row-determinism the spec-lossless/prefix-20 gates rely on breaks
-    # (ADVICE r4). SpecEngine raises it at build to cover max_requests*tree;
-    # prefill/chunk row counts stay above it on the dequant-tile kernel.
-    int4_groupdot_row_cap: int = int(
-        os.environ.get("FF_INT4_GROUPDOT_ROW_CAP", "128"))
+    # (The r4 INT4 group-dot kernel and its FF_INT4_GROUPDOT flag were
+    # deleted in r5: measured e2e LOSS on-chip — see quant_matmul.py header
+    # and benchmarks/probe_r5_groupdot.py.)
     # Fused projection carriers on the serving path: wq/wk/wv concatenated
     # into one [D, H+2KH, Dh] carrier and wg/wu into [D, 2F] at engine build
     # (decoder.fuse_qkv_params), so decode pays one quant-matmul kernel call

@@ -152,17 +152,51 @@ def _norm(spec: ModelSpec, h, scale, bias):
     return norms.layer_norm(h, scale, bias, spec.norm_eps)
 
 
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class IndexedQuant:
+    """A layer's view into a STACKED [L, ...] QuantizedArray.
+
+    Built inside the layer scan from (closure-captured stacked carriers,
+    traced loop index): the Pallas kernel streams the layer's weight tiles
+    straight out of the stacked HBM buffer via a scalar-prefetch index map
+    (quant_matmul_indexed). A scan-sliced QuantizedArray operand would be
+    MATERIALIZED by XLA before the pallas_call — one ~50 MB copy per 7B
+    INT4 layer, ~5 ms of a 14.7 ms decode step (probe_r5_decattr,
+    2026-08-22). Not a pytree: lives only inside traced layer bodies.
+    """
+
+    qa: object  # stacked QuantizedArray (batch_dims == 1)
+    idx: jnp.ndarray  # traced scalar layer index
+
+    def slice(self):
+        """Per-layer QuantizedArray (dynamic-index fallback paths)."""
+        return jax.tree_util.tree_map(lambda a: a[self.idx], self.qa)
+
+
 def _linear(x, w, b=None):
     """x [..., D] @ w [D, ...out] (+ b). Contracts the last axis of x.
 
     ``w`` may be a QuantizedArray (INT8/INT4 weight-only): with
     FFConfig.use_pallas_quant_matmul on TPU the Pallas fused dequant-matmul
     kernel runs (packed weights stream HBM->VMEM and dequantize in-register);
-    otherwise XLA fuses the dequantize into the dot.
+    otherwise XLA fuses the dequantize into the dot. An IndexedQuant routes
+    to the layer-indexed kernel over the stacked carriers (no slice copy).
     """
     from flexflow_tpu.quant.weight_only import QuantizedArray
 
-    if isinstance(w, QuantizedArray) and _use_pallas_quant_matmul():
+    if isinstance(w, IndexedQuant):
+        if _use_pallas_quant_matmul():
+            from flexflow_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_indexed,
+            )
+
+            out = quant_matmul_indexed(x, w.qa, w.idx)
+        else:
+            out = jnp.tensordot(x, as_array(w.slice()), axes=1)
+    elif isinstance(w, QuantizedArray) and _use_pallas_quant_matmul():
         from flexflow_tpu.ops.pallas.quant_matmul import quant_matmul
 
         out = quant_matmul(x, w)
@@ -357,19 +391,58 @@ def _attn_out(spec: ModelSpec, p: Params, a):
     """a [B,T,H,Dh] -> [B,T,D] via wo [H,Dh,D] (row-parallel under TP)."""
     from flexflow_tpu.quant.weight_only import QuantizedArray
 
-    if isinstance(p["wo"], QuantizedArray) and _use_pallas_quant_matmul():
+    wo = p["wo"]
+    if isinstance(wo, IndexedQuant):
+        if _use_pallas_quant_matmul():
+            from flexflow_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_indexed,
+            )
+
+            out = _tp_reduce(quant_matmul_indexed(a, wo.qa, wo.idx))
+            if p.get("bo") is not None:
+                out = out + p["bo"]
+            return _apply_lora(p, "wo", a, out.astype(a.dtype))
+        wo = wo.slice()
+    if isinstance(wo, QuantizedArray) and _use_pallas_quant_matmul():
         # fused dequant kernel (contract_dims=2 flattens [H, Dh]); the
         # einsum path dequantized wo through XLA's slow int4 unpack
         from flexflow_tpu.ops.pallas.quant_matmul import quant_matmul
 
-        out = _tp_reduce(quant_matmul(a, p["wo"]))
+        out = _tp_reduce(quant_matmul(a, wo))
     else:
         out = _tp_reduce(jnp.einsum(
-            "bthd,hdo->bto", a, as_array(p["wo"]).reshape(
+            "bthd,hdo->bto", a, as_array(wo).reshape(
                 a.shape[-2], a.shape[-1], -1)))
     if p.get("bo") is not None:
         out = out + p["bo"]
     return _apply_lora(p, "wo", a, out.astype(a.dtype))
+
+
+def _split_indexed_quant(spec: ModelSpec, layers: Params, offload: bool):
+    """Split a stacked layers dict into (scan-sliced rest, closure-captured
+    quantized carriers) for the layer-indexed kernel path.
+
+    Quantized [L, ...] leaves are kept WHOLE and consumed via IndexedQuant
+    inside the scan body — a scan-sliced operand feeding a pallas_call is
+    materialized by XLA first (~50 MB copy per 7B INT4 layer; see
+    IndexedQuant). Offload keeps everything in xs (weights stream per layer
+    by design); MoE expert stacks (batch_dims == 2) stay scan-sliced.
+    On non-Pallas backends the IndexedQuant fallback dynamic-indexes inside
+    the body — numerically identical to scan slicing.
+    """
+    from flexflow_tpu.quant.weight_only import QuantizedArray
+
+    if offload or not isinstance(layers, dict):
+        return layers, {}
+    quant = {
+        k: v for k, v in layers.items()
+        if isinstance(v, QuantizedArray) and v.batch_dims == 1
+        and v.q.ndim == 3 and v.q.shape[0] == spec.num_layers
+    }
+    if not quant:
+        return layers, {}
+    rest = {k: v for k, v in layers.items() if k not in quant}
+    return rest, quant
 
 
 def _layer(spec: ModelSpec, p: Params, h, attend):
@@ -543,9 +616,12 @@ def forward(
         )
         return out, ((k, v) if return_kv else 0)
 
+    rest_layers, quant_stacked = _split_indexed_quant(
+        spec, params["layers"], offload)
+
     def body(h, xs):
         if lora is not None:
-            layer_params, lora_layer = xs
+            idx, layer_params, lora_layer = xs
             if offload:
                 layer_params = _stream_in(layer_params, offload_shardings)
             layer_params = {
@@ -555,13 +631,19 @@ def forward(
                 "_lora_scale": lora_scale,
             }
         else:
-            layer_params = xs
+            idx, layer_params = xs
             if offload:
                 layer_params = _stream_in(layer_params, offload_shardings)
+        if quant_stacked:
+            layer_params = {
+                **layer_params,
+                **{k: IndexedQuant(v, idx) for k, v in quant_stacked.items()},
+            }
         h, aux = _layer(spec, layer_params, h, attend)
         return h, aux
 
-    xs = params["layers"] if lora is None else (params["layers"], lora)
+    idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    xs = (idxs, rest_layers) if lora is None else (idxs, rest_layers, lora)
     h, kv = jax.lax.scan(body, h, xs)
     logits = _unembed(spec, params, h)
     return logits, (kv if return_kv else None)
@@ -673,9 +755,12 @@ def forward_cached(
         joint_mask = tree_mask
         joint_positions = None
 
+    rest_layers, quant_stacked = _split_indexed_quant(
+        spec, params["layers"], offload)
+
     def body(h, xs):
         if lora is not None:
-            layer_params, ck_l, cv_l, ex, lora_layer = xs
+            idx, layer_params, ck_l, cv_l, ex, lora_layer = xs
             if offload:
                 layer_params = _stream_in(layer_params, offload_shardings)
             layer_params = {
@@ -685,9 +770,14 @@ def forward_cached(
                 "_lora_scale": lora_scale,
             }
         else:
-            layer_params, ck_l, cv_l, ex = xs
+            idx, layer_params, ck_l, cv_l, ex = xs
             if offload:
                 layer_params = _stream_in(layer_params, offload_shardings)
+        if quant_stacked:
+            layer_params = {
+                **layer_params,
+                **{k: IndexedQuant(v, idx) for k, v in quant_stacked.items()},
+            }
 
         def attend(q, k, v):
             q, k = _maybe_rope(spec, q, k, positions)
@@ -754,10 +844,11 @@ def forward_cached(
         return h, (kc, vc)
 
     ex_xs = extra_kv if extra_kv is not None else None
+    idxs = jnp.arange(spec.num_layers, dtype=jnp.int32)
     xs = (
-        (params["layers"], cache.k, cache.v, ex_xs)
+        (idxs, rest_layers, cache.k, cache.v, ex_xs)
         if lora is None
-        else (params["layers"], cache.k, cache.v, ex_xs, lora)
+        else (idxs, rest_layers, cache.k, cache.v, ex_xs, lora)
     )
     h, (k_new, v_new) = jax.lax.scan(body, h, xs)
     if not write_cache:

@@ -12,6 +12,15 @@ Layouts (from flexflow_tpu/quant/weight_only.py):
 - INT8: q [D, F] int8, scale [G, F] f32 (symmetric), G = D / group_size.
 - INT4: q [D/2, F] uint8 planar-packed (low nibble = row r, high nibble =
   row r + D/2), scale/offset [G, F] f32 (asymmetric).
+
+An INT4 "group-dot" variant (per-group raw-nibble dots with scales folded
+POST-dot, no dequantized weight tile) was built in r4 and DELETED in r5
+after on-chip measurement (benchmarks/probe_r5_groupdot.py, 2026-08-22):
+it won isolated GEMV micro-benchmarks (69 vs 115 us on the lm_head at b=8)
+but LOST end-to-end decode (15.47 vs 14.68 ms/step at 7B INT4 B=8), was
+5-10x slower at tree-verify row counts (which the spec-lossless invariant
+forces onto the same kernel), and scoped-VMEM OOMed at d=11008 verify
+shapes. git history has the kernel; this file keeps the winner only.
 """
 
 from __future__ import annotations
@@ -44,59 +53,6 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, *, group_size: int):
     o_ref[:] = jnp.dot(
         x, w, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
-
-
-def _int4_groupdot_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *,
-                          group_size: int):
-    """AND-unpack + per-group dots + POST-dot f32 scale (no dequantized w).
-
-    The ROADMAP r4 "i4-3dot" family: instead of materializing the dequantized
-    [D, BF] bf16 weight tile (prod kernel below), dot the raw nibble planes
-    per group and fold scale/offset into the f32 partials AFTER the MXU:
-      out = sum_g dot(x_g, lo_g) * s_g + sum(x_g) * off_g   (+ high half,
-      with the /16 of hi16 = v & 0xF0 folded into its scales)
-    Saves the full-tile dequant FMA + bf16 round (measured 39us vs prod 52us
-    on [4096,11008] bf=1024 decode shapes). NOT bitwise-equal to the prod
-    kernel (scale applied post-dot in f32, no per-element bf16 round of w) —
-    but row-deterministic and blocking-independent: per-row results are
-    IDENTICAL across any (bb, bf) tiling and any batch size (fixed gh
-    accumulation order, per-group MXU dot over the same gs contraction), so
-    decode/verify/prefill programs sharing a unit stay argmax-consistent —
-    the property the spec-lossless and prefix-20 gates need. Exactness vs a
-    jnp mirror of this math is gated bitwise in tests/test_pallas_kernels.py.
-    """
-    x = x_ref[:]  # [BB, D]
-    v = pltpu.bitcast(q_ref[:], jnp.int8)  # [D/2, BF] planar
-    lo = (v & jnp.int8(0x0F)).astype(jnp.bfloat16)  # exact [0, 15]
-    hi16 = (v & jnp.int8(-16)).astype(jnp.bfloat16)  # 16 * signed hi
-    b = x.shape[0]
-    g = s_ref.shape[0]
-    gh = g // 2
-    d2 = v.shape[0]
-    s = s_ref[:]
-    off = off_ref[:]
-
-    def gdot(xg, qv):
-        qg = qv.reshape(gh, group_size, -1)
-        return jax.lax.dot_general(
-            xg, qg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [GH, B, BF]
-
-    xl = x[:, :d2].reshape(b, gh, group_size).transpose(1, 0, 2)
-    xh = x[:, d2:].reshape(b, gh, group_size).transpose(1, 0, 2)
-    xsum_l = jnp.sum(xl.astype(jnp.float32), axis=2)  # [GH, B]
-    xsum_h = jnp.sum(xh.astype(jnp.float32), axis=2)
-    s_lo, s_hi = s[:gh], s[gh:] * 0.0625
-    o_lo, o_hi = off[:gh], off[gh:]
-    # sequential accumulation: at most two [GH, B, BF] f32 partials live at
-    # once (the 4-term sum kept ~4 live and blew scoped VMEM at prefill
-    # shapes: 21.2M measured at [256, 32256] lm_head)
-    out = gdot(xl, lo) * s_lo[:, None, :]
-    out = out + xsum_l[:, :, None] * o_lo[:, None, :]
-    out = out + gdot(xh, hi16) * s_hi[:, None, :]
-    out = out + xsum_h[:, :, None] * o_hi[:, None, :]
-    o_ref[:] = jnp.sum(out, axis=0).astype(o_ref.dtype)
 
 
 def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
@@ -133,7 +89,7 @@ def _int4_kernel(x_ref, q_ref, s_ref, off_ref, o_ref, *, group_size: int):
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "block_f", "interpret",
-                     "out_dtype", "groupdot"),
+                     "out_dtype"),
 )
 def _qmm_2d(
     x: jnp.ndarray,  # [B, D]
@@ -146,7 +102,6 @@ def _qmm_2d(
     block_f: int = 512,
     interpret: bool = False,
     out_dtype=None,
-    groupdot: bool = False,
 ):
     b, d = x.shape
     f = q.shape[-1]
@@ -172,15 +127,6 @@ def _qmm_2d(
         # d=11008, bf=512 runs within 16M) so decode shapes keep bf=512
         if bits == 8:
             core = d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
-        elif groupdot:
-            # nibble planes (bf16 x2) + the [GH, BB, BF] f32 group partials:
-            # 3 live at once (accumulator + fresh dot + scale product; the
-            # [256,32256] lm_head OOM measured 21.2M when this counted 2)
-            core = (
-                (d // 2) * bf_ + d * bf_ * 2 + 2 * g * bf_ * 4
-                + (g // 2) * bb_ * bf_ * 4 * 3
-                + bb_ * d * 2  # xl/xh transposed copies
-            )
         else:
             core = (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
         return bb_ * d * 2 + core + bb_ * bf_ * 4
@@ -205,9 +151,7 @@ def _qmm_2d(
         ]
         args = (x, q, scale)
     else:
-        kernel = functools.partial(
-            _int4_groupdot_kernel if groupdot else _int4_kernel,
-            group_size=group_size)
+        kernel = functools.partial(_int4_kernel, group_size=group_size)
         in_specs = [
             pl.BlockSpec((bb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d // 2, bf), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -232,6 +176,186 @@ def _qmm_2d(
         interpret=interpret,
     )(*args)
     return out[:b] if bpad else out
+
+
+def _int8_kernel_idx(l_ref, x_ref, q_ref, s_ref, o_ref, *, group_size: int):
+    del l_ref  # consumed by the index maps
+    x = x_ref[:]
+    q = q_ref[0]  # [D, BF] — layer block selected by the index map
+    s = s_ref[0]
+    w = (q.astype(jnp.float32) * _repeat_rows(s, group_size)).astype(x.dtype)
+    o_ref[:] = jnp.dot(
+        x, w, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _int4_kernel_idx(l_ref, x_ref, q_ref, s_ref, off_ref, o_ref, *,
+                     group_size: int):
+    del l_ref
+    x = x_ref[:]
+    v = pltpu.bitcast(q_ref[0], jnp.int8)
+    lo = (v & jnp.int8(0x0F)).astype(jnp.float32)
+    hi16 = (v & jnp.int8(-16)).astype(jnp.float32)
+    g = s_ref.shape[1]
+    gh = g // 2
+    s = s_ref[0]
+    off = off_ref[0]
+    w_lo = lo * _repeat_rows(s[:gh], group_size) + _repeat_rows(
+        off[:gh], group_size
+    )
+    w_hi = hi16 * _repeat_rows(s[gh:] * 0.0625, group_size) + _repeat_rows(
+        off[gh:], group_size
+    )
+    w = jnp.concatenate([w_lo, w_hi], axis=0).astype(x.dtype)
+    o_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "block_f", "interpret",
+                     "out_dtype"),
+)
+def _qmm_2d_idx(
+    x: jnp.ndarray,  # [B, D]
+    q: jnp.ndarray,  # [L, ...] stacked packed carrier
+    scale: jnp.ndarray,  # [L, G, F]
+    offset: Optional[jnp.ndarray],
+    lidx: jnp.ndarray,  # [1] int32 layer index
+    *,
+    bits: int,
+    group_size: int,
+    block_f: int = 512,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Layer-indexed fused dequant matmul over STACKED [L, ...] carriers.
+
+    The layer index rides scalar prefetch and selects the weight block in
+    the BlockSpec index maps, so each tile DMAs straight from the stacked
+    HBM buffer — no per-layer slice copy. Why this exists: the serving
+    forward scans over layers, and a ``lax.scan``-sliced operand feeding a
+    pallas_call is MATERIALIZED by XLA first (a ~50 MB copy per 7B INT4
+    layer = +2x packed-weight traffic; measured ~5 ms of a 14.7 ms decode
+    step — benchmarks/probe_r5_decattr.py, 2026-08-22). Same dequant math
+    and blocking as _qmm_2d: per-row results are bitwise identical to the
+    unstacked kernel at equal block shapes.
+    """
+    b, d = x.shape
+    f = q.shape[-1]
+    g = scale.shape[1]
+    bf = min(block_f, f)
+    while f % bf:
+        bf //= 2
+    out_dtype = out_dtype or x.dtype
+    bb = b
+
+    def est(bb_, bf_):
+        if bits == 8:
+            core = d * bf_ + int(0.55 * d * bf_ * 2) + g * bf_ * 4
+        else:
+            core = (d // 2) * bf_ + int(0.4 * d * bf_ * 4) + 2 * g * bf_ * 4
+        return bb_ * d * 2 + core + bb_ * bf_ * 4
+
+    budget = 15 * 2**20
+    while est(bb, bf) > budget and bf > 128:
+        bf //= 2
+    while est(bb, bf) > budget and bb > 64:
+        bb = max(64, bb // 2)
+    bpad = (-b) % bb
+    if bpad:
+        x = jnp.pad(x, ((0, bpad), (0, 0)))
+    nb = (b + bpad) // bb
+    grid = (f // bf, nb)
+
+    if bits == 8:
+        kernel = functools.partial(_int8_kernel_idx, group_size=group_size)
+        in_specs = [
+            pl.BlockSpec((bb, d), lambda j, i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bf), lambda j, i, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, bf), lambda j, i, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (x, q, scale)
+    else:
+        kernel = functools.partial(_int4_kernel_idx, group_size=group_size)
+        in_specs = [
+            pl.BlockSpec((bb, d), lambda j, i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d // 2, bf), lambda j, i, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, bf), lambda j, i, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, bf), lambda j, i, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (x, q, scale, offset)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, bf), lambda j, i, l: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b + bpad, f), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * f,
+            bytes_accessed=(q.size // q.shape[0]) * q.dtype.itemsize
+            + b * d * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx.astype(jnp.int32).reshape(1), *args)
+    return out[:b] if bpad else out
+
+
+def quant_matmul_indexed(
+    x: jnp.ndarray,
+    qa: QuantizedArray,  # stacked: batch_dims == 1, carriers [L, ...]
+    lidx,
+    *,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """x @ dequantize(qa[lidx]) streaming tiles directly from the stacked
+    carriers (see _qmm_2d_idx). Falls back to slice+dequantize when the
+    unit isn't kernel-eligible."""
+    assert qa.batch_dims == 1 and qa.q.ndim == 3, "expects [L, ...] carriers"
+    odt = out_dtype or x.dtype
+    if not interpret and not pallas_eligible(qa):
+        import jax as _jax
+
+        from flexflow_tpu.quant.weight_only import dequantize
+
+        qa_l = _jax.tree_util.tree_map(lambda a: a[lidx], qa)
+        return jnp.tensordot(
+            x.reshape(*x.shape[: x.ndim - qa.contract_dims], qa.d_contract),
+            dequantize(qa_l).reshape(qa.d_contract, -1),
+            axes=1,
+            preferred_element_type=jnp.float32,
+        ).reshape(*x.shape[: x.ndim - qa.contract_dims],
+                  *qa.shape[1 + qa.contract_dims:]).astype(odt)
+    unit = qa.shape[1:]
+    cdims = qa.contract_dims
+    d = qa.d_contract
+    out_shape = unit[cdims:]
+    lead = x.shape[: x.ndim - cdims]
+    xb = x.reshape(int(np.prod(lead)) if lead else 1, d)
+    out = _qmm_2d_idx(
+        xb, qa.q, qa.scale, qa.offset, jnp.asarray(lidx, jnp.int32),
+        bits=qa.bits, group_size=qa.group_size, interpret=interpret,
+        out_dtype=odt,
+    )
+    if qa.rest_pad:
+        out = out[:, : qa.d_rest]
+    return out.reshape(*lead, *out_shape).astype(odt)
 
 
 def pallas_eligible(qa: QuantizedArray) -> bool:
@@ -293,25 +417,10 @@ def quant_matmul(
     out_shape = unit[cdims:]
     lead = x.shape[: x.ndim - cdims]
     xb = x.reshape(int(np.prod(lead)) if lead else 1, d)
-    from flexflow_tpu.config import config as _cfg
-
     out = _qmm_2d(
         xb, qa.q, qa.scale, qa.offset,
         bits=qa.bits, group_size=qa.group_size, interpret=interpret,
         out_dtype=odt,
-        # group-dot regime gate: decode/draft/verify row counts only. The
-        # [GH, BB, BF] f32 partials make the kernel VMEM-hungry at prefill
-        # row counts (measured 20.4M scoped at [256, 32256] lm_head vs the
-        # 16M limit), and its win was measured on GEMV-like shapes. The
-        # row cap keeps every token-by-token program (decode b=B, draft
-        # b=B*width, tree-verify b=B*tree) on ONE kernel — the cross-program
-        # row-determinism the spec-lossless and prefix-20 gates need —
-        # while prefill/chunk shapes stay on the dequant-tile kernel.
-        # SpecEngine raises the cap at build time to cover B*tree (ADVICE
-        # r4: a fixed 128 silently split decode/groupdot from
-        # verify/dequant-tile at B*tree > 128).
-        groupdot=bool(qa.bits == 4 and _cfg.int4_groupdot
-                      and xb.shape[0] <= _cfg.int4_groupdot_row_cap),
     )
     if qa.rest_pad:
         out = out[:, : qa.d_rest]

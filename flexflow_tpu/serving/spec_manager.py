@@ -62,9 +62,19 @@ class SpecRequestManager:
         self.fused = bool(fused)
         self.spec_horizon = max(int(spec_horizon), 1)
         # pipelined: dispatch horizon k+1 before fetching horizon k
-        # (requires fused; lens/roots feed back as device arrays)
+        # (requires fused; lens/roots feed back as device arrays).
+        # pipeline_depth horizons ride in flight at once (reference 4-deep
+        # future queue, request_manager.cc:3122-3137): with device-fed
+        # lens/roots the host only needs to fetch the OLDEST horizon's
+        # tokens, so a deeper queue hides per-dispatch host/tunnel cost at
+        # the price of more EOS/budget lag (covered by the acceptance
+        # projection in _clamped_horizon).
         self.pipelined = bool(pipelined) and self.fused
-        self._inflight = None  # (snapshot, produced_dev, n_acc_dev, h)
+        from flexflow_tpu.config import config as _cfg0
+
+        self.pipeline_depth = max(int(getattr(_cfg0, "pipeline_depth", 2)), 1)
+        self._inflight_q = []  # FIFO of (snapshot, produced, n_acc, h)
+        self._inflight = None  # legacy single-slot view (kept for tests)
         self._dev_lens = None  # device [B] feedback (pipelined mode)
         self._dev_roots = None
         self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
@@ -249,13 +259,25 @@ class SpecRequestManager:
         else:
             acc = self.mean_verified_tokens_per_step
             acc = max(acc, 1.0)  # >= 1 token per iteration is guaranteed
+            worst = self.engine.depth + 1  # max tokens one iteration commits
             rem = 0
+            cap = self.spec_horizon
             for s in active:
                 req = self._slots[s]
                 proj = (len(req.output_tokens)
                         + self._inflight_iters[s] * acc)
                 rem_tok = req.config.max_new_tokens - proj
                 rem = max(rem, int(np.ceil(rem_tok / acc)))
+                # seq-len safety at pipeline depth > 1: every in-flight
+                # iteration can commit up to depth+1 tokens on device before
+                # the host observes them — cap this dispatch so even
+                # worst-case acceptance cannot write past the cache
+                worst_lens = (len(req.prompt_tokens) + len(req.output_tokens)
+                              + self._inflight_iters[s] * worst)
+                seq_room = (self.engine.max_seq_len - worst_lens
+                            - (self._tree_margin + 1))
+                cap = min(cap, max(int(seq_room) // worst, 0))
+            rem = min(rem, cap)
             if rem <= 0:
                 return 0
         # round up to a power of two so the static-n fused program compiles
@@ -337,9 +359,8 @@ class SpecRequestManager:
         h = self._clamped_horizon(active, projected=True)
         if h == 0:
             # budgets covered by in-flight work: drain instead of dispatch
-            if self._inflight is not None:
-                inflight, self._inflight = self._inflight, None
-                self._drain_inflight(inflight)
+            if self._inflight_q:
+                self._drain_inflight(self._inflight_q.pop(0))
             return True
         b = self.engine.max_requests
         if self._dev_lens is None:
@@ -381,10 +402,11 @@ class SpecRequestManager:
         for s in active:
             self._inflight_iters[s] += h
         snapshot = [(slot, self._slots[slot]) for slot in active]
-        prev = self._inflight
-        self._inflight = (snapshot, produced, n_acc, h)
-        if prev is not None:
-            self._drain_inflight(prev)
+        self._inflight_q.append((snapshot, produced, n_acc, h))
+        # keep up to pipeline_depth horizons queued on device; drain the
+        # oldest beyond that (the reference's 4-deep future pipeline)
+        while len(self._inflight_q) > max(self.pipeline_depth - 1, 1):
+            self._drain_inflight(self._inflight_q.pop(0))
         return True
 
     def _drain_inflight(self, inflight) -> None:
@@ -402,10 +424,9 @@ class SpecRequestManager:
             self._admit()
         active = [s for s in range(self.engine.max_requests) if self._slots[s]]
         if not active:
-            if self._inflight is not None:
-                inflight, self._inflight = self._inflight, None
+            if self._inflight_q:
                 with self._phase("spec_drain"):
-                    self._drain_inflight(inflight)
+                    self._drain_inflight(self._inflight_q.pop(0))
                 return True
             return False
         if self.fused:

@@ -76,12 +76,19 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
     depths_vec = make_depths_vec(w, dmax)
 
     def draft_phase(ssm_params, ssm_cache, cache_lens, roots, staged=None):
-        """``staged`` = (stage_k, stage_v, counts): in-register KV of tokens
-        accepted EARLIER IN THIS HORIZON but not yet committed to the cache
-        (the staged-horizon-commit flow — one cache write per horizon
-        instead of per iteration). stage_k/v [L, B, C, KH, D]; column j
-        holds the token at absolute position cache_lens + j, valid iff
-        j < counts[b]."""
+        """``staged``: in-register KV of tokens accepted EARLIER IN THIS
+        HORIZON but not yet committed to the cache (the staged-horizon
+        flow — one cache write per horizon instead of per iteration).
+        Two forms:
+
+        - (stage_k, stage_v, counts): COMPACTED staging — stage_k/v
+          [L, B, C, KH, D]; column j holds the token at absolute position
+          cache_lens + j, valid iff j < counts[b].
+        - (stage_k, stage_v, valid [B, C], pos [B, C]): RAW staging — the
+          horizon's tree buffers stacked uncompacted; column validity and
+          absolute positions come precomputed (the r5 layout that removes
+          the per-iteration compaction einsums; see _staged_horizon).
+        """
         b = cache_lens.shape[0]
         sl, skh, sd = (ssm_spec.num_layers,
                        ssm_spec.num_kv_heads, ssm_spec.head_dim)
@@ -90,6 +97,11 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
             base_lens = cache_lens
             s_k = s_v = None
             cap = 0
+        elif len(staged) == 4:
+            s_k, s_v, stage_valid, stage_pos = staged
+            cap = s_k.shape[2]
+            counts = jnp.sum(stage_valid.astype(jnp.int32), axis=1)
+            base_lens = cache_lens + counts
         else:
             s_k, s_v, counts = staged
             cap = s_k.shape[2]
@@ -298,14 +310,6 @@ class SpecEngine:
             self._mesh_local = True
         from flexflow_tpu.config import config as _ffconfig
 
-        if _ffconfig.int4_groupdot:
-            # every token-by-token program of this engine (decode B, draft
-            # B*width, verify B*tree) must route to the same quant-matmul
-            # kernel (cross-program row determinism — quant_matmul.py gate);
-            # raise the row cap to cover the widest of them (ADVICE r4)
-            need = max_requests_per_batch * t
-            if _ffconfig.int4_groupdot_row_cap < need:
-                _ffconfig.int4_groupdot_row_cap = need
         if _ffconfig.fuse_qkv and mesh is None:
             # fused wqkv/wgu carriers (see InferenceEngine.__init__); both
             # draft and verifier flip together so decode, draft expansion
@@ -562,8 +566,9 @@ class SpecEngine:
             """Tree verification WITHOUT cache writes: returns the logits and
             the tree tokens' per-layer KV stack [L, B, T, KH, D].
 
-            ``staged`` (stage_k, stage_v, counts): horizon-accepted tokens
-            not yet committed to the cache (see draft_phase)."""
+            ``staged``: horizon-accepted tokens not yet committed to the
+            cache — compacted (s_k, s_v, counts) or raw
+            (s_k, s_v, valid, pos) form, see draft_phase."""
             b, t_ = tree_tokens.shape
             if staged is None:
                 positions = cache_lens[:, None] + tree_depths
@@ -571,11 +576,17 @@ class SpecEngine:
                     self.llm_spec, params, tree_tokens, cache, cache_lens,
                     positions=positions.astype(jnp.int32), tree_mask=anc_self,
                     write_cache=False)
-            s_k, s_v, counts = staged
-            cap = s_k.shape[2]
+            if len(staged) == 4:
+                s_k, s_v, stage_valid, stage_pos = staged
+                cap = s_k.shape[2]
+                counts = jnp.sum(stage_valid.astype(jnp.int32), axis=1)
+            else:
+                s_k, s_v, counts = staged
+                cap = s_k.shape[2]
+                stage_cols = jnp.arange(cap, dtype=jnp.int32)
+                stage_valid = stage_cols[None, :] < counts[:, None]  # [B, C]
+                stage_pos = cache_lens[:, None] + stage_cols[None, :]
             base_lens = cache_lens + counts
-            stage_cols = jnp.arange(cap, dtype=jnp.int32)
-            stage_valid = stage_cols[None, :] < counts[:, None]  # [B, C]
             positions = base_lens[:, None] + tree_depths
             return decoder.forward_cached(
                 self.llm_spec, params, tree_tokens, cache, cache_lens,
@@ -583,7 +594,7 @@ class SpecEngine:
                 extra_kv=(s_k, s_v),
                 extra_mask=jnp.broadcast_to(
                     stage_valid[:, None, :], (b, t_, cap)),
-                extra_positions=cache_lens[:, None] + stage_cols[None, :],
+                extra_positions=stage_pos,
                 write_cache=False)
 
         def _append_staged(stage_k, stage_v, buf_k, buf_v, path, counts,
@@ -681,7 +692,20 @@ class SpecEngine:
             the full [S] extent — cache_lens is FIXED across the horizon
             (in-horizon KV rides the staging buffers), so the windowed read
             is bit-exact; the end-of-horizon commit targets the FULL caches.
-            Same structure as InferenceEngine.decode_n_fn (ROADMAP r4 #1)."""
+            Same structure as InferenceEngine.decode_n_fn (ROADMAP r4 #1).
+
+            RAW staging layout (round 5): iteration i's whole tree KV lands
+            UNCOMPACTED at staging columns [i*tree, (i+1)*tree); per-column
+            validity/positions track which tree slots were accepted. The r4
+            design compacted accepted columns every iteration via one-hot
+            einsums over the full [L, B, cap, KH, D] buffers — measured
+            3.07 ms/iteration at 7B (probe_r5_specattr), and the cost grew
+            with the horizon (why h16 never beat h8). Raw staging replaces
+            that with one [L, B, tree, KH, D] dynamic-update per iteration
+            plus tiny [B, tree] bookkeeping; attention reads ~2x the staged
+            columns (0.1-0.3 ms) and ONE compaction einsum runs per horizon
+            before the cache commit.
+            """
             b = cache_lens.shape[0]
             if window is not None and window < llm_cache.k.shape[-1]:
                 llm_read = KVCache(k=llm_cache.k[..., :window],
@@ -693,7 +717,7 @@ class SpecEngine:
                                    v=ssm_cache.v[..., :window])
             else:
                 ssm_read = ssm_cache
-            cap = n * (dmax + 1)
+            cap = n * tree  # raw columns: one tree block per iteration
             sdt = ssm_cache.k.dtype
             ldt = llm_cache.k.dtype
             sl, skh, sd = (self.ssm_spec.num_layers,
@@ -701,52 +725,96 @@ class SpecEngine:
             ll_, lkh, ld_ = (self.llm_spec.num_layers,
                              self.llm_spec.num_kv_heads,
                              self.llm_spec.head_dim)
-            s_ssm_k = jnp.zeros((sl, b, cap, skh, sd), sdt)
-            s_ssm_v = jnp.zeros((sl, b, cap, skh, sd), sdt)
-            s_llm_k = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
-            s_llm_v = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
+            r_ssm_k = jnp.zeros((sl, b, cap, skh, sd), sdt)
+            r_ssm_v = jnp.zeros((sl, b, cap, skh, sd), sdt)
+            r_llm_k = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
+            r_llm_v = jnp.zeros((ll_, b, cap, lkh, ld_), ldt)
+            valid0 = jnp.zeros((b, cap), bool)
+            pos0 = jnp.zeros((b, cap), jnp.int32)
             counts0 = jnp.zeros((b,), jnp.int32)
+            iota_n = jnp.arange(n, dtype=jnp.int32)
+            xs = (iota_n, walk_xs) if walk_xs is not None else iota_n
 
-            def body(carry, xs):
-                s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts, roots = carry
+            def body(carry, xs_i):
+                (r_llm_k, r_llm_v, r_ssm_k, r_ssm_v, valid, pos, counts,
+                 roots) = carry
+                if walk_xs is not None:
+                    i, xi = xs_i
+                else:
+                    i, xi = xs_i, None
                 tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
                     ssm_params, ssm_read, cache_lens, roots,
-                    staged=(s_ssm_k, s_ssm_v, counts))
+                    staged=(r_ssm_k, r_ssm_v, valid, pos))
                 logits, llm_buf = verify_logits_reg(
                     llm_params, llm_read, cache_lens, tree_tokens,
                     jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self,
-                    staged=(s_llm_k, s_llm_v, counts))
+                    staged=(r_llm_k, r_llm_v, valid, pos))
                 produced, n_acc, from_slots = walk_fn(
-                    logits, tree_tokens, tree_parents, xs)
-                path = from_slots[:, :dmax + 1]
-                s_llm_k, s_llm_v = _append_staged(
-                    s_llm_k, s_llm_v, *llm_buf, path, counts, n_acc)
-                s_ssm_k, s_ssm_v = _append_staged(
-                    s_ssm_k, s_ssm_v, *ssm_buf, path, counts, n_acc)
+                    logits, tree_tokens, tree_parents, xi)
+                path = from_slots[:, :dmax + 1]  # [B, P]
+
+                # raw staging write: iteration i's whole tree block
+                col = i * tree
+                r_llm_k = jax.lax.dynamic_update_slice(
+                    r_llm_k, llm_buf[0].astype(ldt), (0, 0, col, 0, 0))
+                r_llm_v = jax.lax.dynamic_update_slice(
+                    r_llm_v, llm_buf[1].astype(ldt), (0, 0, col, 0, 0))
+                r_ssm_k = jax.lax.dynamic_update_slice(
+                    r_ssm_k, ssm_buf[0].astype(sdt), (0, 0, col, 0, 0))
+                r_ssm_v = jax.lax.dynamic_update_slice(
+                    r_ssm_v, ssm_buf[1].astype(sdt), (0, 0, col, 0, 0))
+                # [B, tree] validity + absolute positions of this block:
+                # slot s accepted iff path[:, k] == s for some k < n_acc
+                pidx = jnp.arange(dmax + 1, dtype=jnp.int32)
+                oh = (path[:, :, None]
+                      == jnp.arange(tree, dtype=jnp.int32)[None, None, :])
+                oh = oh & (pidx[None, :, None] < n_acc[:, None, None])
+                vblock = jnp.any(oh, axis=1)  # [B, tree]
+                k_of = jnp.argmax(oh, axis=1).astype(jnp.int32)  # [B, tree]
+                pblock = cache_lens[:, None] + counts[:, None] + k_of
+                valid = jax.lax.dynamic_update_slice(valid, vblock, (0, col))
+                pos = jax.lax.dynamic_update_slice(pos, pblock, (0, col))
+
                 next_roots = jnp.take_along_axis(
                     produced, (n_acc - 1)[:, None], axis=1)[:, 0]
-                return (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v,
+                return (r_llm_k, r_llm_v, r_ssm_k, r_ssm_v, valid, pos,
                         counts + n_acc, next_roots), (produced, n_acc)
 
-            (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts, roots_out), (
-                produced, n_acc) = jax.lax.scan(
+            (r_llm_k, r_llm_v, r_ssm_k, r_ssm_v, valid, pos, counts,
+             roots_out), (produced, n_acc) = jax.lax.scan(
                 body,
-                (s_llm_k, s_llm_v, s_ssm_k, s_ssm_v, counts0, roots),
-                walk_xs, length=n)
+                (r_llm_k, r_llm_v, r_ssm_k, r_ssm_v, valid0, pos0, counts0,
+                 roots),
+                xs, length=n)
 
-            # ONE window commit per cache for the whole horizon (junk
-            # beyond counts[b] lands past the committed length — never
-            # attended, overwritten by later commits)
-            def commit_stage(cache, sk, sv):
-                upd_k = sk.transpose(0, 1, 3, 4, 2).astype(cache.k.dtype)
-                upd_v = sv.transpose(0, 1, 3, 4, 2).astype(cache.v.dtype)
+            # ONE compaction per cache per horizon: gather the accepted raw
+            # columns into commit order (dst column = pos - cache_lens),
+            # then ONE window commit (junk beyond counts[b] lands past the
+            # committed length — never attended, overwritten later)
+            ccap = n * (dmax + 1)
+            oh = (valid[:, :, None]
+                  & ((pos - cache_lens[:, None])[:, :, None]
+                     == jnp.arange(ccap, dtype=jnp.int32)[None, None, :]))
+
+            def commit_stage(cache, rk, rv):
+                ohc = oh.astype(cache.k.dtype)
+                prec = (None if cache.k.dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST)
+                sk = jnp.einsum("lbpkd,bpc->lbckd", rk.astype(cache.k.dtype),
+                                ohc, preferred_element_type=cache.k.dtype,
+                                precision=prec)
+                sv = jnp.einsum("lbpkd,bpc->lbckd", rv.astype(cache.v.dtype),
+                                ohc, preferred_element_type=cache.v.dtype,
+                                precision=prec)
+                upd_k = sk.transpose(0, 1, 3, 4, 2)
+                upd_v = sv.transpose(0, 1, 3, 4, 2)
                 upd_k, upd_v = jax.lax.optimization_barrier((upd_k, upd_v))
                 ck, cv = decoder.commit_kv_windows(
                     cache.k, cache.v, upd_k, upd_v, cache_lens)
                 return KVCache(k=ck, v=cv)
 
-            llm_cache = commit_stage(llm_cache, s_llm_k, s_llm_v)
-            ssm_cache = commit_stage(ssm_cache, s_ssm_k, s_ssm_v)
+            llm_cache = commit_stage(llm_cache, r_llm_k, r_llm_v)
+            ssm_cache = commit_stage(ssm_cache, r_ssm_k, r_ssm_v)
             return (produced, n_acc, cache_lens + counts, roots_out,
                     llm_cache, ssm_cache)
 

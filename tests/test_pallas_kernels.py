@@ -149,63 +149,28 @@ def test_flash_prefill_matches_reference(kh):
     )
 
 
-def test_quant_matmul_groupdot_matches_dequant():
-    """INT4 group-dot kernel (scale folded post-dot): close to the dequant
-    reference and exactly blocking/batch-invariant (the property the
-    spec-lossless + prefix-20 gates need across decode/verify/prefill
-    shapes)."""
-    from flexflow_tpu.ops.pallas.quant_matmul import _qmm_2d
-
-    d, f, b = 256, 512, 8
-    w = jax.random.normal(jax.random.PRNGKey(0), (d, f), jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
-    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
-
-    want = x @ dequantize(qa)
-    got = _qmm_2d(x, qa.q, qa.scale, qa.offset, bits=4,
-                  group_size=qa.group_size, interpret=True, groupdot=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-2, rtol=1e-2)
 
 
-def test_quant_matmul_groupdot_blocking_and_batch_invariant():
-    from flexflow_tpu.ops.pallas.quant_matmul import _qmm_2d
+def test_quant_matmul_indexed_matches_sliced():
+    """Layer-indexed kernel over stacked [L, ...] carriers: every layer's
+    rows must be bitwise-identical to the per-layer kernel on the sliced
+    unit (same dequant math and blocking — the property that lets the
+    serving forward stream tiles from the stacked buffers with no copy)."""
+    import jax.tree_util as jtu
 
-    d, f = 256, 512
-    w = jax.random.normal(jax.random.PRNGKey(2), (d, f), jnp.float32)
-    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
-    x8 = jax.random.normal(jax.random.PRNGKey(3), (8, d), jnp.float32)
+    from flexflow_tpu.ops.pallas.quant_matmul import (
+        quant_matmul, quant_matmul_indexed,
+    )
 
-    base = _qmm_2d(x8, qa.q, qa.scale, qa.offset, bits=4,
-                   group_size=qa.group_size, interpret=True, groupdot=True)
-    # f-blocking must not change any output bit
-    narrow = _qmm_2d(x8, qa.q, qa.scale, qa.offset, bits=4,
-                     group_size=qa.group_size, block_f=128, interpret=True,
-                     groupdot=True)
-    assert np.array_equal(np.asarray(base), np.asarray(narrow))
-    # the same rows inside a LARGER batch (verify-shape vs decode-shape)
-    # must be bitwise identical per row
-    x32 = jnp.concatenate(
-        [x8, jax.random.normal(jax.random.PRNGKey(4), (24, d), jnp.float32)])
-    big = _qmm_2d(x32, qa.q, qa.scale, qa.offset, bits=4,
-                  group_size=qa.group_size, interpret=True, groupdot=True)
-    assert np.array_equal(np.asarray(base), np.asarray(big)[:8])
-
-
-def test_quant_matmul_groupdot_flag_routes(monkeypatch):
-    """config.int4_groupdot selects the kernel through the public wrapper."""
-    from flexflow_tpu.config import config as cfg
-    from flexflow_tpu.ops.pallas import quant_matmul as qmm_mod
-
-    d, f = 256, 512
-    w = jax.random.normal(jax.random.PRNGKey(5), (d, f), jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(6), (4, d), jnp.float32)
-    qa = quantize(w, bits=4, group_size=64, compute_dtype=jnp.float32)
-    monkeypatch.setattr(cfg, "int4_groupdot", True)
-    got_gd = quant_matmul(x, qa, interpret=True)
-    monkeypatch.setattr(cfg, "int4_groupdot", False)
-    got_prod = quant_matmul(x, qa, interpret=True)
-    want = x @ dequantize(qa)
-    for got in (got_gd, got_prod):
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-2, rtol=1e-2)
+    L, d, f, b = 3, 256, 512, 4
+    for bits in (4, 8):
+        w = jax.random.normal(jax.random.PRNGKey(bits), (L, d, f), jnp.float32)
+        qa = quantize(w, bits=bits, group_size=64, batch_dims=1,
+                      compute_dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(7), (b, d), jnp.float32)
+        for l in range(L):
+            got = quant_matmul_indexed(x, qa, jnp.int32(l), interpret=True)
+            qa_l = jtu.tree_map(lambda a: a[l], qa)
+            want = quant_matmul(x, qa_l, interpret=True)
+            assert np.array_equal(np.asarray(got), np.asarray(want)), (
+                bits, l)
