@@ -91,6 +91,12 @@ VERIFIER_S = specs.ModelSpec(
 # 300 -> 0.65, 325 -> ~0.78, 350 -> 0.88, final -> 0.998 agreement).
 SHARPEN_STEPS = 800
 DRAFT_CKPT = 325
+# acceptance-sensitivity curve (VERDICT r4 #3): the same bench runs at an
+# earlier and a later checkpoint of the SAME training run, so the headline's
+# single point sits on a published speedup-vs-agreement curve instead of a
+# builder-chosen dial (probe_r4_ckpt: 300 -> ~0.65, 325 -> ~0.78,
+# 350 -> ~0.88 per-token agreement)
+CURVE_CKPTS = (300, 325, 350)
 
 
 def _emit(metric, value, unit, vs):
@@ -154,6 +160,9 @@ def run_spec_benchmarks(
     spec_pipelined: bool = True,
     sharpen_steps: int = SHARPEN_STEPS,
     draft_ckpt: int = DRAFT_CKPT,
+    curve_ckpts=(),  # extra checkpoints: speedup-vs-agreement curve points
+    cold_start: bool = False,  # emit cold_to_first_token_s (re-upload + build)
+    draft_bits=None,  # quantize the draft (reference -ssm quantization)
 ):
     """Emit the quantized verifier metrics (one JSON line per metric).
 
@@ -181,12 +190,19 @@ def run_spec_benchmarks(
         dspec, jax.random.PRNGKey(0), jnp.bfloat16
     )
     # one seeded training run; verifier embeds the final checkpoint, the
-    # draft is an earlier checkpoint (see SHARPEN_STEPS comment above)
+    # draft is an earlier checkpoint (see SHARPEN_STEPS comment above).
+    # curve_ckpts add earlier/later drafts of the SAME run so the headline
+    # point sits on a published speedup-vs-agreement curve (VERDICT r4 #3)
+    want_ckpts = tuple(sorted({draft_ckpt, *curve_ckpts}))
     dparams, ckpts = sharpen_draft(
-        dspec, dparams, steps=sharpen_steps, checkpoints=(draft_ckpt,),
+        dspec, dparams, steps=sharpen_steps, checkpoints=want_ckpts,
         log_fn=_log)
+    if draft_bits:
+        from flexflow_tpu.quant.weight_only import quantize_params
+
+        ckpts = {c: quantize_params(dspec, p, bits=draft_bits)
+                 for c, p in ckpts.items()}
     draft = ckpts[draft_ckpt]
-    del ckpts
     gc.collect()
 
     # direct quantized build (seconds; carriers bit-identical to quantizing
@@ -237,41 +253,50 @@ def run_spec_benchmarks(
     )
     rm = RequestManager(incr_engine, decode_horizon=horizon, pipelined=True)
     rm.generate(warm, cfg)  # full-workload warm (see INT8 comment)
-    incr_tps = 0.0
+    incr_rep = []
     for _ in range(3):  # best-of-3 (see INT8 comment)
         t0 = time.perf_counter()
         incr_reqs = rm.generate(prompts, cfg)
         incr_dt = time.perf_counter() - t0
         incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
-        incr_tps = max(incr_tps, incr_tokens / incr_dt)
+        incr_rep.append(incr_tokens / incr_dt)
+    incr_tps = max(incr_rep)
     del incr_engine, rm  # free the baseline KV cache before the spec engines
     gc.collect()
 
-    _log("INT4 spec engine build")
-    # Tree right-sized to the measured 0.81/token acceptance (on-chip sweep
-    # benchmarks/probe_r4_treesweep.py: w2d6 714 tok/s vs w3d8 519 — wide
-    # trees buy little acceptance over a near-chain at high agreement and
-    # pay 2x verify tokens + commit). Reference caps: width <= 3, depth <= 8
-    # (batch_config.h:196-197); w2d6 sits inside them.
-    # SYMMETRIC comparison (round-3 VERDICT weak #1b): spec runs the same
-    # pipelined multi-iteration horizons as the incremental baseline, so
-    # both pay comparable host round-trips per token.
-    spec_engine = SpecEngine(
-        vspec, v4, dspec, draft,
-        beam_width=beam_width, beam_depth=beam_depth,
-        max_requests_per_batch=batch, max_seq_len=max_seq,
-    )
-    srm = SpecRequestManager(spec_engine, fused=True,
-                             spec_horizon=spec_horizon,
-                             pipelined=spec_pipelined)
-    srm.generate(warm, cfg)  # full-workload warm (see INT8 comment)
-    spec_tps = 0.0
-    for _ in range(3):  # best-of-3 (see INT8 comment)
-        t0 = time.perf_counter()
-        spec_reqs = srm.generate(prompts, cfg)
-        spec_dt = time.perf_counter() - t0
-        spec_tokens = sum(len(r.output_tokens) for r in spec_reqs)
-        spec_tps = max(spec_tps, spec_tokens / spec_dt)
+    sfx = metric_suffix
+
+    def run_spec_point(ck, reps):
+        """Build a spec engine on checkpoint ``ck``'s draft, run the exact
+        workload ``reps`` times; returns (rep tok/s list, acc, reqs)."""
+        _log(f"INT4 spec engine build (draft ckpt {ck})")
+        engine = SpecEngine(
+            vspec, v4, dspec, ckpts[ck],
+            beam_width=beam_width, beam_depth=beam_depth,
+            max_requests_per_batch=batch, max_seq_len=max_seq,
+        )
+        mgr = SpecRequestManager(engine, fused=True,
+                                 spec_horizon=spec_horizon,
+                                 pipelined=spec_pipelined)
+        mgr.generate(warm, cfg)  # full-workload warm (see INT8 comment)
+        rep = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rr = mgr.generate(prompts, cfg)
+            dt = time.perf_counter() - t0
+            rep.append(sum(len(r.output_tokens) for r in rr) / dt)
+        acc = mgr.mean_verified_tokens_per_step
+        del engine, mgr
+        gc.collect()
+        return rep, acc, rr
+
+    # ---- headline spec point (tree right-sized on-chip: w2d6 — wide trees
+    # buy little acceptance over a near-chain at high agreement and pay 2x
+    # verify tokens; reference caps width <= 3, depth <= 8,
+    # batch_config.h:196-197). SYMMETRIC comparison (VERDICT r3 #1b): spec
+    # runs the same pipelined horizons as the incremental baseline. ----
+    spec_rep, spec_acc, spec_reqs = run_spec_point(draft_ckpt, 3)
+    spec_tps = max(spec_rep)
 
     # quantized perf runs gate a 20-token prefix (the reference's half-
     # precision policy, cpp_inference_tests.sh:249-255)
@@ -281,7 +306,10 @@ def run_spec_benchmarks(
         for a, b in zip(incr_reqs, spec_reqs)
     )
 
-    sfx = metric_suffix
+    def spread(rep):
+        s = sorted(rep)
+        return s[0], s[len(s) // 2], s[-1]
+
     _emit(f"spec_decode_speedup_vs_incremental_{sfx}_int4",
           round(spec_tps / incr_tps, 3), "x",
           round((spec_tps / incr_tps) / 1.5, 3))
@@ -289,12 +317,55 @@ def run_spec_benchmarks(
           round(spec_tps, 2), "tokens/s", round(spec_tps / incr_tps, 3))
     _emit(f"incr_decode_output_tokens_per_sec_chip_{sfx}_int4",
           round(incr_tps, 2), "tokens/s", 1.0)
+    # rep spread (VERDICT r4 #1: knife-edge results must be visible): the
+    # shared-terminal contention only ever ADDS time, so max is the
+    # steady-state estimate; min/median show the contention tail
+    for name, rep in ((f"spec_{sfx}_int4", spec_rep),
+                      (f"incr_{sfx}_int4", incr_rep)):
+        lo, med, hi = spread(rep)
+        _emit(f"{name}_rep_min_tokens_per_sec", round(lo, 2), "tokens/s", 1.0)
+        _emit(f"{name}_rep_median_tokens_per_sec", round(med, 2), "tokens/s",
+              1.0)
+        _emit(f"{name}_rep_max_tokens_per_sec", round(hi, 2), "tokens/s", 1.0)
     _emit("mean_verified_tokens_per_step",
-          round(srm.mean_verified_tokens_per_step, 3), "tokens/step", 1.0)
+          round(spec_acc, 3), "tokens/step", 1.0)
     _emit(f"spec_outputs_prefix20_match_{sfx}_int4", int(prefix_match),
           "bool", 1.0)
-    del spec_engine, srm
-    gc.collect()
+
+    # ---- acceptance-sensitivity curve (VERDICT r4 #3) ----
+    for ck in want_ckpts:
+        if ck == draft_ckpt and curve_ckpts:
+            rep, acc = spec_rep, spec_acc
+        elif ck in tuple(curve_ckpts):
+            rep, acc, _ = run_spec_point(ck, 2)
+        else:
+            continue
+        sp = max(rep) / incr_tps
+        _emit(f"spec_speedup_at_ckpt{ck}_{sfx}_int4", round(sp, 3), "x",
+              round(sp / 1.5, 3))
+        _emit(f"spec_acc_at_ckpt{ck}_{sfx}_int4", round(acc, 3),
+              "tokens/step", 1.0)
+
+    # ---- cold start (VERDICT r4 #8): host-resident packed carriers ->
+    # device upload + engine build + one prompt's first token ----
+    if cold_start:
+        _log("cold start: fetch carriers to host")
+        v4_host = jax.device_get(v4)
+        del v4
+        gc.collect()
+        _log("cold start: timed upload + build + first token")
+        t0 = time.perf_counter()
+        v4_dev = jax.device_put(v4_host)
+        engine = InferenceEngine(
+            vspec, v4_dev, max_requests_per_batch=batch, max_seq_len=max_seq)
+        mgr = RequestManager(engine, decode_horizon=horizon, pipelined=True)
+        first = mgr.generate([prompts[0]], GenerationConfig(max_new_tokens=1))
+        assert first[0].output_tokens
+        cold_s = time.perf_counter() - t0
+        _emit("cold_to_first_token_s", round(cold_s, 2), "s", 1.0)
+        del engine, mgr, v4_dev, v4_host
+        gc.collect()
+
     if gc_was_enabled:
         gc.enable()
     return spec_tps / incr_tps
@@ -304,7 +375,7 @@ def main():
     _log("fp32 lossless gate")
     lossless = _lossless_fp32()
     _emit("spec_outputs_lossless_fp32", int(lossless), "bool", 1.0)
-    run_spec_benchmarks()
+    run_spec_benchmarks(curve_ckpts=CURVE_CKPTS, cold_start=True)
 
 
 if __name__ == "__main__":

@@ -81,10 +81,15 @@ def main():
     del ieng, rm, reqs
     gc.collect()
 
+    from flexflow_tpu.quant.weight_only import quantize_params
+
+    draft8 = quantize_params(dspec, draft, bits=8)
     results = {}
-    for (w, d) in ((2, 6), (2, 8)):
-        log(f"spec engine build w{w}d{d}")
-        eng = SpecEngine(vspec, v4, dspec, draft, beam_width=w, beam_depth=d,
+    for (w, d, dq) in ((2, 6, "bf16"), (2, 6, "int8")):
+        log(f"spec engine build w{w}d{d} draft={dq}")
+        eng = SpecEngine(vspec, v4, dspec,
+                         draft if dq == "bf16" else draft8,
+                         beam_width=w, beam_depth=d,
                          max_requests_per_batch=batch, max_seq_len=max_seq)
         for h in (8, 16):
             srm = SpecRequestManager(eng, fused=True, spec_horizon=h,
@@ -97,20 +102,20 @@ def main():
                 dt = time.perf_counter() - a
                 tps = sum(len(r.output_tokens) for r in reqs) / dt
                 best = max(best, tps)
-                log(f"w{w}d{d} h{h} rep{rep}: {tps:7.1f} tok/s "
+                log(f"w{w}d{d} {dq} h{h} rep{rep}: {tps:7.1f} tok/s "
                     f"(acc {srm.mean_verified_tokens_per_step:.3f})")
             match = all(a.output_tokens[:20] == b[:20]
                         for a, b in zip(reqs, ref_out))
-            results[(w, d, h)] = (best, srm.mean_verified_tokens_per_step,
-                                  match)
-            log(f"w{w}d{d} h{h}: BEST {best:.1f} tok/s  ratio "
+            results[(w, d, dq, h)] = (best, srm.mean_verified_tokens_per_step,
+                                      match)
+            log(f"w{w}d{d} {dq} h{h}: BEST {best:.1f} tok/s  ratio "
                 f"{best/incr:.3f}x  prefix20={'OK' if match else 'FAIL'}")
         del eng
         gc.collect()
 
     log(f"incr baseline: {incr:.1f} tok/s")
-    for k, (tps, acc, match) in sorted(results.items()):
-        log(f"  w{k[0]}d{k[1]} h{k[2]}: {tps:7.1f} tok/s  "
+    for k, (tps, acc, match) in sorted(results.items(), key=str):
+        log(f"  w{k[0]}d{k[1]} {k[2]} h{k[3]}: {tps:7.1f} tok/s  "
             f"{tps/incr:.3f}x  acc {acc:.3f}  prefix20 {match}")
 
 

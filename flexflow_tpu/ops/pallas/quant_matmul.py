@@ -373,6 +373,9 @@ def pallas_eligible(qa: QuantizedArray) -> bool:
     # (16,128) tiles); Falcon-7B's d=4544 (not a 256-multiple) measured
     # EXACT and fast on-chip (596-1462 GB/s packed). f here is the PADDED
     # out dim (quantize pads to a 512-multiple), so %256 keeps wide blocks.
+    # d < 1024 stays on XLA: measured r5 — an INT8-quantized 160M draft
+    # (d=768) routed through the kernel LOST e2e (626 vs 792 tok/s spec
+    # path; small units are latency-bound where XLA fuses better).
     if d < 1024 or d % 64 or f % 256:
         return False
     if qa.bits == 4:

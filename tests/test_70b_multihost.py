@@ -117,3 +117,37 @@ def test_70b_int4_tp8_fits_and_compiles():
     # compiled for all 8 devices with GSPMD partitioning
     out_tok, out_k, _ = compiled.output_shardings
     assert out_k.spec[2] == "model", out_k  # KV heads stay TP-sharded
+
+
+@pytest.mark.slow
+def test_70b_width_tp8_decode_executes():
+    """EXECUTE 70B structure on the virtual 8-mesh (VERDICT r4 #4b): true
+    LLaMA-2-70B width (hidden 8192, FFN 28672, GQA 64/8), INT4, TP=8 —
+    layer count shrunk to 2 so a real decode step RUNS end-to-end through
+    the same shardings the 80-layer artifact compiles with. Companion of
+    the on-chip width-slice probe (benchmarks/probe_r5_70b_slice.py)."""
+    spec = specs.ModelSpec(
+        arch="LlamaForCausalLM", vocab_size=2048, hidden_size=8192,
+        num_layers=2, num_heads=64, num_kv_heads=8, head_dim=128,
+        intermediate_size=28672, max_position_embeddings=512, norm_eps=1e-5,
+    )
+    mesh = make_mesh(model=TP)
+    params = params_lib.init_params(spec, jax.random.PRNGKey(0), jnp.bfloat16)
+    params = quantize_params(spec, params, bits=4)
+
+    from flexflow_tpu.serving import (
+        GenerationConfig, InferenceEngine, RequestManager,
+    )
+
+    eng = InferenceEngine(spec, params, max_requests_per_batch=4,
+                          max_seq_len=128, mesh=mesh)
+    # the big carriers must be genuinely TP-sharded on the virtual mesh
+    wq = eng.params["layers"]["wq"]
+    assert any(ax == "model" for ax in wq.q.sharding.spec), wq.q.sharding
+    rm = RequestManager(eng, decode_horizon=4, pipelined=True)
+    rng = np.random.RandomState(0)
+    reqs = rm.generate(
+        [rng.randint(1, 2048, size=8).tolist() for _ in range(3)],
+        GenerationConfig(max_new_tokens=6),
+    )
+    assert all(len(r.output_tokens) == 6 for r in reqs)

@@ -29,6 +29,7 @@ def test_run_spec_benchmarks_tiny(capsys):
         metric_suffix="tiny",
         sharpen_steps=12,
         draft_ckpt=6,
+        curve_ckpts=(4, 6, 9),  # the acceptance-curve path must execute too
     )
     assert ratio > 0.0
     out = capsys.readouterr().out
@@ -44,6 +45,14 @@ def test_run_spec_benchmarks_tiny(capsys):
         "incr_decode_output_tokens_per_sec_chip_tiny_int4",
         "mean_verified_tokens_per_step",
         "spec_outputs_prefix20_match_tiny_int4",
+        "spec_tiny_int4_rep_min_tokens_per_sec",
+        "spec_tiny_int4_rep_median_tokens_per_sec",
+        "spec_tiny_int4_rep_max_tokens_per_sec",
+        "incr_tiny_int4_rep_min_tokens_per_sec",
+        "spec_speedup_at_ckpt4_tiny_int4",
+        "spec_acc_at_ckpt4_tiny_int4",
+        "spec_speedup_at_ckpt6_tiny_int4",
+        "spec_speedup_at_ckpt9_tiny_int4",
     }
     assert expected <= set(metrics), sorted(expected - set(metrics))
     for rec in metrics.values():
