@@ -88,7 +88,9 @@ def run_mqa_benchmark(spec=None, *, batch=8, max_seq=512, max_new=128,
     warm = [rng.randint(1, spec.vocab_size, size=24).tolist()
             for _ in range(batch)]
     cfg = GenerationConfig(max_new_tokens=max_new)
-    _log("warm (full workload)")
+    _log("warm (full workload, twice: later compiles reset earlier\n"
+         "    programs' warm state and the rewarms stagger across reps)")
+    rm.generate(warm, cfg)
     rm.generate(warm, cfg)
     tps = 0.0
     for _ in range(3):  # best-of-3 (terminal rewarm/contention; bench_spec)

@@ -226,6 +226,7 @@ def run_spec_benchmarks(
         # throughput is a steady-state metric, cold start is reported
         # separately by the 7B cold-start breakdown
         rm8.generate(warm, cfg)
+        rm8.generate(warm, cfg)  # second warm absorbs the staggered rewarms
         tps8 = 0.0
         for _ in range(3):  # best-of-3: the shared terminal adds seconds-
             # scale one-time program (re)warm + tenant contention spikes;
@@ -253,6 +254,7 @@ def run_spec_benchmarks(
     )
     rm = RequestManager(incr_engine, decode_horizon=horizon, pipelined=True)
     rm.generate(warm, cfg)  # full-workload warm (see INT8 comment)
+    rm.generate(warm, cfg)  # second warm absorbs the staggered rewarms
     incr_rep = []
     for _ in range(3):  # best-of-3 (see INT8 comment)
         t0 = time.perf_counter()
@@ -261,14 +263,53 @@ def run_spec_benchmarks(
         incr_tokens = sum(len(r.output_tokens) for r in incr_reqs)
         incr_rep.append(incr_tokens / incr_dt)
     incr_tps = max(incr_rep)
+    # device steady-state (differential chained, the per-op methodology):
+    # isolates device compute from the shared-terminal's ~60-90 ms
+    # synchronous per-program-call round trip, which does NOT overlap with
+    # execution on this tunnel (attributed r5 — see BENCH_BREAKDOWN.md) and
+    # taxes short programs. Clearly labeled separate metrics; the e2e
+    # numbers above remain the headline.
+    import jax as _jax
+    from flexflow_tpu.ops.sampling import SamplingConfig as _SC
+
+    _lens = np.full(batch, 56, np.int32)
+    _toks = np.ones(batch, np.int32)
+    _scfg = _SC(temperature=np.zeros(batch, np.float32),
+                top_p=np.ones(batch, np.float32),
+                top_k=np.zeros(batch, np.int32))
+    _key = jax.random.PRNGKey(0)
+    _win = incr_engine.attn_window_bucket(200)
+
+    def _steady(fn, n1, n2):
+        for n in (n1, n2):
+            fn(n)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(n1)
+            a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(n2)
+            b = time.perf_counter() - t0
+            best = min(best, (b - a) / (n2 - n1))
+        return best
+
+    step_s = _steady(
+        lambda n: incr_engine.decode_horizon(
+            _lens, _toks, _key, _scfg, n, window=_win), 8, 24)
+    incr_steady = batch / step_s
+    _emit(f"incr_device_steady_tokens_per_sec_{metric_suffix}_int4",
+          round(incr_steady, 1), "tokens/s", 1.0)
     del incr_engine, rm  # free the baseline KV cache before the spec engines
     gc.collect()
 
     sfx = metric_suffix
 
-    def run_spec_point(ck, reps):
+    def run_spec_point(ck, reps, steady: bool = False):
         """Build a spec engine on checkpoint ``ck``'s draft, run the exact
-        workload ``reps`` times; returns (rep tok/s list, acc, reqs)."""
+        workload ``reps`` times; returns (rep tok/s list, acc, reqs).
+        ``steady=True`` additionally emits the device-steady iteration
+        throughput (see the incremental steady metric above)."""
         _log(f"INT4 spec engine build (draft ckpt {ck})")
         engine = SpecEngine(
             vspec, v4, dspec, ckpts[ck],
@@ -279,6 +320,7 @@ def run_spec_benchmarks(
                                  spec_horizon=spec_horizon,
                                  pipelined=spec_pipelined)
         mgr.generate(warm, cfg)  # full-workload warm (see INT8 comment)
+        mgr.generate(warm, cfg)  # second warm absorbs the staggered rewarms
         rep = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -286,6 +328,18 @@ def run_spec_benchmarks(
             dt = time.perf_counter() - t0
             rep.append(sum(len(r.output_tokens) for r in rr) / dt)
         acc = mgr.mean_verified_tokens_per_step
+        if steady:
+            _win = engine.attn_window_bucket(200)
+            _l = np.full(batch, 56, np.int32)
+            _r = np.arange(1, batch + 1, dtype=np.int32)
+            it_s = _steady(
+                lambda n: engine.fused_step_n(_l, _r, n, _win), 2, 6)
+            spec_steady = acc * batch / it_s
+            _emit(f"spec_device_steady_tokens_per_sec_{metric_suffix}_int4",
+                  round(spec_steady, 1), "tokens/s", 1.0)
+            _emit(f"spec_device_steady_speedup_{metric_suffix}_int4",
+                  round(spec_steady / incr_steady, 3), "x",
+                  round(spec_steady / incr_steady / 1.5, 3))
         del engine, mgr
         gc.collect()
         return rep, acc, rr
@@ -295,7 +349,7 @@ def run_spec_benchmarks(
     # verify tokens; reference caps width <= 3, depth <= 8,
     # batch_config.h:196-197). SYMMETRIC comparison (VERDICT r3 #1b): spec
     # runs the same pipelined horizons as the incremental baseline. ----
-    spec_rep, spec_acc, spec_reqs = run_spec_point(draft_ckpt, 3)
+    spec_rep, spec_acc, spec_reqs = run_spec_point(draft_ckpt, 4, steady=True)
     spec_tps = max(spec_rep)
 
     # quantized perf runs gate a 20-token prefix (the reference's half-

@@ -83,12 +83,10 @@ def main():
 
     from flexflow_tpu.quant.weight_only import quantize_params
 
-    draft8 = quantize_params(dspec, draft, bits=8)
     results = {}
-    for (w, d, dq) in ((2, 6, "bf16"), (2, 6, "int8")):
+    for (w, d, dq) in ((2, 6, "bf16"),):
         log(f"spec engine build w{w}d{d} draft={dq}")
-        eng = SpecEngine(vspec, v4, dspec,
-                         draft if dq == "bf16" else draft8,
+        eng = SpecEngine(vspec, v4, dspec, draft,
                          beam_width=w, beam_depth=d,
                          max_requests_per_batch=batch, max_seq_len=max_seq)
         for h in (8, 16):

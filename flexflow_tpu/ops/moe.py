@@ -6,7 +6,11 @@ per-expert buffers with a capacity factor, fused batched expert FFN via
 grouped GEMM, weighted gather-combine). Here the dispatch is a sort by expert
 id and the grouped GEMM is ``jax.lax.ragged_dot`` (MXU-native ragged matmul),
 with NO capacity-factor token dropping — every routed token is computed
-(exact, unlike the reference's alpha-capacity drops).
+(exact, unlike the reference's alpha-capacity drops). This is also the
+design answer to the reference's RecompileState-driven adaptive expert
+capacity (recompile.h:26-40): with no drops there is nothing to adapt on
+the serving path; training flows that DO want mid-run reconfiguration get
+the bucketed analog in utils/recompile.py.
 """
 
 from __future__ import annotations

@@ -75,7 +75,8 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
     tree = tree_size(w, dmax)
     depths_vec = make_depths_vec(w, dmax)
 
-    def draft_phase(ssm_params, ssm_cache, cache_lens, roots, staged=None):
+    def draft_phase(ssm_params, ssm_cache, cache_lens, roots, staged=None,
+                    blk=None):
         """``staged``: in-register KV of tokens accepted EARLIER IN THIS
         HORIZON but not yet committed to the cache (the staged-horizon
         flow — one cache write per horizon instead of per iteration).
@@ -84,20 +85,26 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
         - (stage_k, stage_v, counts): COMPACTED staging — stage_k/v
           [L, B, C, KH, D]; column j holds the token at absolute position
           cache_lens + j, valid iff j < counts[b].
-        - (stage_k, stage_v, valid [B, C], pos [B, C]): RAW staging — the
-          horizon's tree buffers stacked uncompacted; column validity and
-          absolute positions come precomputed (the r5 layout that removes
-          the per-iteration compaction einsums; see _staged_horizon).
+        - (stage_k, stage_v, valid [B, C], pos [B, C]) with ``blk``: RAW
+          staging — the horizon's tree blocks stacked uncompacted. The
+          draft WRITES its tree KV straight into columns
+          [blk, blk+tree) of the staging buffers and attends through ONE
+          buffer (mask = prior accepted columns + in-block ancestors) —
+          no per-depth concatenation of staging and tree buffers (the
+          concats cost ~2-4 ms/iteration at 7B; probe_r5_specattr r5).
+          Returns the UPDATED staging buffers as the kv aux.
         """
         b = cache_lens.shape[0]
         sl, skh, sd = (ssm_spec.num_layers,
                        ssm_spec.num_kv_heads, ssm_spec.head_dim)
         cdt = ssm_cache.k.dtype
+        raw = staged is not None and len(staged) == 4
         if staged is None:
             base_lens = cache_lens
             s_k = s_v = None
             cap = 0
-        elif len(staged) == 4:
+        elif raw:
+            assert blk is not None, "raw staging needs the block offset"
             s_k, s_v, stage_valid, stage_pos = staged
             cap = s_k.shape[2]
             counts = jnp.sum(stage_valid.astype(jnp.int32), axis=1)
@@ -121,10 +128,23 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
                 tree_mask=jnp.ones((b, 1, 1), bool),
                 extra_kv=(s_k, s_v), extra_mask=stage_valid[:, None, :],
                 extra_positions=stage_pos, write_cache=False)
-        buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
-        buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
-        buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
-        buf_v = buf_v.at[:, :, 0:1].set(v0.astype(cdt))
+        if raw:
+            # block-resident tree KV: the staging buffers double as the
+            # tree buffers for this iteration's block
+            s_k = jax.lax.dynamic_update_slice(
+                s_k, k0.astype(cdt), (0, 0, blk, 0, 0))
+            s_v = jax.lax.dynamic_update_slice(
+                s_v, v0.astype(cdt), (0, 0, blk, 0, 0))
+            # position scaffolding for in-block attention
+            pos_all = jax.lax.dynamic_update_slice(
+                stage_pos, base_lens[:, None] + depths_vec[None, :],
+                (0, blk))
+            buf_k = buf_v = None
+        else:
+            buf_k = jnp.zeros((sl, b, tree, skh, sd), cdt)
+            buf_v = jnp.zeros((sl, b, tree, skh, sd), cdt)
+            buf_k = buf_k.at[:, :, 0:1].set(k0.astype(cdt))
+            buf_v = buf_v.at[:, :, 0:1].set(v0.astype(cdt))
         logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
         beam_logp, beam_tokens = jax.lax.top_k(logp, w)
         beam_tokens = beam_tokens.astype(jnp.int32)
@@ -146,6 +166,13 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
                 ex_kv = (buf_k, buf_v)
                 ex_mask = anc
                 ex_pos = cache_lens[:, None] + depths_vec[None, :]
+            elif raw:
+                # one buffer: prior accepted columns + in-block ancestors
+                ex_kv = (s_k, s_v)
+                ex_mask = jax.lax.dynamic_update_slice(
+                    jnp.broadcast_to(stage_valid[:, None, :], (b, w, cap)),
+                    anc, (0, 0, blk))
+                ex_pos = pos_all
             else:
                 ex_kv = (jnp.concatenate([s_k, buf_k], axis=2),
                          jnp.concatenate([s_v, buf_v], axis=2))
@@ -162,8 +189,14 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
                 # tree slot c sits at lens + depth(c) (alibi)
                 extra_positions=ex_pos,
                 write_cache=False)
-            buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
-            buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
+            if raw:
+                s_k = jax.lax.dynamic_update_slice(
+                    s_k, kd.astype(cdt), (0, 0, blk + base, 0, 0))
+                s_v = jax.lax.dynamic_update_slice(
+                    s_v, vd.astype(cdt), (0, 0, blk + base, 0, 0))
+            else:
+                buf_k = buf_k.at[:, :, base:base + w].set(kd.astype(cdt))
+                buf_v = buf_v.at[:, :, base:base + w].set(vd.astype(cdt))
             if d == dmax:
                 break
             self_slots = base + jnp.arange(w, dtype=jnp.int32)
@@ -192,6 +225,9 @@ def build_draft_phase(ssm_spec: ModelSpec, width: int, depth: int):
                 * jnp.ones((1, 1, tree), jnp.int32), axis=1)[:, 0]
             row = parent_row.at[:, c].set(True)
             anc_self = anc_self.at[:, c].set(row)
+        if raw:
+            # raw mode: the staging buffers ARE the tree buffers
+            return tree_tokens, tree_parents, anc_self, (s_k, s_v)
         return tree_tokens, tree_parents, anc_self, (buf_k, buf_v)
 
     return draft_phase
@@ -742,9 +778,13 @@ class SpecEngine:
                     i, xi = xs_i
                 else:
                     i, xi = xs_i, None
-                tree_tokens, tree_parents, anc_self, ssm_buf = draft_phase(
+                col = i * tree
+                tree_tokens, tree_parents, anc_self, ssm_stage = draft_phase(
                     ssm_params, ssm_read, cache_lens, roots,
-                    staged=(r_ssm_k, r_ssm_v, valid, pos))
+                    staged=(r_ssm_k, r_ssm_v, valid, pos), blk=col)
+                # block-resident: the draft already wrote its tree KV into
+                # staging columns [col, col+tree)
+                r_ssm_k, r_ssm_v = ssm_stage
                 logits, llm_buf = verify_logits_reg(
                     llm_params, llm_read, cache_lens, tree_tokens,
                     jnp.broadcast_to(depths_vec[None], (b, tree)), anc_self,
@@ -753,16 +793,11 @@ class SpecEngine:
                     logits, tree_tokens, tree_parents, xi)
                 path = from_slots[:, :dmax + 1]  # [B, P]
 
-                # raw staging write: iteration i's whole tree block
-                col = i * tree
+                # raw staging write: iteration i's whole verifier tree block
                 r_llm_k = jax.lax.dynamic_update_slice(
                     r_llm_k, llm_buf[0].astype(ldt), (0, 0, col, 0, 0))
                 r_llm_v = jax.lax.dynamic_update_slice(
                     r_llm_v, llm_buf[1].astype(ldt), (0, 0, col, 0, 0))
-                r_ssm_k = jax.lax.dynamic_update_slice(
-                    r_ssm_k, ssm_buf[0].astype(sdt), (0, 0, col, 0, 0))
-                r_ssm_v = jax.lax.dynamic_update_slice(
-                    r_ssm_v, ssm_buf[1].astype(sdt), (0, 0, col, 0, 0))
                 # [B, tree] validity + absolute positions of this block:
                 # slot s accepted iff path[:, k] == s for some k < n_acc
                 pidx = jnp.arange(dmax + 1, dtype=jnp.int32)

@@ -221,3 +221,42 @@ def test_profiling_flag_prints_per_op(capsys):
     out = capsys.readouterr().out
     assert "IncMultiHeadSelfAttention forward time =" in out
     assert "[Profile]" in out
+
+
+def test_recompile_state_buckets():
+    """RecompileState (reference recompile.h:26-40): trigger/alter drive a
+    bucketed static-capacity change and the jitted step recompiles exactly
+    once per NEW bucket (jit caches by static arg — returning to an old
+    bucket is free)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from flexflow_tpu.utils.recompile import RecompileState, round_up_bucket
+
+    compiles = []
+
+    @functools.partial(jax.jit, static_argnames=("capacity",))
+    def step(x, capacity):
+        compiles.append(capacity)  # trace-time side effect
+        pad = int(capacity * 4)
+        return jnp.pad(x, (0, pad - x.shape[0])).sum()
+
+    state = {"capacity_factor": 1.0, "overflow": 0.0}
+    rs = RecompileState(
+        trigger=lambda s: s["overflow"] > 0.1,
+        alter=lambda s: s.update(
+            capacity_factor=round_up_bucket(s["capacity_factor"] * 1.4)),
+    )
+    x = jnp.ones((3,))
+    seen = []
+    for overflow in (0.0, 0.2, 0.0, 0.3, 0.0):
+        state["overflow"] = overflow
+        rs.step(state)
+        step(x, capacity=state["capacity_factor"])
+        seen.append(state["capacity_factor"])
+    assert rs.recompilations == 2
+    assert seen == [1.0, 1.5, 1.5, 3.0, 3.0]
+    # one trace per distinct bucket only
+    assert compiles == [1.0, 1.5, 3.0]
