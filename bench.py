@@ -130,6 +130,12 @@ def main():
     else:
         _log("FF_BENCH_MQA=0: skipping the MQA phase")
 
+    if os.environ.get("FF_BENCH_70B", "1") != "0":
+        b70_budget = int(os.environ.get("FF_BENCH_70B_TIMEOUT", "1200"))
+        _run_phase([sys.executable, "bench_70b.py"], b70_budget, "70b-slice")
+    else:
+        _log("FF_BENCH_70B=0: skipping the 70B width-slice phase")
+
     # repeat the headline LAST so a last-line parser sees the round-1 metric
     for line in headline:
         try:

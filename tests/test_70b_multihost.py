@@ -61,6 +61,17 @@ def _sharded_bytes(leaf, sharding) -> float:
     return leaf.size * np.dtype(leaf.dtype).itemsize / denom
 
 
+# MEASURED recalibration (r5, bench_70b.py on the real chip, 2026-08-22):
+# a 4-layer slice at TRUE 70B width (INT4, 16 slots, w512) decodes at
+# 1.077 ms/layer (1.79x the packed-bytes+KV floor; no VMEM surprises at the
+# 28672-wide FFN after the leaf-streamed build — building the whole bf16
+# tree first OOMed, a failure mode the analytic fit below cannot see).
+# Projection for the full artifact: 80 layers / TP=8 -> ~10.8 ms/step/chip
+# compute + ICI, ~1.4k tok/s at 16 slots — consistent with the reference's
+# multi-node serving claims (MULTI-NODE.md:21-80).
+MEASURED_MS_PER_LAYER = 1.077
+
+
 @pytest.mark.slow
 def test_70b_int4_tp8_fits_and_compiles():
     mesh = make_mesh(model=TP)
