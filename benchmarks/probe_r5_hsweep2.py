@@ -89,7 +89,7 @@ def main():
         eng = SpecEngine(vspec, v4, dspec, draft,
                          beam_width=w, beam_depth=d,
                          max_requests_per_batch=batch, max_seq_len=max_seq)
-        for h in (8, 16):
+        for h in (10, 12, 8):
             srm = SpecRequestManager(eng, fused=True, spec_horizon=h,
                                      pipelined=True)
             srm.generate(warm, cfg)
