@@ -156,7 +156,9 @@ def run_spec_benchmarks(
     metric_suffix: str = "7b",
     beam_width: int = 2,
     beam_depth: int = 6,
-    spec_horizon: int = 8,
+    # h12 measured best-of-sweep r5 (794.8 vs h8 783.6-793.5 tok/s; fewer
+    # ~60-90 ms per-call round trips, staging growth still tolerable)
+    spec_horizon: int = 12,
     spec_pipelined: bool = True,
     sharpen_steps: int = SHARPEN_STEPS,
     draft_ckpt: int = DRAFT_CKPT,
