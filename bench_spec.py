@@ -302,6 +302,20 @@ def run_spec_benchmarks(
     incr_steady = batch / step_s
     _emit(f"incr_device_steady_tokens_per_sec_{metric_suffix}_int4",
           round(incr_steady, 1), "tokens/s", 1.0)
+    _emit(f"incr_decode_ms_per_step_{metric_suffix}_int4",
+          round(step_s * 1e3, 3), "ms", 1.0)
+    # %-of-floor (VERDICT r4 #2): packed weight bytes + windowed KV reads
+    # at 819 GB/s HBM
+    _d, _f = vspec.hidden_size, vspec.intermediate_size
+    _wbytes = (vspec.num_layers * (
+        _d * (vspec.num_heads + 2 * vspec.num_kv_heads) * vspec.head_dim
+        + vspec.num_heads * vspec.head_dim * _d + 3 * _d * _f)
+        + vspec.vocab_size * _d) / 2
+    _kvbytes = (vspec.num_layers * batch * vspec.num_kv_heads
+                * vspec.head_dim * (_win or max_seq) * 2 * 2)
+    _floor_ms = (_wbytes + _kvbytes) / 819e9 * 1e3
+    _emit(f"incr_decode_x_hbm_floor_{metric_suffix}_int4",
+          round(step_s * 1e3 / _floor_ms, 3), "x", 1.0)
     del incr_engine, rm  # free the baseline KV cache before the spec engines
     gc.collect()
 
