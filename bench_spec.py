@@ -343,6 +343,9 @@ def run_spec_benchmarks(
         mgr.generate(prompts, cfg)  # second warm on the measured prompts:
         # the greedy spec run is deterministic, so the reps replay exactly
         # these programs (incl. acceptance-dependent tail horizons)
+        mgr.generate(prompts, cfg)  # third pass: programs compiled DURING
+        # the second warm reset the earlier ones' warm state; this absorbs
+        # those rewarms so rep0 is clean
         rep = []
         for _ in range(reps):
             t0 = time.perf_counter()
