@@ -74,7 +74,6 @@ class SpecRequestManager:
 
         self.pipeline_depth = max(int(getattr(_cfg0, "pipeline_depth", 2)), 1)
         self._inflight_q = []  # FIFO of (snapshot, produced, n_acc, h)
-        self._inflight = None  # legacy single-slot view (kept for tests)
         self._dev_lens = None  # device [B] feedback (pipelined mode)
         self._dev_roots = None
         self.eos_token_ids = tuple(eos_token_ids) or engine.llm_spec.eos_ids()
