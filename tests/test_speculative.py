@@ -288,3 +288,37 @@ def test_pipelined_spec_windowed_equals_incremental(llm_params, ssm_params):
     got = [r.output_tokens
            for r in rm.generate(prompts, GenerationConfig(max_new_tokens=10))]
     assert got == want
+
+
+def test_pipelined_seq_room_cap_prevents_overflow(llm_params, ssm_params):
+    """Pipeline-depth > 1 safety (r5): in-flight horizons can commit up to
+    depth+1 tokens/iteration on device before the host observes them. The
+    dispatch cap must keep even WORST-CASE acceptance inside the cache, and
+    the run must stay lossless right up against the sequence limit."""
+    from flexflow_tpu.config import config as ffconfig
+
+    prev = ffconfig.pipeline_depth
+    ffconfig.pipeline_depth = 4  # deep in-flight queue
+    try:
+        prompts = [[5, 9, 2], [7, 1]]
+        # max_seq barely above prompt + margin: registration margin is
+        # spec_horizon*(tree+1) = 4*8 = 32; budgets would exceed seq room
+        # without the cap
+        engine = SpecEngine(
+            LLM, llm_params, SSM, ssm_params,
+            beam_width=2, beam_depth=3, max_requests_per_batch=2,
+            max_seq_len=64, cache_dtype=jnp.float32,
+        )
+        rm = SpecRequestManager(engine, fused=True, spec_horizon=4,
+                                pipelined=True)
+        want = incr_outputs(llm_params, prompts, 40)
+        got = [r.output_tokens for r in
+               rm.generate(prompts, GenerationConfig(max_new_tokens=40))]
+        # requests retire at the seq margin; outputs must be a lossless
+        # PREFIX of incremental greedy and lens must never pass the cache
+        for g, w in zip(got, want):
+            assert g == w[:len(g)], (g, w)
+            assert len(g) >= 1
+        assert (rm._cache_lens <= 64).all()
+    finally:
+        ffconfig.pipeline_depth = prev
