@@ -58,12 +58,15 @@ from flexflow_tpu.parallel.auto import MachineModel, OpCostCache
 #   F  last-dim sharded    P  partial sums over the mesh (psum pending)
 STATES = ("R", "B", "F", "P")
 
+# names must match FFModel's actual node op strings (ffmodel/model.py —
+# e.g. subtract() creates op "sub"; review r5 caught the semantic names)
 _ELEMENTWISE = {
-    "relu", "sigmoid", "tanh", "gelu", "elu", "silu", "identity", "scale",
-    "dropout", "exp", "sin", "cos", "rsqrt", "pow", "negative", "abs",
+    "relu", "sigmoid", "tanh", "gelu", "elu", "silu", "identity",
+    "dropout", "exp", "log", "sin", "cos", "sqrt", "rsqrt", "pow",
+    "leaky_relu", "clamp", "softplus", "mish", "hardswish", "hardsigmoid",
+    "scalar_add", "scalar_sub", "scalar_mul", "scalar_div",
 }
-_BINARY = {"add", "subtract", "multiply", "divide", "maximum", "minimum",
-           "where"}
+_BINARY = {"add", "sub", "mul", "div", "max", "min", "where"}
 _LASTDIM = {"softmax", "layer_norm", "rms_norm", "mean", "reduce_sum",
             "argmax", "top_k"}
 
@@ -354,7 +357,10 @@ def sequence_optimize(
         if c1 + c2 < best_cost:
             views = dict(v1)
             inv = {v: k for k, v in remap.items()}
-            views.update({inv[j]: v for j, v in v2.items() if j in inv})
+            # post node 0 is the pseudo-input COPY of the bottleneck: its
+            # 'src' view must not clobber the pre-half's real placement
+            views.update({inv[j]: v for j, v in v2.items()
+                          if j in inv and inv[j] != b})
             best_cost, best_views = c1 + c2, views
     memo[key] = (best_cost, best_views)
     return best_cost, best_views
@@ -409,11 +415,15 @@ def joint_optimize(
     from flexflow_tpu.ffmodel.substitutions import match_sites, optimize_graph
 
     m = machine or MachineModel()
+    # ONE memo shared across every candidate graph: candidates differ by a
+    # single rewrite, so almost all (subgraph-hash, boundary-state) DP
+    # entries recur (review r5: a fresh memo per candidate redid them all)
+    memo: Dict = {}
 
     def evaluate(ns, ins):
         return sequence_optimize(
             ns, ins, n=n_devices, batch=batch, machine=m, cache=cache,
-            base_threshold=base_threshold)
+            base_threshold=base_threshold, _memo=memo)
 
     c0, v0 = evaluate(nodes, input_ids)
     best = JointPlan(nodes, list(input_ids), v0, c0, [])

@@ -49,6 +49,7 @@ class SpecRequestManager:
         fused: bool = False,
         spec_horizon: int = 1,
         pipelined: bool = False,
+        pipeline_depth: Optional[int] = None,  # None -> FFConfig default
         seed: int = 0,
         log_fn=None,
     ):
@@ -70,9 +71,11 @@ class SpecRequestManager:
         # the price of more EOS/budget lag (covered by the acceptance
         # projection in _clamped_horizon).
         self.pipelined = bool(pipelined) and self.fused
-        from flexflow_tpu.config import config as _cfg0
+        if pipeline_depth is None:
+            from flexflow_tpu.config import config as _cfg0
 
-        self.pipeline_depth = max(int(getattr(_cfg0, "pipeline_depth", 2)), 1)
+            pipeline_depth = getattr(_cfg0, "pipeline_depth", 2)
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self._inflight_q = []  # FIFO of (snapshot, produced, n_acc, h)
         self._dev_lens = None  # device [B] feedback (pipelined mode)
         self._dev_roots = None
@@ -287,6 +290,12 @@ class SpecRequestManager:
             h *= 2
         if self.horizon_round == "down" and h > rem:
             h = max(h // 2, 1)
+        if projected:
+            # the seq-room cap is a CACHE-SAFETY bound, not a waste bound:
+            # it must hold regardless of the rounding mode (review r5: the
+            # pow2 round-up could push h past it under horizon_round="up";
+            # budget overshoot stays allowed — that is only wasted work)
+            h = min(h, cap)
         return min(h, self.spec_horizon)
 
     def _step_fused(self, active) -> bool:

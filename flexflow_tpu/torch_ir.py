@@ -115,7 +115,10 @@ def string_to_ff(lines: Sequence[str], ffmodel, input_tensors):
         elif op == "DROPOUT":
             out = ffmodel.dropout(x[0], rate=float(items[4]), name=name)
         elif op == "SOFTMAX":
-            out = ffmodel.softmax(x[0])
+            # our exports carry the axis as an extra field; reference files
+            # have none (their softmax is always last-axis)
+            axis = int(items[4]) if len(items) > 4 else -1
+            out = ffmodel.softmax(x[0], axis=axis)
         elif op == "CONCAT":
             out = ffmodel.concat(x, int(items[4]), name=name)
         elif op == "EMBEDDING":
@@ -189,7 +192,9 @@ def model_to_string(ffmodel) -> List[str]:
         elif n.op == "dropout":
             s = [name, ins, outs, "DROPOUT", str(a.get("rate", 0.5))]
         elif n.op == "softmax":
-            s = [name, ins, outs, "SOFTMAX"]
+            # extra axis field (reference readers ignore trailing fields;
+            # ours round-trips non-default axes — review r5)
+            s = [name, ins, outs, "SOFTMAX", str(a.get("axis", -1))]
         elif n.op == "concat":
             s = [name, ins, outs, "CONCAT", str(a["axis"])]
         elif n.op == "embedding":

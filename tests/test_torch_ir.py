@@ -75,6 +75,20 @@ def test_reference_field_orders_load():
     assert out.shape == (2, 10)
 
 
+def test_softmax_axis_round_trips():
+    """Non-default softmax axes must survive export -> import (review r5:
+    the axis field was being dropped)."""
+    ff = FFModel()
+    x = ff.create_tensor((2, 4, 6))
+    ff.softmax(x, axis=1)
+    lines = model_to_string(ff)
+    ff2 = FFModel()
+    x2 = ff2.create_tensor((2, 4, 6))
+    string_to_ff(lines, ff2, [x2])
+    sm = next(n for n in ff2._nodes if n.op == "softmax")
+    assert sm.attrs["axis"] == 1
+
+
 def test_unknown_op_raises():
     with pytest.raises(NotImplementedError):
         string_to_ff(["n; a,; ; FROBNICATE"], FFModel(), [])
